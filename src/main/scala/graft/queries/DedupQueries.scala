@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.ops.RelationalOps
+
+/** Deduplication operators over `documents` (builder-prompt north-star):
+  * exact (hash-groupBy), n-gram-shingle Jaccard, MinHash+LSH banding,
+  * SimHash. All hashes are md5 (identical in Spark and DuckDB), so every
+  * query is oracle-checkable; Jaccard arithmetic is exact integer-count
+  * division — no float drift at all.
+  *
+  * Scale posture: shingling/minhashing fan out rows by tokens-per-doc
+  * (bounded), every aggregation keys on doc_id (high-cardinality, even
+  * partitions), and candidate generation is LSH-bucket-join — never an
+  * all-pairs crossJoin. That is the 100 TB path: all-pairs appears only
+  * inside same-(lang,source) buckets in q34, the demonstration variant.
+  */
+object DedupQueries extends QueryModule {
+
+  /** Distinct (doc_id, token) pairs — the unigram set per document. */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .distinct()
+
+  def queries: Seq[(String, NamedQuery)] = Seq(
+
+    // ---------------------------------------------------------------- q33
+    // Exact dedup: normalized-content md5 fingerprint group — keeper is
+    // min doc_id per cluster.
+    "q33_exact_dedup" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.documents(s, d)
+          .groupBy(md5(lower(trim(col("text")))).as("fp"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+          .select("keeper", "n_copies", "fp")
+          .orderBy("keeper")
+      },
+      oracle = Some("""
+        SELECT min(doc_id) AS keeper, COUNT(*) AS n_copies,
+               md5(lower(trim(text))) AS fp
+        FROM documents
+        GROUP BY md5(lower(trim(text)))
+        ORDER BY keeper"""),
+      doc = "exact dedup via content hash (north-star)"),
+
+    // ---------------------------------------------------------------- q34
+    // Word-3-gram shingle Jaccard near-dup: top-3 most similar docs per
+    // doc within the same (lang, source) bucket. Jaccard =
+    // |∩| / (|A|+|B|−|∩|) — exact integer counts, no float drift.
+    "q34_ngram_jaccard" -> NamedQuery(
+      fn = (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            split(trim(col("text")), "\\s+").as("toks"))
+          .filter(size(col("toks")) >= 3)
+        val sh = docs.select(col("doc_id"), col("lang"), col("source"),
+          explode(expr(
+            "transform(sequence(1, size(toks)-2), i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))"))
+            .as("shingle")).distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val s1 = sh.select(col("doc_id").as("d1"), col("lang"), col("source"), col("shingle"))
+        val s2 = sh.select(col("doc_id").as("d2"), col("lang"), col("source"), col("shingle"))
+        val inter = s1.join(s2, Seq("lang", "source", "shingle"))
+          .filter(col("d1") < col("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+        val j = inter
+          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+          .withColumn("jacc", round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6))
+        RelationalOps.topKPerGroup(Seq("d1"), Seq(col("jacc").desc, col("d2").asc), 3)(j)
+          .select("d1", "d2", "jacc")
+          .orderBy("d1", "d2")
+      },
+      oracle = Some("""
+        WITH docs AS (
+          SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\s+') AS a
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        sh AS (
+          SELECT DISTINCT doc_id, lang, source,
+                 unnest(list_transform(range(1, len(a) - 1), i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+          FROM docs),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS c
+          FROM sh s1 JOIN sh s2
+            ON s1.lang = s2.lang AND s1.source = s2.source
+           AND s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT d1, d2, round(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 6) AS jacc
+          FROM inter
+          JOIN sizes n1 ON d1 = n1.doc_id
+          JOIN sizes n2 ON d2 = n2.doc_id)
+        SELECT d1, d2, jacc
+        FROM (SELECT d1, d2, jacc,
+                     row_number() OVER (PARTITION BY d1 ORDER BY jacc DESC, d2 ASC) AS rn
+              FROM j)
+        WHERE rn <= 3
+        ORDER BY d1, d2"""),
+      doc = "3-gram shingle Jaccard near-dup (north-star)"),
+
+    // ---------------------------------------------------------------- q35
+    // MinHash + LSH banding: k=8 string-min md5 signatures, 4 bands of 2,
+    // per-band bucket statistics (candidate generation is the
+    // band-bucket join — no all-pairs scan).
+    "q35_minhash_bands" -> NamedQuery(
+      fn = (s, d) => {
+        val toks = docTokens(s, d)
+        val seeds = s.range(8).select(col("id").as("seed"))
+        val sig = toks.crossJoin(broadcast(seeds))
+          .groupBy("doc_id", "seed")
+          .agg(min(md5(concat(col("tok"), lit("#"), col("seed")))).as("mh"))
+        val bands = sig
+          .withColumn("band", expr("seed div 2"))
+          .groupBy("doc_id", "band")
+          .agg(md5(concat(min(col("mh")), max(col("mh")))).as("band_hash"))
+        val buckets = bands.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("bucket_size"))
+        buckets.groupBy("band")
+          .agg(
+            count(lit(1)).as("n_buckets"),
+            sum(when(col("bucket_size") > 1, col("bucket_size")).otherwise(0L)).as("colliding_docs"),
+            max(col("bucket_size")).as("max_bucket"))
+          .orderBy("band")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, seed, min(md5(tok || '#' || seed)) AS mh
+          FROM toks CROSS JOIN generate_series(0, 7) s(seed)
+          GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, seed // 2 AS band, md5(min(mh) || max(mh)) AS band_hash
+          FROM sig
+          GROUP BY doc_id, seed // 2),
+        buckets AS (
+          SELECT band, band_hash, COUNT(*) AS bucket_size
+          FROM bands GROUP BY 1, 2)
+        SELECT band, COUNT(*) AS n_buckets,
+               CAST(SUM(CASE WHEN bucket_size > 1 THEN bucket_size ELSE 0 END) AS BIGINT) AS colliding_docs,
+               MAX(bucket_size) AS max_bucket
+        FROM buckets
+        GROUP BY band
+        ORDER BY band"""),
+      doc = "MinHash signatures + LSH band buckets (north-star)"),
+
+    // ---------------------------------------------------------------- q36
+    // SimHash: 16-bit fingerprint from md5-nibble votes over the token
+    // set (bit i set iff Σ_tokens ±1 ≥ 0, +1 when hex nibble i ≥ 8).
+    "q36_simhash" -> NamedQuery(
+      fn = (s, d) => {
+        val toks = docTokens(s, d).withColumn("h", md5(col("tok")))
+        val aggs = (0 until 16).map { i =>
+          sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1)).as(s"s$i")
+        }
+        val bits = (0 until 16).map(i => when(col(s"s$i") >= 0, "1").otherwise("0"))
+        toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+          .withColumn("simhash", concat(bits: _*))
+          .select("doc_id", "simhash")
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val sums = (0 until 16).map(i =>
+          s"CAST(SUM(CASE WHEN substring(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s$i")
+          .mkString(",\n                 ")
+        val bits = (0 until 16).map(i => s"CASE WHEN s$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents),
+        h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        sums AS (
+          SELECT doc_id,
+                 $sums
+          FROM h GROUP BY doc_id)
+        SELECT doc_id, $bits AS simhash
+        FROM sums
+        ORDER BY doc_id"""
+      },
+      doc = "16-bit SimHash fingerprint (north-star)")
+  )
+}

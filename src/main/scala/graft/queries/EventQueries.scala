@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.ops.RelationalOps
+
+/** Event-stream shapes (SURVEY.md §2.B8/J) over the `events` table —
+  * the tracking-event analog (FIXTURES.md role mapping). `ts` is read as
+  * epoch-nanos LongType (see [[graft.Tables.events]]); all time math is
+  * exact integer arithmetic so the DuckDB oracle (`epoch_ns`) matches
+  * exactly.
+  */
+object EventQueries extends QueryModule {
+
+  private val SessionGapUs = 30L * 60 * 1000 * 1000 // 30 min in μs
+  private val HourUs = 3600L * 1000 * 1000
+
+  def queries: Seq[(String, NamedQuery)] = Seq(
+
+    // ---------------------------------------------------------------- q11
+    // B8/B11/B12 (Tutorial.R:138-142,192; all coverages.R:355-357):
+    // IN-list event filter + exclusive range filter + null filter.
+    "q11_event_filters" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase", "error"))
+          .filter(col("value") > 50.0 && col("value") < 500.0)
+          .filter(col("props").isNotNull)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+          .withColumn("avg_value", col("sum_value") / col("n_events"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        FROM events
+        WHERE event_type IN ('click','purchase','error')
+          AND value > 50.0 AND value < 500.0
+          AND props IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      doc = "B8/B11/B12 event filters (Tutorial.R:138-142,192)"),
+
+    // ---------------------------------------------------------------- q17
+    // D7/B14 (Tutorial.R:173-179): grouped indicator window — keep only
+    // groups containing a distinguished row ("football in play" →
+    // "user has an error event").
+    "q17_group_indicator" -> NamedQuery(
+      fn = (s, d) => {
+        RelationalOps.groupIndicator(
+          Seq("user_id"), col("event_type") === "error", "has_error")(Tables.events(s, d))
+          .filter(col("has_error"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'error')
+        GROUP BY user_id
+        ORDER BY user_id"""),
+      doc = "D7/B14 grouped indicator + filter (Tutorial.R:173-179)"),
+
+    // ---------------------------------------------------------------- q21
+    // Sessionization (§2.E lag extension; the scalable form of the
+    // reference's per-play frame grouping): 30-min-gap sessions via
+    // lag + running sum, all exact integer ns math.
+    "q21_sessionize" -> NamedQuery(
+      fn = (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+          .orderBy("user_id", "session_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+          FROM events),
+        m AS (
+          SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > ${30L * 60 * 1000 * 1000} THEN 1 ELSE 0 END AS new_session
+          FROM t),
+        sid AS (
+          SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM m)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MAX(ts_us) - MIN(ts_us) AS span_us
+        FROM sid
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""),
+      doc = "lag+running-sum sessionization (§2.E extension)"),
+
+    // ---------------------------------------------------------------- q22
+    // Tumbling event-time windows, batch form of SURVEY.md §2.J: exact
+    // integer-division hour buckets.
+    "q22_hourly_windows" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.events(s, d)
+          .withColumn("hour_bucket", expr(s"ts_us div ${HourUs}L"))
+          .groupBy("hour_bucket")
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+          .orderBy("hour_bucket")
+      },
+      oracle = Some(s"""
+        SELECT epoch_us(ts) // ${HourUs} AS hour_bucket,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
+        ORDER BY 1"""),
+      doc = "tumbling hour windows, batch form (§2.J)"),
+
+    // ---------------------------------------------------------------- q23
+    // JSON extraction (§2.I extension for the events props column).
+    "q23_json_extract" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .filter(col("k").isNotNull)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+        FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        WHERE k IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      doc = "JSON props extraction (§2.I extension)")
+  )
+}

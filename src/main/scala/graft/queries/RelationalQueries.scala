@@ -1,0 +1,398 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+import graft.ops.RelationalOps
+
+/** Relational operator coverage (SURVEY.md §2 classes A-H, F-G) expressed
+  * over the driver's TPC-H-ish tables. Each query name carries the §2 op
+  * ids it exercises; the reference citation is in the NamedQuery doc.
+  */
+object RelationalQueries extends QueryModule {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  def queries: Seq[(String, NamedQuery)] = Seq(
+
+    // ---------------------------------------------------------------- q01
+    // D1/D2 (all coverages.R:319-322): grouped sums/means/counts — the
+    // reference's `group_by %>% summarize` shape at TPC-H Q1 scale.
+    "q01_pricing_summary" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      doc = "D1/D2 grouped aggregation (all coverages.R:319-322)"),
+
+    // ---------------------------------------------------------------- q02
+    // C1/C2 (Tutorial.R:44-52,129-136): dim-chain equi-joins, dims
+    // broadcast — plays⋈games⋈tracking transposed to the star schema.
+    "q02_region_revenue" -> NamedQuery(
+      fn = (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = broadcast(Tables.customer(s, d))
+        val n = broadcast(Tables.nation(s, d))
+        val r = broadcast(Tables.region(s, d))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount"))))
+              .cast("double").as("revenue"))
+          .orderBy("r_name")
+      },
+      oracle = Some("""
+        SELECT r_name, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name"""),
+      doc = "C1/C2 star joins w/ broadcast dims (Tutorial.R:44-52)"),
+
+    // ---------------------------------------------------------------- q03
+    // B2/B3 (Tutorial.R:148-166; Field Control.R:38-42): multi-branch
+    // conditional projection + date part extraction.
+    "q03_priority_year" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.orders(s, d)
+          .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+          .withColumn("urgency",
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+              .when(col("o_orderpriority") === "3-MEDIUM", "warm")
+              .otherwise("cold"))
+          .groupBy("order_year", "urgency")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+          .orderBy("order_year", "urgency")
+      },
+      oracle = Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hot'
+                    WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+                    ELSE 'cold' END AS urgency,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      doc = "B2/B3 case_when projection (Tutorial.R:148-166)"),
+
+    // ---------------------------------------------------------------- q04
+    // E1 (all coverages.R:288-290): row_number per group with pinned
+    // deterministic tie-break; F2 top-k.
+    "q04_topk_per_group" -> NamedQuery(
+      fn = (s, d) => {
+        RelationalOps.topKPerGroup(
+          Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)(Tables.orders(s, d))
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_custkey, o_orderkey"""),
+      doc = "E1/F2 top-k per group (all coverages.R:288-290)"),
+
+    // ---------------------------------------------------------------- q05
+    // D8/E3 (Tutorial.R:182-186): attach a distinguished row's value to
+    // every group row via window conditional-max; B8 IN-list filter.
+    // Flagship: scan→filter→window→project (SURVEY.md §7.2 step 1).
+    "q05_anchor_window" -> NamedQuery(
+      fn = (s, d) => {
+        RelationalOps.attachAnchor(
+          Seq("l_orderkey"), col("l_linenumber") === 1,
+          Map("base_price" -> col("l_extendedprice")))(Tables.lineitem(s, d))
+          .filter(col("l_returnflag").isin("A", "N"))
+          .withColumn("delta", col("base_price") - col("l_extendedprice"))
+          .select("l_orderkey", "l_linenumber", "base_price", "delta")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, base_price, base_price - l_extendedprice AS delta
+        FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag,
+                     max(CASE WHEN l_linenumber = 1 THEN l_extendedprice END)
+                       OVER (PARTITION BY l_orderkey) AS base_price
+              FROM lineitem)
+        WHERE l_returnflag IN ('A','N')
+        ORDER BY l_orderkey, l_linenumber"""),
+      doc = "D8/E3 distinguished-row window attach (Tutorial.R:182-186)"),
+
+    // ---------------------------------------------------------------- q06
+    // C4 (Field Control.R:226-241): same semantics as q05 but as the
+    // reference's self-join-to-ball-row formulation.
+    "q06_anchor_selfjoin" -> NamedQuery(
+      fn = (s, d) => {
+        RelationalOps.attachAnchorJoin(
+          Seq("l_orderkey"), col("l_linenumber") === 1,
+          Map("base_price" -> col("l_extendedprice")))(Tables.lineitem(s, d))
+          .withColumn("price_ratio", col("l_extendedprice") / col("base_price"))
+          .select("l_orderkey", "l_linenumber", "price_ratio")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      oracle = Some("""
+        SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice / a.base_price AS price_ratio
+        FROM lineitem l
+        LEFT JOIN (SELECT l_orderkey, l_extendedprice AS base_price
+                   FROM lineitem WHERE l_linenumber = 1) a
+          ON l.l_orderkey = a.l_orderkey
+        ORDER BY l.l_orderkey, l.l_linenumber"""),
+      doc = "C4 self-join to distinguished row (Field Control.R:226-241)"),
+
+    // ---------------------------------------------------------------- q07
+    // D4 (all coverages.R:313-315): per-group mode with pinned tie-break
+    // (count desc, value desc).
+    "q07_mode_per_group" -> NamedQuery(
+      fn = (s, d) => {
+        val joined = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        RelationalOps.modeByGroup(Seq("o_orderpriority"), "l_returnflag", "mode_flag")(joined)
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT o_orderpriority, l_returnflag, COUNT(*) AS cnt
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   GROUP BY 1, 2)
+        SELECT o_orderpriority, l_returnflag AS mode_flag
+        FROM (SELECT o_orderpriority, l_returnflag,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY cnt DESC, l_returnflag DESC) AS rn
+              FROM c)
+        WHERE rn = 1
+        ORDER BY o_orderpriority"""),
+      doc = "D4 per-group mode, pinned ties (all coverages.R:313-315)"),
+
+    // ---------------------------------------------------------------- q08
+    // H1 (all coverages.R:186-188, 288-294): wide pivot with zero fill,
+    // `{measure}_{value}` naming.
+    "q08_pivot_status" -> NamedQuery(
+      fn = (s, d) => {
+        val p = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(dsum(col("l_quantity")))
+          .withColumnRenamed("F", "qty_F")
+          .withColumnRenamed("O", "qty_O")
+        p.na.fill(0.0, Seq("qty_F", "qty_O")).orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS qty_F,
+               COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS qty_O
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      doc = "H1 pivot_wider w/ values_fill=0 (all coverages.R:186-188)"),
+
+    // ---------------------------------------------------------------- q09
+    // G1/A3 (Tutorial.R:15-20): union-by-name of slice scans (the
+    // 17-weekly-file bind_rows), then aggregate.
+    "q09_union_by_name" -> NamedQuery(
+      fn = (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val a = li.filter(col("l_returnflag") === "A")
+        val n = li.filter(col("l_returnflag") === "N")
+        a.unionByName(n)
+          .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+          .groupBy("ship_year")
+          .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("ship_year")
+      },
+      oracle = Some("""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM (SELECT * FROM lineitem WHERE l_returnflag = 'A'
+              UNION ALL
+              SELECT * FROM lineitem WHERE l_returnflag = 'N')
+        GROUP BY 1
+        ORDER BY 1"""),
+      doc = "G1 unionByName of weekly slices (Tutorial.R:15-20)"),
+
+    // ---------------------------------------------------------------- q10
+    // D5/D6 (Field Control.R:211): count distinct per group.
+    "q10_count_distinct" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy("l_suppkey")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("l_suppkey")
+      },
+      oracle = Some("""
+        SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_suppkey
+        ORDER BY l_suppkey"""),
+      doc = "D5 count distinct (Field Control.R:211)"),
+
+    // ---------------------------------------------------------------- q12
+    // I9/I10/B10 (all coverages.R:141-148; Field Control.R:10-12):
+    // substring→cast, regexp_replace, trim, rlike predicate.
+    "q12_string_funcs" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.orders(s, d)
+          .filter(col("o_orderstatus").rlike("^[FO]$"))
+          .withColumn("prio_num", substring(trim(col("o_orderpriority")), 1, 1).cast("long"))
+          .withColumn("prio_name", regexp_replace(col("o_orderpriority"), "^[0-9]-", ""))
+          .groupBy("prio_num", "prio_name")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("prio_num", "prio_name")
+      },
+      oracle = Some("""
+        SELECT CAST(substring(trim(o_orderpriority), 1, 1) AS BIGINT) AS prio_num,
+               regexp_replace(o_orderpriority, '^[0-9]-', '') AS prio_name,
+               COUNT(*) AS n_orders
+        FROM orders
+        WHERE regexp_matches(o_orderstatus, '^[FO]$')
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      doc = "I9/I10/B10 string ops (all coverages.R:141-148)"),
+
+    // ---------------------------------------------------------------- q15
+    // F1/F2/E5 (Field Control.R:13-15): "7th biggest play" — global sort
+    // desc + positional slice.
+    "q15_seventh_order" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(7)
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").desc)
+          .limit(1)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                     row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders)
+        WHERE rn = 7"""),
+      doc = "F2/E5 sort-desc + slice(7) (Field Control.R:13-15)"),
+
+    // ---------------------------------------------------------------- q16
+    // B14-as-HAVING (Tutorial.R:176-179 flavor): filter on a grouped
+    // aggregate.
+    "q16_having_suppliers" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("n_lines") > 400)
+          .orderBy("l_suppkey")
+      },
+      oracle = Some("""
+        SELECT l_suppkey, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING COUNT(*) > 400
+        ORDER BY l_suppkey"""),
+      doc = "B14 filter on grouped aggregate (Tutorial.R:176-179)"),
+
+    // ---------------------------------------------------------------- q18
+    // Left-anti join (SURVEY.md §2.C extension row): customers with no
+    // orders.
+    "q18_anti_join" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""),
+      doc = "left-anti join (§2.C free extension)"),
+
+    // ---------------------------------------------------------------- q19
+    // Left-semi join + broadcast dim.
+    "q19_semi_join" -> NamedQuery(
+      fn = (s, d) => {
+        val n = broadcast(Tables.nation(s, d))
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM customer c
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY n_name
+        ORDER BY n_name"""),
+      doc = "left-semi join (§2.C free extension)"),
+
+    // ---------------------------------------------------------------- q20
+    // Rollup (§2.D free extension): subtotals over region→nation.
+    "q20_rollup_regions" -> NamedQuery(
+      fn = (s, d) => {
+        // SQL-API path (rollup via the DataFrame API trips Spark's
+        // ambiguous-self-join dataset-id check on the Expand node).
+        val c = Tables.customer(s, d)
+        val n = broadcast(Tables.nation(s, d))
+        val r = broadcast(Tables.region(s, d))
+        c.join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .select("r_name", "n_name", "c_acctbal")
+          .createOrReplaceTempView("q20_base")
+        s.sql("""
+          SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+                 COUNT(*) AS n_customers,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          FROM q20_base
+          GROUP BY ROLLUP(r_name, n_name)
+          ORDER BY region, nation""")
+      },
+      oracle = Some("""
+        SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY region, nation"""),
+      doc = "rollup subtotals (§2.D free extension)")
+  )
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.ops.RelationalOps
+
+/** Similarity search over the `embeddings` table (`array<float>`,
+  * builder-prompt north-star): brute-force cosine top-k as the baseline
+  * and hyperplane-LSH bucketing as the scale path. Dot products are
+  * higher-order-function folds over double-cast arrays (codegen'd, no
+  * UDFs); ranking keys round to 6 decimals first so last-ulp differences
+  * between JVM and libm can't flip the top-k selection.
+  *
+  * Scale posture: brute-force all-pairs (q37) is the *correctness
+  * baseline* only; the 100 TB path is q38's LSH bucketing — candidates
+  * only join within a bucket, so the shuffle is keyed and bounded.
+  */
+object SimilarityQueries extends QueryModule {
+
+  /** embeddings with double-cast array and L2 norm. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, x) -> a + x)")))
+
+  private val dotExpr =
+    "aggregate(zip_with(emb1, emb2, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+
+  def queries: Seq[(String, NamedQuery)] = Seq(
+
+    // ---------------------------------------------------------------- q37
+    // Brute-force cosine top-3 neighbors per vector (baseline ANN
+    // oracle; rank key = round(cos, 6) with vec-id tie-break).
+    "q37_cosine_topk" -> NamedQuery(
+      fn = (s, d) => {
+        val a = vecs(s, d).select(col("vec_id").as("v1"), col("emb").as("emb1"), col("nrm").as("n1"))
+        val b = vecs(s, d).select(col("vec_id").as("v2"), col("emb").as("emb2"), col("nrm").as("n2"))
+        val pairs = a.join(b, col("v1") =!= col("v2"))
+          .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 6))
+        RelationalOps.topKPerGroup(Seq("v1"), Seq(col("cos").desc, col("v2").asc), 3)(pairs)
+          .select("v1", "v2", "cos")
+          .orderBy("v1", "v2")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS v1, b.vec_id AS v2,
+                 round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos
+          FROM v a JOIN v b ON a.vec_id <> b.vec_id)
+        SELECT v1, v2, cos
+        FROM (SELECT v1, v2, cos,
+                     row_number() OVER (PARTITION BY v1 ORDER BY cos DESC, v2 ASC) AS rn
+              FROM pairs)
+        WHERE rn <= 3
+        ORDER BY v1, v2"""),
+      doc = "brute-force cosine top-k (north-star baseline)"),
+
+    // ---------------------------------------------------------------- q38
+    // Hyperplane LSH bucketing: 4 integer-weight pseudo-random planes
+    // (w[p][k] = (7k+3p) mod 11 − 5 — exact in both engines), bucket =
+    // sign bits; per-vector bucket + bucket occupancy.
+    "q38_lsh_buckets" -> NamedQuery(
+      fn = (s, d) => {
+        val base = vecs(s, d)
+        val withDots = (0 until 4).foldLeft(base) { (df, p) =>
+          df.withColumn(s"dot$p", expr(
+            s"aggregate(zip_with(emb, sequence(0, 63), (x, k) -> x * CAST((7*k + 3*$p) % 11 - 5 AS DOUBLE)), 0D, (a, x) -> a + x)"))
+        }
+        val bucketed = withDots.withColumn("bucket",
+          concat((0 until 4).map(p => when(col(s"dot$p") >= 0, "1").otherwise("0")): _*))
+        val sizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+        bucketed.join(broadcast(sizes), Seq("bucket"))
+          .select("vec_id", "bucket", "bucket_n")
+          .orderBy("vec_id")
+      },
+      oracle = Some {
+        val dots = (0 until 4).map(p =>
+          s"list_dot_product(emb, list_transform(range(0, 64), k -> CAST((7*k + 3*$p) % 11 - 5 AS DOUBLE))) AS dot$p")
+          .mkString(",\n                 ")
+        val bits = (0 until 4).map(p => s"CASE WHEN dot$p >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        dots AS (
+          SELECT vec_id,
+                 $dots
+          FROM v),
+        bucketed AS (SELECT vec_id, $bits AS bucket FROM dots),
+        sizes AS (SELECT bucket, COUNT(*) AS bucket_n FROM bucketed GROUP BY 1)
+        SELECT vec_id, bucket, bucket_n
+        FROM bucketed JOIN sizes USING (bucket)
+        ORDER BY vec_id"""
+      },
+      doc = "hyperplane LSH bucketing, the ANN scale path (north-star)"),
+
+    // ---------------------------------------------------------------- q39
+    // Embedding-cosine near-dup: pair counts per label pair above a
+    // cosine threshold (clusters share labels in the testdata).
+    "q39_neardup_pairs" -> NamedQuery(
+      fn = (s, d) => {
+        val a = vecs(s, d).select(col("vec_id").as("v1"), col("label").as("label_a"),
+          col("emb").as("emb1"), col("nrm").as("n1"))
+        val b = vecs(s, d).select(col("vec_id").as("v2"), col("label").as("label_b"),
+          col("emb").as("emb2"), col("nrm").as("n2"))
+        a.join(b, col("v1") < col("v2"))
+          .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 6))
+          .filter(col("cos") >= 0.9)
+          .groupBy("label_a", "label_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("label_a", "label_b")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        pairs AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos
+          FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        SELECT label_a, label_b, COUNT(*) AS n_pairs
+        FROM pairs
+        WHERE cos >= 0.9
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      doc = "embedding-cosine near-dup pair counts (north-star)")
+  )
+}
