@@ -4,14 +4,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
+import graft.expr.GraftFunctions
 import graft.ops.RelationalOps
 
 /** Similarity search over the `embeddings` table (`array<float>`,
   * builder-prompt north-star): brute-force cosine top-k as the baseline
-  * and hyperplane-LSH bucketing as the scale path. Dot products are
-  * higher-order-function folds over double-cast arrays (codegen'd, no
-  * UDFs); ranking keys round to 6 decimals first so last-ulp differences
-  * between JVM and libm can't flip the top-k selection.
+  * and hyperplane-LSH bucketing as the scale path. Dot products use the
+  * native codegen'd [[graft.expr.FloatVecDot]] expression (no per-row
+  * array allocation; float widens to double exactly, matching DuckDB's
+  * `list_dot_product(CAST(.. AS DOUBLE[]), ..)`). Ranking keys round to
+  * 6 decimals first so last-ulp differences can't flip the top-k
+  * selection.
   *
   * Scale posture: brute-force all-pairs (q37) is the *correctness
   * baseline* only; the 100 TB path is q38's LSH bucketing — candidates
@@ -19,16 +22,21 @@ import graft.ops.RelationalOps
   */
 object SimilarityQueries extends QueryModule {
 
-  /** embeddings with double-cast array and L2 norm. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** embeddings with L2 norm (float array kept as-is for vec_dot). */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, x) -> a + x)")))
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+  }
 
-  private val dotExpr =
-    "aggregate(zip_with(emb1, emb2, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+  /** Integer-weight pseudo-random hyperplane p as a float-array literal:
+    * w[p][k] = (7k + 3p) mod 11 − 5 (exactly representable in float, so
+    * Spark and the DuckDB oracle agree bit-for-bit).
+    */
+  private def planeDotSql(p: Int): String = {
+    val ws = (0 until 64).map(k => s"CAST(${(7 * k + 3 * p) % 11 - 5} AS FLOAT)").mkString(",")
+    s"vec_dot(embedding, array($ws))"
+  }
 
   def queries: Seq[(String, NamedQuery)] = Seq(
 
@@ -37,10 +45,10 @@ object SimilarityQueries extends QueryModule {
     // oracle; rank key = round(cos, 6) with vec-id tie-break).
     "q37_cosine_topk" -> NamedQuery(
       fn = (s, d) => {
-        val a = vecs(s, d).select(col("vec_id").as("v1"), col("emb").as("emb1"), col("nrm").as("n1"))
-        val b = vecs(s, d).select(col("vec_id").as("v2"), col("emb").as("emb2"), col("nrm").as("n2"))
+        val a = vecs(s, d).select(col("vec_id").as("v1"), col("embedding").as("emb1"), col("nrm").as("n1"))
+        val b = vecs(s, d).select(col("vec_id").as("v2"), col("embedding").as("emb2"), col("nrm").as("n2"))
         val pairs = a.join(b, col("v1") =!= col("v2"))
-          .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 6))
+          .withColumn("cos", round(expr("vec_dot(emb1, emb2)") / (col("n1") * col("n2")), 6))
         RelationalOps.topKPerGroup(Seq("v1"), Seq(col("cos").desc, col("v2").asc), 3)(pairs)
           .select("v1", "v2", "cos")
           .orderBy("v1", "v2")
@@ -60,18 +68,16 @@ object SimilarityQueries extends QueryModule {
               FROM pairs)
         WHERE rn <= 3
         ORDER BY v1, v2"""),
-      doc = "brute-force cosine top-k (north-star baseline)"),
+      doc = "brute-force cosine top-k via native vec_dot (north-star baseline)"),
 
     // ---------------------------------------------------------------- q38
-    // Hyperplane LSH bucketing: 4 integer-weight pseudo-random planes
-    // (w[p][k] = (7k+3p) mod 11 − 5 — exact in both engines), bucket =
-    // sign bits; per-vector bucket + bucket occupancy.
+    // Hyperplane LSH bucketing: 4 integer-weight pseudo-random planes,
+    // bucket = sign bits; per-vector bucket + bucket occupancy.
     "q38_lsh_buckets" -> NamedQuery(
       fn = (s, d) => {
         val base = vecs(s, d)
         val withDots = (0 until 4).foldLeft(base) { (df, p) =>
-          df.withColumn(s"dot$p", expr(
-            s"aggregate(zip_with(emb, sequence(0, 63), (x, k) -> x * CAST((7*k + 3*$p) % 11 - 5 AS DOUBLE)), 0D, (a, x) -> a + x)"))
+          df.withColumn(s"dot$p", expr(planeDotSql(p)))
         }
         val bucketed = withDots.withColumn("bucket",
           concat((0 until 4).map(p => when(col(s"dot$p") >= 0, "1").otherwise("0")): _*))
@@ -106,11 +112,11 @@ object SimilarityQueries extends QueryModule {
     "q39_neardup_pairs" -> NamedQuery(
       fn = (s, d) => {
         val a = vecs(s, d).select(col("vec_id").as("v1"), col("label").as("label_a"),
-          col("emb").as("emb1"), col("nrm").as("n1"))
+          col("embedding").as("emb1"), col("nrm").as("n1"))
         val b = vecs(s, d).select(col("vec_id").as("v2"), col("label").as("label_b"),
-          col("emb").as("emb2"), col("nrm").as("n2"))
+          col("embedding").as("emb2"), col("nrm").as("n2"))
         a.join(b, col("v1") < col("v2"))
-          .withColumn("cos", round(expr(dotExpr) / (col("n1") * col("n2")), 6))
+          .withColumn("cos", round(expr("vec_dot(emb1, emb2)") / (col("n1") * col("n2")), 6))
           .filter(col("cos") >= 0.9)
           .groupBy("label_a", "label_b")
           .agg(count(lit(1)).as("n_pairs"))
