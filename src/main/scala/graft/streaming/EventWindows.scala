@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** SURVEY.md §2.J: the engine's streaming surface over the `events`
+  * schema — an extension beyond reference parity (the reference is
+  * batch-only; `frameId` is its logical event-time). Exercises the same
+  * group-then-aggregate shapes as §2.D via Structured Streaming:
+  * watermarked tumbling/sliding windows and stateful sessionization with
+  * `flatMapGroupsWithState`.
+  *
+  * Scale posture: state is keyed by user/window — shards across
+  * executors; the watermark bounds state size (late data beyond 10 min
+  * is dropped), which is what makes this viable on an unbounded 100 TB
+  * stream.
+  */
+object EventWindows {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(count: Long, start: Long, last: Long)
+
+  final case class SessionOut(user_id: Long, n_events: Long, span_ms: Long)
+
+  /** Tumbling 1-minute event-time counts with a 10-minute watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 5-minute windows every minute. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n_events"))
+
+  /** Stateful sessionization: 30-min inactivity gap per user via
+    * `flatMapGroupsWithState` (the streaming analog of q21's batch
+    * lag+sum — same session semantics).
+    */
+  def sessionize(events: Dataset[Event])(implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.count, s.last - s.start))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var emitted = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(count = s.count + 1, last = t))
+                case Some(s) =>
+                  emitted ::= SessionOut(userId, s.count, s.last - s.start)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            emitted.reverseIterator
+          }
+      }
+  }
+}

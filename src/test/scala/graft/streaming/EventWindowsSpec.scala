@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EventWindowsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: OutputMode): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling 1-min windows count per event_type (J: windowed aggregation)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventWindows.Event]
+    input.addData(
+      EventWindows.Event(1, ts(0, 10), 1, "click", 1.0),
+      EventWindows.Event(2, ts(0, 40), 1, "click", 2.0),
+      EventWindows.Event(3, ts(1, 5), 2, "view", 3.0))
+    val out = runToMemory(
+      EventWindows.tumblingCounts(input.toDF()), "tumbling_out", OutputMode.Update)
+    val rows = out.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      (ts(0), "click", 2L),
+      (ts(1), "view", 1L)))
+  }
+
+  test("sliding windows assign events to every covering window (J)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventWindows.Event]
+    input.addData(EventWindows.Event(1, ts(10, 30), 7, "click", 1.0))
+    val out = runToMemory(
+      EventWindows.slidingCounts(input.toDF()), "sliding_out", OutputMode.Update)
+    // a single event falls into 5 sliding windows (5-min window, 1-min slide)
+    assert(out.count() === 5)
+  }
+
+  test("stateful sessionization closes a session on gap > 30 min (J: flatMapGroupsWithState)") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventWindows.Event]
+    // session 1: minutes 0-2 (3 events); then a 40-min gap → new session
+    input.addData(
+      EventWindows.Event(1, ts(0), 5, "click", 1.0),
+      EventWindows.Event(2, ts(1), 5, "click", 1.0),
+      EventWindows.Event(3, ts(2), 5, "view", 1.0))
+    val sessions = EventWindows.sessionize(input.toDS())
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_out").start()
+    input.addData(EventWindows.Event(4, Timestamp.valueOf("2024-01-01 10:42:00"), 5, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions_out").as[EventWindows.SessionOut].collect()
+    // the first session (3 events, 2-min span) must have been emitted
+    assert(rows.exists(r => r.user_id == 5 && r.n_events == 3 && r.span_ms == 2 * 60 * 1000))
+  }
+}
