@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Remaining SURVEY.md §2 inventory rows not already covered:
+  * B13 arithmetic predicate, I7 negative-scale round, D9/Q7 computed
+  * ratio, E4 first-frame-per-group, F3 seeded sample, F4 seeded split
+  * (the last two excluded from the oracle by design — §5.1).
+  */
+object CoverageGapQueries extends QueryModule {
+
+  def queries: Seq[(String, NamedQuery)] = Seq(
+
+    // ---------------------------------------------------------------- q24
+    // B13 (Tutorial.R:67-68) + I7 (Tutorial.R:62-63) + I8: the hash-mark
+    // arithmetic-predicate filter and round-to-tens bucketing.
+    "q24_hash_rows" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(!(floor(col("l_quantity") % 5.0) === 0.0))
+          .withColumn("qty_bucket", round(col("l_quantity"), -1))
+          .groupBy("qty_bucket")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+          .orderBy("qty_bucket")
+      },
+      oracle = Some("""
+        SELECT round(l_quantity, -1) AS qty_bucket, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE NOT (floor(fmod(l_quantity, 5.0)) = 0.0)
+        GROUP BY 1
+        ORDER BY 1"""),
+      doc = "B13/I7/I8 arithmetic predicate + round(-1) (Tutorial.R:62-68)"),
+
+    // ---------------------------------------------------------------- q25
+    // D9 + quirk Q7 (all coverages.R:325-326): post-aggregation frequency
+    // ratio with the denominator COMPUTED from data (the reference
+    // hard-codes 14575).
+    "q25_freq_ratio" -> NamedQuery(
+      fn = (s, d) => {
+        val counted = Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+        counted
+          .withColumn("freq", col("n_orders").cast("double") /
+            sum(col("n_orders")).over(Window.partitionBy()))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS freq
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      doc = "D9/Q7 computed frequency denominator (all coverages.R:325-326)"),
+
+    // ---------------------------------------------------------------- q28
+    // E4 (Tutorial.R:194-195, the reference's commented-out variant):
+    // first frame per group — rows at the group's min event time.
+    "q28_first_event" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.events(s, d)
+          .withColumn("min_ts", min(col("ts_us")).over(Window.partitionBy("user_id")))
+          .filter(col("ts_us") === col("min_ts"))
+          .select("user_id", "event_id", "event_type")
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        SELECT user_id, event_id, event_type
+        FROM (SELECT user_id, event_id, event_type,
+                     epoch_us(ts) AS ts_us,
+                     min(epoch_us(ts)) OVER (PARTITION BY user_id) AS min_ts
+              FROM events)
+        WHERE ts_us = min_ts
+        ORDER BY user_id, event_id"""),
+      doc = "E4 first-frame-per-group filter (Tutorial.R:194-195)"),
+
+    // ---------------------------------------------------------------- q26
+    // F3 (Tutorial.R:36-40): seeded random sample — deterministic for a
+    // fixed Spark seed+partitioning but NOT reproducible in DuckDB, so
+    // no oracle (driver records rows-only — SURVEY.md §5.1).
+    "q26_seeded_sample" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.orders(s, d)
+          .orderBy(rand(123), col("o_orderkey"))
+          .limit(10)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      oracle = None,
+      doc = "F3 seeded sample_n (Tutorial.R:36-40); oracle-excluded"),
+
+    // ---------------------------------------------------------------- q27
+    // F4 (all coverages.R:192-199): seeded 75/25 split — statistical, not
+    // row-identical across engines; no oracle.
+    "q27_random_split" -> NamedQuery(
+      fn = (s, d) => {
+        import s.implicits._
+        val Array(train, test) = Tables.orders(s, d).randomSplit(Array(0.75, 0.25), seed = 123L)
+        Seq(("train", train.count()), ("test", test.count()))
+          .toDF("split", "n_rows").orderBy("split")
+      },
+      oracle = None,
+      doc = "F4 seeded randomSplit (all coverages.R:192-199); oracle-excluded")
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests (SURVEY.md §4): the physical plans that
+  * make these queries scale must survive refactors — broadcast joins for
+  * dims and grids, pushed filters + pruned scans, window top-k pushdown.
+  * Asserting on plan text is deliberate: a silent fallback to
+  * sort-merge-join or a full-column scan is a perf bug at 100 TB even
+  * when results stay correct.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02 joins all four dims as broadcast-hash, scans prune to needed columns") {
+    val p = plan("q02_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 4)
+    assert(!p.contains("SortMergeJoin"))
+    // lineitem scan reads only the 3 needed columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("q05 computes the anchor in a single window shuffle over a pruned scan") {
+    val p = plan("q05_anchor_window")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_returnflag:string>"))
+  }
+
+  test("q13 kinematics stays one fused projection chain (no shuffle before sort)") {
+    val p = plan("q13_kinematics")
+    assert(!p.contains("hashpartitioning"))
+    assert(p.contains("FileScan parquet"))
+  }
+
+  test("q37 top-k gets WindowGroupLimit pushdown (partial top-k before shuffle)") {
+    val p = plan("q37_cosine_topk")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("vec_dot")) // native expression survived planning
+  }
+
+  test("q14 broadcasts the field grid (never shuffles the fan-out side)") {
+    val p = plan("q14_field_control")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"))
+    // partial aggregation happens before the only exchange
+    assert(p.indexOf("partial_sum") > 0)
+  }
+
+  test("filters reach the parquet scan (predicate pushdown)") {
+    val p = plan("q11_event_filters")
+    assert(p.contains("PushedFilters:") && p.contains("In(event_type"))
+  }
+}
