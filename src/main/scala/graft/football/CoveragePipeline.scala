@@ -71,6 +71,21 @@ object CoveragePipeline {
       Kinematics.dist(col("x"), col("y"), col("xFootball"), col("yFootball")))
   }
 
+  /** F2/F5 (Field Control.R:9-23, 138-144): pick the k-th biggest play
+    * matching a description regex and pull its scalars to the driver.
+    * The ONLY collect in the engine — it is bounded (one row) by
+    * construction and drives downstream plan literals, exactly the
+    * reference's pattern (SURVEY.md §7.4 scale posture).
+    */
+  def selectPlay(plays: DataFrame, descRegex: String, k: Int): Option[org.apache.spark.sql.Row] = {
+    val ranked = plays
+      .filter(col("playDescription").rlike(descRegex))
+      .orderBy(col("offensePlayResult").desc, col("playId").asc)
+      .limit(k)
+    val rows = ranked.tail(1)
+    rows.headOption
+  }
+
   /** §3.3 stage 1 (all coverages.R:118-127): line of scrimmage = ball x
     * at frame 1, attached per play (matching-scope join — Q2 pinned),
     * then distance features.

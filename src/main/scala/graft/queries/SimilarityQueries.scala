@@ -136,6 +136,67 @@ object SimilarityQueries extends QueryModule {
         WHERE cos >= 0.9
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
-      doc = "embedding-cosine near-dup pair counts (north-star)")
+      doc = "embedding-cosine near-dup pair counts (north-star)"),
+
+    // ---------------------------------------------------------------- q40
+    // IVF-style ANN: coarse-quantize every vector to its nearest of 8
+    // deterministic centroids (the 8 lowest vec_ids — a real IVF would
+    // k-means these; the *plan shape* is identical: broadcast centroids,
+    // assign, then search only within the cell), then top-1 neighbor
+    // within each cell. The inner search joins on the cell key — the
+    // shuffle is bucketed, never all-pairs.
+    "q40_ivf_ann" -> NamedQuery(
+      fn = (s, d) => {
+        val v = vecs(s, d)
+        val cents = v.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"), col("nrm").as("cent_nrm"))
+        // assign: nearest centroid by rounded cosine, ties to lowest cent_id
+        val assigned = RelationalOps.topKPerGroup(
+          Seq("vec_id"), Seq(col("cent_cos").desc, col("cent_id").asc), 1)(
+          v.crossJoin(broadcast(cents))
+            .withColumn("cent_cos",
+              round(expr("vec_dot(embedding, cent_emb)") / (col("nrm") * col("cent_nrm")), 6)))
+          .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
+        // search within cell
+        val a = assigned.select(col("cell"), col("vec_id").as("v1"), col("embedding").as("emb1"), col("nrm").as("n1"))
+        val b = assigned.select(col("cell"), col("vec_id").as("v2"), col("embedding").as("emb2"), col("nrm").as("n2"))
+        val pairs = a.join(b, Seq("cell")).filter(col("v1") =!= col("v2"))
+          .withColumn("cos", round(expr("vec_dot(emb1, emb2)") / (col("n1") * col("n2")), 6))
+        val nn = RelationalOps.topKPerGroup(Seq("v1"), Seq(col("cos").desc, col("v2").asc), 1)(pairs)
+          .select(col("v1").as("vec_id"), col("v2").as("nn_id"), col("cos").as("nn_cos"))
+        assigned.select("vec_id", "cell")
+          .join(nn, Seq("vec_id"), "left")
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+          FROM v ORDER BY vec_id LIMIT 8),
+        assigned AS (
+          SELECT vec_id, cell, emb, nrm
+          FROM (SELECT v.vec_id, c.cent_id AS cell, v.emb, v.nrm,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY round(list_dot_product(v.emb, c.cent_emb) / (v.nrm * c.cent_nrm), 6) DESC,
+                                  c.cent_id ASC) AS rn
+                FROM v CROSS JOIN cents c)
+          WHERE rn = 1),
+        pairs AS (
+          SELECT a.vec_id AS v1, b.vec_id AS v2,
+                 round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos
+          FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        nn AS (
+          SELECT v1 AS vec_id, v2 AS nn_id, cos AS nn_cos
+          FROM (SELECT v1, v2, cos,
+                       row_number() OVER (PARTITION BY v1 ORDER BY cos DESC, v2 ASC) AS rn
+                FROM pairs)
+          WHERE rn = 1)
+        SELECT a.vec_id, a.cell, nn.nn_id, nn.nn_cos
+        FROM assigned a LEFT JOIN nn ON a.vec_id = nn.vec_id
+        ORDER BY a.vec_id"""),
+      doc = "IVF-style ANN: broadcast centroids, bucketed in-cell search (north-star scale path)")
   )
 }

@@ -56,6 +56,13 @@ class CoveragePipelineSpec extends AnyFunSuite {
     assert(math.abs(los10.head.getDouble(0) - 22.0) < 1e-12) // standardized frame-1 ball x
   }
 
+  test("selectPlay pulls the k-th biggest matching play as driver scalars (F2/F5)") {
+    val play = CoveragePipeline.selectPlay(FootballFixtures.plays(spark), ".", 2)
+    assert(play.isDefined)
+    // all plays match; results 30, 12, 3 → 2nd biggest is 12
+    assert(play.get.getAs[Int]("offensePlayResult") === 12)
+  }
+
   test("withPersonnel parses the N DL, N LB, N DB layout (§3.3 stage 2)") {
     val p = CoveragePipeline.withPersonnel(FootballFixtures.plays(spark))
       .filter(col("playId") === 10).select("n_dl", "n_lb", "n_db").head()
