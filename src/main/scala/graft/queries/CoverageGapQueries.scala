@@ -81,6 +81,32 @@ object CoverageGapQueries extends QueryModule {
         ORDER BY user_id, event_id"""),
       doc = "E4 first-frame-per-group filter (Tutorial.R:194-195)"),
 
+    // ---------------------------------------------------------------- q41
+    // K5 (all coverages.R:358-371): the per-class density ridge as its
+    // data layer — fixed-width binned histogram per group (the plot sink
+    // itself is out of engine scope, SURVEY.md §2.A6). Range filter B11
+    // included (the reference trims epa to (-2,2); we trim value).
+    "q41_density_bins" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.events(s, d)
+          .filter(col("value") > 0.0 && col("value") < 400.0)
+          .withColumn("bin", floor(col("value") / 25.0).cast("long"))
+          .groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("density",
+            col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy("event_type")))
+          .orderBy("event_type", "bin")
+      },
+      oracle = Some("""
+        SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin, COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS density
+        FROM events
+        WHERE value > 0.0 AND value < 400.0
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      doc = "K5 density-ridge data layer: per-group histogram (all coverages.R:358-371)"),
+
     // ---------------------------------------------------------------- q26
     // F3 (Tutorial.R:36-40): seeded random sample — deterministic for a
     // fixed Spark seed+partitioning but NOT reproducible in DuckDB, so

@@ -49,6 +49,31 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(out.count() === 5)
   }
 
+  test("file-source streaming: the events parquet drives the same windowed plan (J)") {
+    import org.apache.spark.sql.functions._
+    // readStream needs a directory: stage the sf0.001 events file into one
+    val dir = java.nio.file.Paths.get("target", "stream-events")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(dir.toString).schema // ts arrives as nanos long
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("ts", "event_type", "value")
+    val counted = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = counted.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("file_stream_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val total = spark.table("file_stream_out").agg(sum(col("n"))).head().getLong(0)
+    assert(total === 1000L) // every event landed in exactly one window
+  }
+
   test("stateful sessionization closes a session on gap > 30 min (J: flatMapGroupsWithState)") {
     import spark.implicits._
     implicit val s = spark
