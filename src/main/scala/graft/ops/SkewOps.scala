@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities (SURVEY.md §4 scale posture). AQE's skew-join
+  * split handles join-side skew automatically; these cover the
+  * aggregation side: a hot group key (e.g. one viral gameId/playId, one
+  * dominant token in dedup) funnels its whole partition through one
+  * task. Salting splits the hot key across `saltBuckets` tasks and
+  * recombines — the classic two-phase aggregate.
+  */
+object SkewOps {
+
+  /** Two-phase salted sum/count: phase 1 aggregates (key, salt) partials
+    * across `saltBuckets` tasks, phase 2 combines per key. Results are
+    * identical to a direct groupBy (sums of longs/decimals are
+    * order-independent; doubles would be salted identically by Spark's
+    * own partial aggregation anyway).
+    */
+  def saltedAgg(keys: Seq[String], saltBuckets: Int, aggs: Map[String, Column])(df: DataFrame): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__cnt"), aggs.map { case (n, c) => sum(c).as(s"__sum_$n") }.toSeq: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__cnt")).as("n_rows"),
+        aggs.keys.map(n => sum(col(s"__sum_$n")).as(n)).toSeq: _*)
+  }
+}
