@@ -47,13 +47,15 @@ object SimilarityQueries extends QueryModule {
       fn = (s, d) => {
         val a = vecs(s, d).select(col("vec_id").as("v1"), col("embedding").as("emb1"), col("nrm").as("n1"))
         val b = vecs(s, d).select(col("vec_id").as("v2"), col("embedding").as("emb2"), col("nrm").as("n2"))
-        // compute each dot once on the upper triangle, mirror for the
-        // per-v1 ranking (cos is symmetric) — halves the dominant cost
-        val upper = a.join(b, col("v1") < col("v2"))
+        // compute each dot once on the upper triangle, then explode the
+        // mirrored pair (cos is symmetric) — halves the dominant cost in
+        // a single pass (a union of the same plan would recompute it)
+        val pairs = a.join(b, col("v1") < col("v2"))
           .withColumn("cos", round(expr("vec_dot(emb1, emb2)") / (col("n1") * col("n2")), 6))
-          .select("v1", "v2", "cos")
-        val pairs = upper.unionByName(
-          upper.select(col("v2").as("v1"), col("v1").as("v2"), col("cos")))
+          .select(explode(array(
+            struct(col("v1"), col("v2"), col("cos")),
+            struct(col("v2").as("v1"), col("v1").as("v2"), col("cos")))).as("p"))
+          .select("p.*")
         RelationalOps.topKPerGroup(Seq("v1"), Seq(col("cos").desc, col("v2").asc), 3)(pairs)
           .select("v1", "v2", "cos")
           .orderBy("v1", "v2")
