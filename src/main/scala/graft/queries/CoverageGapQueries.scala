@@ -107,6 +107,50 @@ object CoverageGapQueries extends QueryModule {
         ORDER BY 1, 2"""),
       doc = "K5 density-ridge data layer: per-group histogram (all coverages.R:358-371)"),
 
+    // ---------------------------------------------------------------- q42
+    // Data-profiling surface (training-pipeline op): exact per-type null
+    // and distinct counts over a table — the pre-ingest audit a 100 TB
+    // corpus needs. Exact aggregates only, so it stays oracle-checked.
+    "q42_table_profile" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.events(s, d)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+            sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(col("event_type")).as("n_event_types"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))
+      },
+      oracle = Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT event_type) AS n_event_types,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events"""),
+      doc = "exact table profiling: nulls/distincts/ranges (north-star audit op)"),
+
+    // ---------------------------------------------------------------- q43
+    // Sketch profiling: HLL distinct + quantile sketches — the
+    // constant-memory forms of q42 for when exact countDistinct's
+    // shuffle is the bottleneck. Sketch internals differ across engines,
+    // so no oracle (rows-only check), but results are Spark-deterministic.
+    "q43_approx_sketches" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+            percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+          .orderBy("l_returnflag")
+      },
+      oracle = None,
+      doc = "HLL + quantile sketches (north-star, constant-memory profiling); oracle-excluded"),
+
     // ---------------------------------------------------------------- q26
     // F3 (Tutorial.R:36-40): seeded random sample — deterministic for a
     // fixed Spark seed+partitioning but NOT reproducible in DuckDB, so
