@@ -29,6 +29,17 @@ class ScaleTechniquesSpec extends AnyFunSuite {
 
   test("bucketed tables join without an exchange (co-located fact join)") {
     val wh = java.nio.file.Paths.get("target", "bucketing-test").toAbsolutePath
+    // idempotence: the metastore (fresh derby per JVM) forgets the tables
+    // but their directories survive — clear both before re-creating
+    spark.sql("DROP TABLE IF EXISTS graft_buckets.orders_b")
+    spark.sql("DROP TABLE IF EXISTS graft_buckets.lineitem_b")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    rm(wh)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$wh'")
     Tables.orders(spark, sf).write.mode("overwrite")
       .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
