@@ -132,6 +132,39 @@ object EventQueries extends QueryModule {
         ORDER BY 1"""),
       doc = "tumbling hour windows, batch form (§2.J)"),
 
+    // ---------------------------------------------------------------- q44
+    // As-of join, composed from built-ins (SURVEY.md §7.3 preference
+    // (a)): attach to each event the most recent STRICTLY PRIOR signup
+    // event of the same user — `last(when(...), ignoreNulls)` over a
+    // user-ordered window with an unbounded→-1 frame. One keyed shuffle;
+    // no custom operator machinery needed for these semantics.
+    "q44_asof_signup" -> NamedQuery(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("last_signup_ts",
+            last(when(col("event_type") === "signup", col("ts_us")), ignoreNulls = true).over(w))
+          .withColumn("last_signup_value",
+            last(when(col("event_type") === "signup", col("value")), ignoreNulls = true).over(w))
+          .withColumn("us_since_signup", col("ts_us") - col("last_signup_ts"))
+          .select("event_id", "user_id", "last_signup_value", "us_since_signup")
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, last_signup_value,
+               ts_us - last_signup_ts AS us_since_signup
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                     last_value(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_ts,
+                     last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_value
+              FROM events)
+        ORDER BY user_id, event_id"""),
+      doc = "as-of join from built-ins: last prior signup per user (§7.3(a))"),
+
     // ---------------------------------------------------------------- q23
     // JSON extraction (§2.I extension for the events props column).
     "q23_json_extract" -> NamedQuery(

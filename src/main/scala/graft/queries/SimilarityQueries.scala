@@ -204,6 +204,29 @@ object SimilarityQueries extends QueryModule {
         SELECT a.vec_id, a.cell, nn.nn_id, nn.nn_cos
         FROM assigned a LEFT JOIN nn ON a.vec_id = nn.vec_id
         ORDER BY a.vec_id"""),
-      doc = "IVF-style ANN: broadcast centroids, bucketed in-cell search (north-star scale path)")
+      doc = "IVF-style ANN: broadcast centroids, bucketed in-cell search (north-star scale path)"),
+
+    // ---------------------------------------------------------------- q45
+    // Centroid computation (the "training" step q40's quantizer stands
+    // in for): per-label mean embedding via posexplode → (label, pos)
+    // partial-aggregated avg. Output flattened to rows (label, pos, c) —
+    // the shuffle is keyed by (label, pos), O(labels × dims) bytes.
+    "q45_label_centroids" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(round(avg(col("v").cast("double")), 6).as("c"))
+          .withColumn("pos", col("pos").cast("long"))
+          .orderBy("label", "pos")
+      },
+      oracle = Some("""
+        SELECT label, CAST(k AS BIGINT) AS pos,
+               round(AVG(CAST(emb[k + 1] AS DOUBLE)), 6) AS c
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        CROSS JOIN generate_series(0, 63) g(k)
+        GROUP BY label, k
+        ORDER BY label, pos"""),
+      doc = "per-label mean embedding (IVF centroid training; north-star)")
   )
 }
