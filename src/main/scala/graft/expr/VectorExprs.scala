@@ -62,5 +62,9 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_pairs",
+      exprs => TopKPairs(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
+      "built-in")
   }
 }

@@ -56,8 +56,12 @@ object SimilarityQueries extends QueryModule {
             struct(col("v1"), col("v2"), col("cos")),
             struct(col("v2").as("v1"), col("v1").as("v2"), col("cos")))).as("p"))
           .select("p.*")
-        RelationalOps.topKPerGroup(Seq("v1"), Seq(col("cos").desc, col("v2").asc), 3)(pairs)
-          .select("v1", "v2", "cos")
+        // native top-k aggregate (graft.expr.TopKPairs): partial k-sized
+        // buffers instead of sorting all 4M pairs per partition
+        pairs.groupBy("v1")
+          .agg(expr("top_k_pairs(cos, v2, 3)").as("topk"))
+          .select(col("v1"), expr("inline(topk)"))
+          .select(col("v1"), col("payload").as("v2"), col("score").as("cos"))
           .orderBy("v1", "v2")
       },
       oracle = Some("""
