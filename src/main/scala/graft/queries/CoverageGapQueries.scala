@@ -165,6 +165,29 @@ object CoverageGapQueries extends QueryModule {
       oracle = None,
       doc = "F3 seeded sample_n (Tutorial.R:36-40); oracle-excluded"),
 
+    // ---------------------------------------------------------------- q46
+    // K1-K3 through the driver gate: seeded RF on an order-priority
+    // classification shaped like the coverage task (features → fit →
+    // score → confusion counts). Model internals are engine-specific →
+    // rows-only check; determinism within Spark is seed-pinned.
+    "q46_rf_confusion" -> NamedQuery(
+      fn = (s, d) => {
+        val labeled = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 0) // bound training cost at sf0.1
+          .select(
+            col("o_orderpriority").as("coverage"),
+            col("o_totalprice"),
+            year(col("o_orderdate")).cast("double").as("order_year"),
+            (col("o_custkey") % 100).cast("double").as("cust_bucket"))
+        val fitted = graft.ml.CoverageModel.fit(labeled, seed = 123L, numTrees = 10)
+        val scored = fitted.predict(labeled)
+        scored.groupBy("coverage", "predicted_coverage")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("coverage", "predicted_coverage")
+      },
+      oracle = None,
+      doc = "K1-K3 RF fit/score/confusion via spark.ml (rows-only check)"),
+
     // ---------------------------------------------------------------- q27
     // F4 (all coverages.R:192-199): seeded 75/25 split — statistical, not
     // row-identical across engines; no oracle.
