@@ -36,10 +36,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("FileScan parquet"))
   }
 
-  test("q37 top-k gets WindowGroupLimit pushdown (partial top-k before shuffle)") {
+  test("q37 top-k runs as partial+final native aggregate (k-sized buffers, no pair sort)") {
     val p = plan("q37_cosine_topk")
-    assert(p.contains("WindowGroupLimit"))
-    assert(p.contains("vec_dot")) // native expression survived planning
+    assert(p.contains("partial_top_k_pairs")) // TypedImperativeAggregate partials before the shuffle
+    assert(p.contains("vec_dot"))             // native expression survived planning
+    assert(!p.contains("WindowGroupLimit"))   // the old sort-the-pairs window formulation is gone
   }
 
   test("q14 broadcasts the field grid (never shuffles the fan-out side)") {
