@@ -15,7 +15,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries, MotionQueries, EventQueries, TextQueries,
-    DedupQueries, SimilarityQueries, CoverageGapQueries)
+    DedupQueries, SimilarityQueries, CoverageGapQueries, CorpusQueries)
 
   private lazy val all: Seq[(String, NamedQuery)] = modules.flatMap(_.queries)
 

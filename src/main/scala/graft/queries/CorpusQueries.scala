@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Corpus-preparation pipeline (builder-prompt north-star): cleaning,
+  * quality filtering, vocabulary, and the composed scale-path dedup —
+  * MinHash bands for candidate generation, exact Jaccard only on
+  * candidates (never all-pairs; SCALING.md "Dedup").
+  */
+object CorpusQueries extends QueryModule {
+
+  /** Cleaning expression shared by queries: strip URLs, emails, digits. */
+  private def cleanedCol(c: String) =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(col(c), "https?://\\S+", " "),
+        "\\S+@\\S+\\.\\S+", " "),
+      "[0-9]+", " ")
+
+  private val cleanedSql =
+    "regexp_replace(regexp_replace(regexp_replace(text, 'https?://\\S+', ' ', 'g'), '\\S+@\\S+\\.\\S+', ' ', 'g'), '[0-9]+', ' ', 'g')"
+
+  def queries: Seq[(String, NamedQuery)] = Seq(
+
+    // ---------------------------------------------------------------- q47
+    // Cleaning: URL/email/digit stripping with per-source removal stats.
+    "q47_text_clean" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("clean_len", length(trim(cleanedCol("text"))).cast("long"))
+          .withColumn("removed", (length(col("text")) - length(trim(cleanedCol("text")))).cast("long"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("clean_len")).as("total_clean_chars"),
+            sum(col("removed")).as("total_removed_chars"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(length(trim($cleanedSql))) AS BIGINT) AS total_clean_chars,
+               CAST(SUM(length(text) - length(trim($cleanedSql))) AS BIGINT) AS total_removed_chars
+        FROM documents
+        GROUP BY source
+        ORDER BY source"""),
+      doc = "corpus cleaning: URL/email/digit strip + removal stats (north-star)"),
+
+    // ---------------------------------------------------------------- q48
+    // Quality filter: the C4/Dolma-style keep/drop decision as a
+    // relational filter — length band, stopword ratio, mean token length.
+    "q48_quality_filter" -> NamedQuery(
+      fn = (s, d) => {
+        val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+        val stops = toks - size(split(trim(regexp_replace(
+          concat(lit(" "), col("text"), lit(" ")), " (the|a|of|and|to|in) ", " ")), "\\s+")).cast("long")
+        val avgLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / toks
+        Tables.documents(s, d)
+          .withColumn("n_tokens", toks)
+          .withColumn("stop_ratio", stops.cast("double") / toks)
+          .withColumn("avg_token_len", avgLen)
+          .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000)
+          .filter(col("stop_ratio") < 0.5)
+          .filter(col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0)
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("stop_ratio"), 6).as("stop_ratio"),
+            round(col("avg_token_len"), 6).as("avg_token_len"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    - len(regexp_split_to_array(trim(regexp_replace(' ' || text || ' ', ' (the|a|of|and|to|in) ', ' ', 'g')), '\s+')) AS BIGINT) AS n_stop,
+                 CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+               round(avg_token_len, 6) AS avg_token_len
+        FROM m
+        WHERE n_tokens BETWEEN 20 AND 1000
+          AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+          AND avg_token_len BETWEEN 2.0 AND 12.0
+        ORDER BY doc_id"""),
+      doc = "quality keep/drop filter: length, stopword ratio, token shape (north-star)"),
+
+    // ---------------------------------------------------------------- q49
+    // Vocabulary: global token frequencies, top-20 (ties pinned by token).
+    "q49_vocab_topk" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.documents(s, d)
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc)
+          .limit(20)
+      },
+      oracle = Some("""
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY n DESC, tok ASC
+        LIMIT 20"""),
+      doc = "token-frequency vocabulary top-k (north-star)"),
+
+    // ---------------------------------------------------------------- q50
+    // The composed scale-path dedup (SCALING.md): MinHash bands scoped by
+    // (lang, source) generate candidates; exact unigram Jaccard runs ONLY
+    // on candidates; report near-dups above 0.5. At 100 TB this is the
+    // pipeline — q34's all-pairs exact scan is only its recall baseline.
+    "q50_dedup_pipeline" -> NamedQuery(
+      fn = (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .distinct()
+        val seeds = s.range(8).select(col("id").as("seed"))
+        val sig = toks.crossJoin(broadcast(seeds))
+          .groupBy("doc_id", "lang", "source", "seed")
+          .agg(min(md5(concat(col("tok"), lit("#"), col("seed")))).as("mh"))
+        val bands = sig
+          .withColumn("band", expr("seed div 2"))
+          .groupBy("doc_id", "lang", "source", "band")
+          .agg(md5(concat(min(col("mh")), max(col("mh")))).as("band_hash"))
+        val b1 = bands.select(col("doc_id").as("d1"), col("lang"), col("source"), col("band"), col("band_hash"))
+        val b2 = bands.select(col("doc_id").as("d2"), col("lang"), col("source"), col("band"), col("band_hash"))
+        val candidates = b1.join(b2, Seq("lang", "source", "band", "band_hash"))
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val t1 = toks.select(col("doc_id").as("d1"), col("tok"))
+        val t2 = toks.select(col("doc_id").as("d2"), col("tok"))
+        val inter = candidates.join(t1, Seq("d1")).join(t2, Seq("d2", "tok"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+        inter
+          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+          .withColumn("jacc", round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6))
+          .filter(col("jacc") >= 0.5)
+          .select("d1", "d2", "jacc")
+          .orderBy("d1", "d2")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, lang, source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, lang, source, seed, min(md5(tok || '#' || seed)) AS mh
+          FROM toks CROSS JOIN generate_series(0, 7) s(seed)
+          GROUP BY 1, 2, 3, 4),
+        bands AS (
+          SELECT doc_id, lang, source, seed // 2 AS band,
+                 md5(min(mh) || max(mh)) AS band_hash
+          FROM sig
+          GROUP BY doc_id, lang, source, seed // 2),
+        candidates AS (
+          SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+          FROM bands b1 JOIN bands b2
+            ON b1.lang = b2.lang AND b1.source = b2.source
+           AND b1.band = b2.band AND b1.band_hash = b2.band_hash
+           AND b1.doc_id < b2.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        inter AS (
+          SELECT c.d1, c.d2, COUNT(*) AS cnt
+          FROM candidates c
+          JOIN toks t1 ON t1.doc_id = c.d1
+          JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+          GROUP BY 1, 2)
+        SELECT d1, d2,
+               round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) AS jacc
+        FROM inter
+        JOIN sizes n1 ON d1 = n1.doc_id
+        JOIN sizes n2 ON d2 = n2.doc_id
+        WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5
+        ORDER BY d1, d2"""),
+      doc = "composed dedup: LSH candidates -> exact Jaccard verify (north-star scale path)")
+  )
+}
