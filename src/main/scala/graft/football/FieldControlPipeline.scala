@@ -1,0 +1,46 @@
+package graft.football
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{FieldControl, Kinematics, Standardize}
+
+/** SURVEY.md §3.2 end-to-end: the reference's field-control model over a
+  * tracking play (Field Control.R:9-44, 223-378), composed from the ops
+  * library. The reference iterates `group_split` → `map_dfr`
+  * sequentially per player-frame; here the whole play (or season) is one
+  * declarative plan — kinematics project, grid crossJoin (broadcast),
+  * closed-form Gaussian, signed per-cell sum, sigmoid — fully
+  * partition-parallel over (frameId, player).
+  */
+object FieldControlPipeline {
+
+  /** Per-(frame, grid cell) control surface for the given tracking rows
+    * (players only — the `football` team rows are excluded, matching
+    * Field Control.R:230). `homeTeam` decides the sign flip
+    * (Field Control.R:363-367).
+    */
+  def playControl(spark: SparkSession, tracking: DataFrame,
+                  nx: Int = 120, ny: Int = 53): DataFrame = {
+    // ball position per frame for the radius model (C4/D8 pattern);
+    // football rows themselves don't project influence (Field Control.R:230)
+    val withBall = CoveragePipeline.withBall(Standardize.directionStandardize(tracking))
+      .filter(col("team") =!= "football")
+    val k = Kinematics.withProjection()(Kinematics.withVelocity(withBall))
+      .withColumn("dist_from_ball",
+        Kinematics.dist(col("x"), col("y"), col("xFootball"), col("yFootball")))
+      .withColumn("r", Kinematics.radiusOfInfluence(col("dist_from_ball")))
+      .withColumn("s_ratio_sq", pow(col("s") / Kinematics.MaxSpeed, 2)) // Field Control.R:252 uses squared ratio
+      .withColumn("sx", col("r") * (lit(1.0) + col("s_ratio_sq")) / 2.0)
+      .withColumn("sy", col("r") * (lit(1.0) - col("s_ratio_sq")) / 2.0)
+      .withColumn("sgn", when(col("team") === "home", 1.0).otherwise(-1.0))
+    val grid = FieldControl.fieldGrid(spark, nx, ny)
+    val infl = k.crossJoin(broadcast(grid))
+      .withColumn("influence", FieldControl.gaussianInfluence(
+        col("grid_x"), col("grid_y"), col("next_x"), col("next_y"),
+        col("v_theta"), col("sx"), col("sy")))
+    FieldControl.teamControl(
+      Seq("gameId", "playId", "frameId", "grid_x", "grid_y"),
+      col("influence"), col("sgn"))(infl)
+  }
+}
