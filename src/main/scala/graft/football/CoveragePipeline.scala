@@ -124,7 +124,7 @@ object CoveragePipeline {
       .filter(col("position").isin(DefensivePositions: _*))
       .filter(col("xFootball").isNotNull && col("yFootball").isNotNull)
     val measures = Seq("s", "a", "dis", "o", "dir", "dist_from_los", "dist_from_mid", "dist_from_ball")
-    RelationalOps.pivotWide(frameKeys, "position", DefensivePositions, measures)(
-      defenders.orderBy("nflId")) // deterministic first() per Q5
+    RelationalOps.pivotWide(frameKeys, "position", DefensivePositions, measures,
+      orderCol = "nflId")(defenders) // Q5 collisions pin to lowest nflId
   }
 }

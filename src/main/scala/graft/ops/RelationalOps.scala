@@ -80,12 +80,14 @@ object RelationalOps {
     * `{measure}_{name}` column naming and zero-fill, matching
     * `pivot_wider(names_from, values_from, values_fill = 0)`. Pivot
     * values are pinned (no global distinct scan) and collisions resolve
-    * by `first(measure)` over a deterministic sort — quirk Q5's silent
-    * list-columns become an explicit pinned choice.
+    * by `min_by(measure, orderCol)` — quirk Q5's silent list-columns
+    * become an explicit pinned choice that stays deterministic across
+    * shuffles and partition counts (`first()` would not: it takes
+    * partition processing order).
     */
   def pivotWide(keys: Seq[String], nameCol: String, names: Seq[String],
-                measures: Seq[String])(df: DataFrame): DataFrame = {
-    val aggCols = measures.map(m => first(col(m)).as(m))
+                measures: Seq[String], orderCol: String = "nflId")(df: DataFrame): DataFrame = {
+    val aggCols = measures.map(m => min_by(col(m), col(orderCol)).as(m))
     val pivoted = df.groupBy(keys.map(col): _*)
       .pivot(nameCol, names)
       .agg(aggCols.head, aggCols.tail: _*)

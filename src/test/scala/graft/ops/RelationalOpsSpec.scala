@@ -74,7 +74,18 @@ class RelationalOpsSpec extends AnyFunSuite {
     val row = wide.head()
     // FS absent from frame 3 → zero-filled, not null
     assert(row.getAs[Double]("s_FS") === 0.0)
-    // CB collision (two CBs) resolves to a single deterministic value
-    assert(Set(5.5, 3.0).contains(row.getAs[Double]("s_CB")))
+    // CB collision (two CBs) pins to the lowest nflId (101 → s=5.5)
+    assert(row.getAs[Double]("s_CB") === 5.5)
+  }
+
+  test("pivotWide collision pinning is stable across partition counts (Q5 at scale)") {
+    val arrived = tracking.filter(col("event") === "pass_arrived" && col("position").isNotNull)
+    val values = (1 to 7).map { n =>
+      RelationalOps.pivotWide(
+        Seq("gameId", "playId", "frameId"), "position", Seq("CB"), Seq("s"))(
+        arrived.repartition(n))
+        .head().getAs[Double]("s_CB")
+    }
+    assert(values.distinct === Seq(5.5))
   }
 }
