@@ -28,7 +28,8 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(gen) { rows =>
       rows.nonEmpty ==> {
         val df = rows.toDF("g", "position", "s")
-        val wide = RelationalOps.pivotWide(Seq("g"), "position", Seq("CB", "FS", "LB"), Seq("s"))(df)
+        val wide = RelationalOps.pivotWide(Seq("g"), "position", Seq("CB", "FS", "LB"), Seq("s"),
+          orderCol = "s")(df)
         wide.count() == rows.map(_._1).distinct.size
       }
     })
