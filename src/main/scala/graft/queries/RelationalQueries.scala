@@ -393,6 +393,62 @@ object RelationalQueries extends QueryModule {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP(r_name, n_name)
         ORDER BY region, nation"""),
-      doc = "rollup subtotals (§2.D free extension)")
+      doc = "rollup subtotals (§2.D free extension)"),
+
+    // ---------------------------------------------------------------- q51
+    // Unpivot/melt (§2.H free-extension row): wide measures → long
+    // (measure, value) pairs via stack, then aggregate per measure.
+    "q51_unpivot_measures" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            expr("stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) AS (measure, value)"))
+          .groupBy("measure")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("sum_value"))
+          .orderBy("measure")
+      },
+      oracle = Some("""
+        SELECT measure, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM (
+          SELECT l_orderkey, 'quantity' AS measure, l_quantity AS value FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, 'discount', l_discount FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, 'tax', l_tax FROM lineitem)
+        GROUP BY measure
+        ORDER BY measure"""),
+      doc = "unpivot via stack (§2.H free extension)"),
+
+    // ---------------------------------------------------------------- q52
+    // Set ops (§2.G free-extension row): customers active in 1997 but
+    // not 1998 (except), and in both (intersect).
+    "q52_set_ops" -> NamedQuery(
+      fn = (s, d) => {
+        val o = Tables.orders(s, d)
+        def custs(y: Int) =
+          o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+        val only97 = custs(1997).exceptAll(custs(1998)).distinct()
+          .withColumn("cohort", lit("only_1997"))
+        val both = custs(1997).intersect(custs(1998))
+          .withColumn("cohort", lit("both_years"))
+        only97.unionByName(both)
+          .groupBy("cohort")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("cohort")
+      },
+      oracle = Some("""
+        WITH c97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+             c98 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        SELECT cohort, COUNT(*) AS n_customers
+        FROM (
+          SELECT o_custkey, 'only_1997' AS cohort FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c98)
+          UNION ALL
+          SELECT o_custkey, 'both_years' FROM (SELECT * FROM c97 INTERSECT SELECT * FROM c98))
+        GROUP BY cohort
+        ORDER BY cohort"""),
+      doc = "except/intersect cohorts (§2.G free extension)")
   )
 }
