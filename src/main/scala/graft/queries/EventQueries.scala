@@ -165,6 +165,31 @@ object EventQueries extends QueryModule {
         ORDER BY user_id, event_id"""),
       doc = "as-of join from built-ins: last prior signup per user (§7.3(a))"),
 
+    // ---------------------------------------------------------------- q53
+    // Range-frame window (§2.E free-extension row): per user, events in
+    // the trailing hour by event time — RANGE BETWEEN on exact µs.
+    "q53_trailing_window" -> NamedQuery(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(-HourUs, 0)
+        Tables.events(s, d)
+          .withColumn("n_last_hour", count(lit(1)).over(w))
+          .withColumn("sum_last_hour",
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w)
+              .cast("double"))
+          .select("event_id", "user_id", "n_last_hour", "sum_last_hour")
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some(s"""
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_last_hour,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+        FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN $HourUs PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id"""),
+      doc = "trailing event-time range frame (§2.E free extension)"),
+
     // ---------------------------------------------------------------- q23
     // JSON extraction (§2.I extension for the events props column).
     "q23_json_extract" -> NamedQuery(

@@ -74,6 +74,30 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(total === 1000L) // every event landed in exactly one window
   }
 
+  test("watermark drops events later than 10 minutes (J: late-data semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventWindows.Event]
+    val q = EventWindows.tumblingCounts(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_out").start()
+    // batch 1: on-time events push the watermark to 11:00 - 10min = 10:50
+    input.addData(EventWindows.Event(1, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: an event at 10:30 is beyond the watermark → dropped;
+    // one at 10:55 is within it → kept
+    input.addData(
+      EventWindows.Event(2, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "late", 1.0),
+      EventWindows.Event(3, Timestamp.valueOf("2024-01-01 10:55:00"), 1, "ok", 1.0))
+    // batch 3: advance event time far enough to close every open window
+    input.addData(EventWindows.Event(4, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "flush", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val types = spark.table("late_out").collect().map(_.getString(1)).toSet
+    assert(types.contains("ok"))     // within watermark: emitted
+    assert(!types.contains("late"))  // beyond watermark: dropped
+  }
+
   test("stateful sessionization closes a session on gap > 30 min (J: flatMapGroupsWithState)") {
     import spark.implicits._
     implicit val s = spark
