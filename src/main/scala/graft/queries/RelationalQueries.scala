@@ -449,6 +449,35 @@ object RelationalQueries extends QueryModule {
           SELECT o_custkey, 'both_years' FROM (SELECT * FROM c97 INTERSECT SELECT * FROM c98))
         GROUP BY cohort
         ORDER BY cohort"""),
-      doc = "except/intersect cohorts (§2.G free extension)")
+      doc = "except/intersect cohorts (§2.G free extension)"),
+
+    // ---------------------------------------------------------------- q54
+    // Typed Dataset API (SURVEY.md §1.3: case-class Encoders where type
+    // safety helps): groupByKey + typed agg over Dataset[LineSlim].
+    // Aggregates chosen exact (count + long sum) so the oracle holds at
+    // any parallelism.
+    "q54_typed_agg" -> NamedQuery(
+      fn = (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.scalalang.typed
+        val ds = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_linenumber").cast("long").as("l_linenumber"))
+          .as[LineSlim]
+        ds.groupByKey(_.l_returnflag)
+          .agg(
+            typed.count[LineSlim](_.l_linenumber).name("n_lines"),
+            typed.sumLong[LineSlim](_.l_linenumber).name("sum_linenumber"))
+          .toDF("l_returnflag", "n_lines", "sum_linenumber")
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n_lines,
+               CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      doc = "typed Dataset groupByKey aggregation (§1.3)")
   )
+
+  final case class LineSlim(l_returnflag: String, l_linenumber: Long)
 }
