@@ -13,12 +13,7 @@ import graft.Tables
 object CorpusQueries extends QueryModule {
 
   /** Cleaning expression shared by queries: strip URLs, emails, digits. */
-  private def cleanedCol(c: String) =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(col(c), "https?://\\S+", " "),
-        "\\S+@\\S+\\.\\S+", " "),
-      "[0-9]+", " ")
+  private def cleanedCol(c: String) = graft.ops.TextOps.cleaned(col(c))
 
   private val cleanedSql =
     "regexp_replace(regexp_replace(regexp_replace(text, 'https?://\\S+', ' ', 'g'), '\\S+@\\S+\\.\\S+', ' ', 'g'), '[0-9]+', ' ', 'g')"
@@ -53,14 +48,12 @@ object CorpusQueries extends QueryModule {
     // relational filter — length band, stopword ratio, mean token length.
     "q48_quality_filter" -> NamedQuery(
       fn = (s, d) => {
-        val toks = size(split(trim(col("text")), "\\s+")).cast("long")
-        val stops = toks - size(split(trim(regexp_replace(
-          concat(lit(" "), col("text"), lit(" ")), " (the|a|of|and|to|in) ", " ")), "\\s+")).cast("long")
-        val avgLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / toks
+        import graft.ops.TextOps
         Tables.documents(s, d)
-          .withColumn("n_tokens", toks)
-          .withColumn("stop_ratio", stops.cast("double") / toks)
-          .withColumn("avg_token_len", avgLen)
+          .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+          .withColumn("stop_ratio",
+            TextOps.stopwordCount(col("text")).cast("double") / TextOps.tokenCount(col("text")))
+          .withColumn("avg_token_len", TextOps.avgTokenLen(col("text")))
           .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000)
           .filter(col("stop_ratio") < 0.5)
           .filter(col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0)

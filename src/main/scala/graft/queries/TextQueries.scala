@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.TextOps
 
 /** Text-analysis operators over `documents` (builder-prompt north-star:
   * language-ID heuristic, quality scoring, token counting, document
@@ -18,17 +19,12 @@ object TextQueries extends QueryModule {
     // stopword ratio — length/punct/stopword quality heuristics.
     "q30_text_stats" -> NamedQuery(
       fn = (s, d) => {
-        val df = Tables.documents(s, d)
-          .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
-          .withColumn("n_punct", (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long"))
-          .withColumn("n_stop",
-            (size(split(trim(col("text")), "\\s+")) -
-             size(split(trim(regexp_replace(concat(lit(" "), col("text"), lit(" ")),
-               " (the|a|of|and|to|in) ", " ")), "\\s+"))).cast("long"))
-          .withColumn("avg_token_len",
-            round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
-              size(split(trim(col("text")), "\\s+")), 6))
-        df.select("doc_id", "n_tokens", "n_punct", "n_stop", "avg_token_len")
+        Tables.documents(s, d)
+          .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+          .withColumn("n_punct", TextOps.punctCount(col("text")))
+          .withColumn("n_stop", TextOps.stopwordCount(col("text")))
+          .withColumn("avg_token_len", round(TextOps.avgTokenLen(col("text")), 6))
+          .select("doc_id", "n_tokens", "n_punct", "n_stop", "avg_token_len")
           .orderBy("doc_id")
       },
       oracle = Some("""
@@ -86,7 +82,7 @@ object TextQueries extends QueryModule {
     "q32_fingerprint" -> NamedQuery(
       fn = (s, d) => {
         Tables.documents(s, d)
-          .withColumn("fp", md5(lower(trim(col("text")))))
+          .withColumn("fp", TextOps.fingerprint(col("text")))
           .withColumn("len_bucket", expr("n_chars div 100"))
           .select("doc_id", "fp", "len_bucket")
           .orderBy("doc_id")
