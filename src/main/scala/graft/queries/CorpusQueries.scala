@@ -107,23 +107,12 @@ object CorpusQueries extends QueryModule {
     // pipeline — q34's all-pairs exact scan is only its recall baseline.
     "q50_dedup_pipeline" -> NamedQuery(
       fn = (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("source"),
-            explode(split(trim(col("text")), "\\s+")).as("tok"))
-          .distinct()
-        val seeds = s.range(8).select(col("id").as("seed"))
-        val sig = toks.crossJoin(broadcast(seeds))
-          .groupBy("doc_id", "lang", "source", "seed")
-          .agg(min(md5(concat(col("tok"), lit("#"), col("seed")))).as("mh"))
-        val bands = sig
-          .withColumn("band", expr("seed div 2"))
-          .groupBy("doc_id", "lang", "source", "band")
-          .agg(md5(concat(min(col("mh")), max(col("mh")))).as("band_hash"))
-        val b1 = bands.select(col("doc_id").as("d1"), col("lang"), col("source"), col("band"), col("band_hash"))
-        val b2 = bands.select(col("doc_id").as("d2"), col("lang"), col("source"), col("band"), col("band_hash"))
-        val candidates = b1.join(b2, Seq("lang", "source", "band", "band_hash"))
-          .filter(col("d1") < col("d2"))
-          .select("d1", "d2").distinct()
+        implicit val sp = s
+        val scope = Seq("lang", "source")
+        val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope)
+        val sig = graft.ops.DedupOps.minhashSignatures(toks, 8, scope)
+        val bands = graft.ops.DedupOps.lshBands(sig, 2, scope)
+        val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
         val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val t1 = toks.select(col("doc_id").as("d1"), col("tok"))
         val t2 = toks.select(col("doc_id").as("d2"), col("tok"))

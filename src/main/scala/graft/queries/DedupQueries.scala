@@ -110,15 +110,10 @@ object DedupQueries extends QueryModule {
     // band-bucket join — no all-pairs scan).
     "q35_minhash_bands" -> NamedQuery(
       fn = (s, d) => {
+        implicit val sp = s
         val toks = docTokens(s, d)
-        val seeds = s.range(8).select(col("id").as("seed"))
-        val sig = toks.crossJoin(broadcast(seeds))
-          .groupBy("doc_id", "seed")
-          .agg(min(md5(concat(col("tok"), lit("#"), col("seed")))).as("mh"))
-        val bands = sig
-          .withColumn("band", expr("seed div 2"))
-          .groupBy("doc_id", "band")
-          .agg(md5(concat(min(col("mh")), max(col("mh")))).as("band_hash"))
+        val sig = graft.ops.DedupOps.minhashSignatures(toks, 8, Seq.empty)
+        val bands = graft.ops.DedupOps.lshBands(sig, 2, Seq.empty)
         val buckets = bands.groupBy("band", "band_hash")
           .agg(count(lit(1)).as("bucket_size"))
         buckets.groupBy("band")
