@@ -109,7 +109,9 @@ object CorpusQueries extends QueryModule {
       fn = (s, d) => {
         implicit val sp = s
         val scope = Seq("lang", "source")
-        val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope)
+        // reused by signatures, sizes, and both intersection sides —
+        // materialize once (no exchange reuse across renamed branches)
+        val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope).persist()
         val sig = graft.ops.DedupOps.minhashSignatures(toks, 8, scope)
         val bands = graft.ops.DedupOps.lshBands(sig, 2, scope)
         val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)

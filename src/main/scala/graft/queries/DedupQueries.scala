@@ -57,10 +57,13 @@ object DedupQueries extends QueryModule {
           .select(col("doc_id"), col("lang"), col("source"),
             split(trim(col("text")), "\\s+").as("toks"))
           .filter(size(col("toks")) >= 3)
+        // the shingle set feeds three consumers (sizes + both join sides);
+        // Catalyst can't reuse the exchange across the renamed branches,
+        // so materialize it once (SURVEY.md §4: cache reused inputs)
         val sh = docs.select(col("doc_id"), col("lang"), col("source"),
           explode(expr(
             "transform(sequence(1, size(toks)-2), i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))"))
-            .as("shingle")).distinct()
+            .as("shingle")).distinct().persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val s1 = sh.select(col("doc_id").as("d1"), col("lang"), col("source"), col("shingle"))
         val s2 = sh.select(col("doc_id").as("d2"), col("lang"), col("source"), col("shingle"))
