@@ -42,6 +42,17 @@ object EventWindows {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("user_id"), col("n_events"))
 
+  /** Streaming exact-dedup (the streaming form of the batch q33
+    * north-star op): drop repeated payload fingerprints, with the
+    * watermark bounding the dedup state to 10 minutes of keys — the
+    * property that keeps state finite on an unbounded stream.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("fp", md5(concat_ws("#", col("user_id"), col("event_type"), col("value"))))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("fp", "ts")
+
   /** Stateful sessionization: 30-min inactivity gap per user via
     * `flatMapGroupsWithState` (the streaming analog of q21's batch
     * lag+sum — same session semantics).

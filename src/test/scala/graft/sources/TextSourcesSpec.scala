@@ -37,6 +37,23 @@ class TextSourcesSpec extends AnyFunSuite {
     assert(r.getString(0) === "DET" && r.getString(1) === "#0076b6")
   }
 
+  test("malformed CSV tolerance: bad values null out, rows survive (A1 robustness, pinned)") {
+    // Pins the engine's ingest contract under Spark 4 + non-ANSI
+    // (R-like) semantics: unparseable values become nulls, short rows
+    // pad with nulls, extra tokens truncate — no row loss, so malformed
+    // upstream data degrades to nulls a filter can audit (q42 profiling).
+    val schema = StructType(Seq(
+      StructField("gameId", LongType), StructField("x", DoubleType)))
+    Files.writeString(dir.resolve("bad_type.csv"),
+      "gameId,x\n1,10.5\nnot_a_number,oops\n2\n3,30.0,EXTRA\n")
+    val df = spark.read.schema(schema).option("header", "true")
+      .csv(dir.resolve("bad_type.csv").toString)
+    assert(df.count() === 4)
+    assert(df.filter(df("gameId").isNull).count() === 1)  // type failure → null
+    assert(df.filter(df("x").isNull).count() === 2)       // type failure + short row
+    assert(df.filter(df("gameId") === 3L && df("x") === 30.0).count() === 1) // extra token truncated
+  }
+
   test("json-lines scan with explicit schema") {
     Files.writeString(dir.resolve("ev.jsonl"), """{"k":1,"v":"a"}""" + "\n" + """{"k":2,"v":"b"}""" + "\n")
     val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))

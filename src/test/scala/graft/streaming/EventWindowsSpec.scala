@@ -74,6 +74,21 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(total === 1000L) // every event landed in exactly one window
   }
 
+  test("streaming dedup drops in-window duplicate fingerprints (north-star dedup, streaming form)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventWindows.Event]
+    // two identical (user, type, value, ts) events + one distinct
+    input.addData(
+      EventWindows.Event(1, ts(0), 9, "click", 5.0),
+      EventWindows.Event(2, ts(0), 9, "click", 5.0),
+      EventWindows.Event(3, ts(1), 9, "view", 6.0))
+    val out = runToMemory(
+      EventWindows.dedupStream(input.toDF()), "dedup_out", OutputMode.Append)
+    assert(out.count() === 2)
+    assert(out.select("event_type").collect().map(_.getString(0)).toSet === Set("click", "view"))
+  }
+
   test("watermark drops events later than 10 minutes (J: late-data semantics)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
