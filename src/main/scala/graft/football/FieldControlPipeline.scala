@@ -20,8 +20,15 @@ object FieldControlPipeline {
     * Field Control.R:230). `homeTeam` decides the sign flip
     * (Field Control.R:363-367).
     */
+  /** `pruneMahalanobis`: drop grid cells beyond this many σ from a
+    * player's influence ellipse before the exp/aggregation. The default
+    * 12σ is result-safe (dropped mass < e⁻⁷² per row — unobservable at
+    * 6-decimal rounding) while cutting most of the fan-out's
+    * aggregation input on a full-size grid; `None` disables pruning.
+    */
   def playControl(spark: SparkSession, tracking: DataFrame,
-                  nx: Int = 120, ny: Int = 53): DataFrame = {
+                  nx: Int = 120, ny: Int = 53,
+                  pruneMahalanobis: Option[Double] = Some(12.0)): DataFrame = {
     // ball position per frame for the radius model (C4/D8 pattern);
     // football rows themselves don't project influence (Field Control.R:230)
     val withBall = CoveragePipeline.withBall(Standardize.directionStandardize(tracking))
@@ -35,12 +42,25 @@ object FieldControlPipeline {
       .withColumn("sy", col("r") * (lit(1.0) - col("s_ratio_sq")) / 2.0)
       .withColumn("sgn", when(col("team") === "home", 1.0).otherwise(-1.0))
     val grid = FieldControl.fieldGrid(spark, nx, ny)
-    val infl = k.crossJoin(broadcast(grid))
-      .withColumn("influence", FieldControl.gaussianInfluence(
+    val fanout = k.crossJoin(broadcast(grid))
+      .withColumn("maha_sq", FieldControl.mahalanobisSq(
         col("grid_x"), col("grid_y"), col("next_x"), col("next_y"),
         col("v_theta"), col("sx"), col("sy")))
-    FieldControl.teamControl(
-      Seq("gameId", "playId", "frameId", "grid_x", "grid_y"),
-      col("influence"), col("sgn"))(infl)
+    val pruned = pruneMahalanobis match {
+      case Some(sigma) => fanout.filter(col("maha_sq") < sigma * sigma)
+      case None => fanout
+    }
+    val keys = Seq("gameId", "playId", "frameId", "grid_x", "grid_y")
+    val aggd = pruned
+      .withColumn("influence", exp(lit(-0.5) * col("maha_sq")))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("influence") * col("sgn")).as("control_sum"))
+    // restore cells whose every contribution was pruned: their sum is 0
+    // (→ control = 0.5), they must not vanish from the surface
+    val frames = k.select("gameId", "playId", "frameId").distinct()
+    frames.crossJoin(broadcast(grid))
+      .join(aggd, keys, "left")
+      .na.fill(0.0, Seq("control_sum"))
+      .withColumn("control", lit(1.0) / (lit(1.0) + exp(col("control_sum"))))
   }
 }

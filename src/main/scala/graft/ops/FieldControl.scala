@@ -36,7 +36,19 @@ object FieldControl {
     * attained at the mean) is exp(−½·[σ22·dx² − 2σ12·dx·dy + σ11·dy²]/det).
     */
   def gaussianInfluence(gx: Column, gy: Column, muX: Column, muY: Column,
-                        theta: Column, sx: Column, sy: Column): Column = {
+                        theta: Column, sx: Column, sy: Column): Column =
+    exp(lit(-0.5) * mahalanobisSq(gx, gy, muX, muY, theta, sx, sy))
+
+  /** Squared Mahalanobis distance of (gx, gy) from the influence
+    * ellipse — `influence = exp(-½·mahaSq)`. Exposed separately so
+    * callers can prune far cells *before* the exp and the per-cell
+    * aggregation: beyond maha ≈ 12σ the dropped mass (< e⁻⁷² per row)
+    * cannot move any 6-decimal-rounded result, but at a full
+    * 120×53-grid fan-out it removes the vast majority of aggregation
+    * input (SURVEY.md §4, SCALING.md "Field control").
+    */
+  def mahalanobisSq(gx: Column, gy: Column, muX: Column, muY: Column,
+                    theta: Column, sx: Column, sy: Column): Column = {
     val sx2 = sx * sx
     val sy2 = sy * sy
     val cosT = cos(theta)
@@ -47,7 +59,7 @@ object FieldControl {
     val det = sx2 * sy2
     val dx = gx - muX
     val dy = gy - muY
-    exp(lit(-0.5) * (s22 * dx * dx - lit(2.0) * s12 * dx * dy + s11 * dy * dy) / det)
+    (s22 * dx * dx - lit(2.0) * s12 * dx * dy + s11 * dy * dy) / det
   }
 
   /** D3 + I5 + B3 sign flip (Field Control.R:357-373): team-signed sum of

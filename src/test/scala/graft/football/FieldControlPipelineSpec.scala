@@ -23,6 +23,22 @@ class FieldControlPipelineSpec extends AnyFunSuite {
     assert(nearHome < 0.5)
   }
 
+  test("mahalanobis pruning leaves the control surface unchanged at the safe cutoff") {
+    val keys = Seq("gameId", "playId", "frameId", "grid_x", "grid_y")
+    val unpruned = FieldControlPipeline.playControl(
+      spark, FootballFixtures.tracking(spark), nx = 12, ny = 6, pruneMahalanobis = None)
+      .select((keys :+ "control").map(col): _*)
+    val pruned = FieldControlPipeline.playControl(
+      spark, FootballFixtures.tracking(spark), nx = 12, ny = 6, pruneMahalanobis = Some(12.0))
+      .select((keys :+ "control").map(col): _*)
+    assert(pruned.count() === unpruned.count()) // shape preserved incl. empty cells
+    val joined = unpruned.withColumnRenamed("control", "c0")
+      .join(pruned.withColumnRenamed("control", "c1"), keys)
+    val maxDiff = joined
+      .select(max(abs(col("c0") - col("c1")))).head().getDouble(0)
+    assert(maxDiff < 1e-9, s"pruning moved results by $maxDiff")
+  }
+
   test("playControl is partition-parallel: no collect, single aggregation exchange per surface") {
     val ctl = FieldControlPipeline.playControl(
       spark, FootballFixtures.tracking(spark), nx = 12, ny = 6)
