@@ -110,6 +110,29 @@ object CoveragePipeline {
 
   val DefensivePositions: Seq[String] = Seq("SS", "FS", "CB", "LB", "OLB", "ILB", "DB") // all coverages.R:182-184
 
+  /** §3.3 stage 10 (all coverages.R:313-315): per-play coverage = mode
+    * of the per-frame predicted coverage, ties pinned (D4).
+    */
+  def playCoverage(scoredFrames: DataFrame,
+                   predictedCol: String = "predicted_coverage"): DataFrame =
+    RelationalOps.modeByGroup(Seq("gameId", "playId"), predictedCol, "play_coverage")(scoredFrames)
+
+  /** §3.3 stage 11 + quirk Q7 (all coverages.R:317-326): per-coverage
+    * summary — play count, mean EPA (null-skipping, D2), frequency with
+    * the denominator computed from data (never the reference's
+    * hard-coded 14575), sorted by plays desc.
+    */
+  def coverageSummary(playsWithCoverage: DataFrame,
+                      coverageCol: String = "play_coverage"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    playsWithCoverage
+      .groupBy(coverageCol)
+      .agg(count(lit(1)).as("plays"), avg(col("epa")).as("def_epa"))
+      .withColumn("freq",
+        col("plays").cast("double") / sum(col("plays")).over(Window.partitionBy()))
+      .orderBy(col("plays").desc, col(coverageCol).asc)
+  }
+
   /** §3.3 stages 4-6 (all coverages.R:165-294): pass-arrived frames →
     * ball distance for defensive backs → wide per-frame feature matrix
     * (8 measures × 7 positions, zero-filled, Q5 pinned via first() over

@@ -69,6 +69,24 @@ class CoveragePipelineSpec extends AnyFunSuite {
     assert(p.getDouble(0) === 4.0 && p.getDouble(1) === 2.0 && p.getDouble(2) === 5.0)
   }
 
+  test("playCoverage takes the per-play mode of frame predictions; coverageSummary computes n/epa/freq (§3.3 stages 10-11)") {
+    import spark.implicits._
+    val frames = Seq(
+      (1L, 10L, 1, "Cover 1 Man"), (1L, 10L, 2, "Cover 1 Man"), (1L, 10L, 3, "Cover 3 Zone"),
+      (1L, 20L, 1, "Cover 3 Zone")
+    ).toDF("gameId", "playId", "frameId", "predicted_coverage")
+    val perPlay = CoveragePipeline.playCoverage(frames)
+    val m = perPlay.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(m((1L, 10L)) === "Cover 1 Man") // 2-vs-1 mode
+    assert(m((1L, 20L)) === "Cover 3 Zone")
+    val withEpa = perPlay.join(
+      FootballFixtures.plays(spark).select("gameId", "playId", "epa"), Seq("gameId", "playId"))
+    val summary = CoveragePipeline.coverageSummary(withEpa).collect()
+    assert(summary.map(_.getString(0)).toSeq.sorted === Seq("Cover 1 Man", "Cover 3 Zone"))
+    // freq sums to 1, epa averaged null-skipping
+    assert(math.abs(summary.map(_.getAs[Double]("freq")).sum - 1.0) < 1e-12)
+  }
+
   test("coverageFeatureMatrix pivots defenders wide with zero fill (§3.3 stages 4-6)") {
     val m = CoveragePipeline.coverageFeatureMatrix(
       CoveragePipeline.withLineOfScrimmage(enriched))
