@@ -1,0 +1,48 @@
+package graft.football
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TrackingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def straightLine = {
+    import spark.implicits._
+    // one player moving (0,0) → (4,2) → (8,4): constant velocity
+    Seq(
+      (1L, 1L, 7L, "P", 1, 0.0, 0.0),
+      (1L, 1L, 7L, "P", 2, 4.0, 2.0),
+      (1L, 1L, 7L, "P", 3, 8.0, 4.0)
+    ).toDF("gameId", "playId", "nflId", "displayName", "frameId", "x", "y")
+  }
+
+  test("interpolateFrames doubles the frame rate with exact midpoints") {
+    val up = TrackingOps.interpolateFrames(straightLine, factor = 2)
+    // 2 inner frames × 2 + final frame = 5 sub-frames
+    assert(up.count() === 5)
+    val byFrame = up.collect().map(r => r.getAs[Int]("subFrame") ->
+      (r.getAs[Double]("xi"), r.getAs[Double]("yi"))).toMap
+    assert(byFrame(0) === ((0.0, 0.0)))
+    assert(byFrame(1) === ((2.0, 1.0))) // exact midpoint
+    assert(byFrame(2) === ((4.0, 2.0)))
+    assert(byFrame(3) === ((6.0, 3.0)))
+    assert(byFrame(4) === ((8.0, 4.0)))
+  }
+
+  test("interpolateFrames with factor=1 preserves the original frames") {
+    val up = TrackingOps.interpolateFrames(straightLine, factor = 1)
+    assert(up.count() === 3)
+    assert(up.select(sum(col("xi"))).head().getDouble(0) === 12.0)
+  }
+
+  test("derivedSpeed recovers constant velocity from positions") {
+    val d = TrackingOps.derivedSpeed(straightLine, hz = 10.0)
+    val speeds = d.filter(col("derived_s").isNotNull)
+      .select("derived_s").collect().map(_.getDouble(0))
+    // step length = sqrt(16+4) = 4.472 yd per frame → 44.72 yd/s at 10 Hz
+    assert(speeds.length === 2)
+    speeds.foreach(s => assert(math.abs(s - math.sqrt(20.0) * 10) < 1e-9))
+  }
+}
