@@ -59,12 +59,43 @@ case class FloatVecDot(left: Expression, right: Expression)
   * can use them via `expr("vec_dot(a, b)")`. Idempotent.
   */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+
+  /** Builders shared by both registration paths; score/payload are cast
+    * so SQL-literal arguments (e.g. DECIMAL `1.0`) just work.
+    */
+  private[expr] def vecDotBuilder(exprs: Seq[Expression]): Expression =
+    FloatVecDot(exprs(0), exprs(1))
+  private[expr] def topKBuilder(exprs: Seq[Expression]): Expression =
+    TopKPairs(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), exprs(2))
+      .toAggregateExpression()
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+      "vec_dot", vecDotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "top_k_pairs",
-      exprs => TopKPairs(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
-      "built-in")
+      "top_k_pairs", topKBuilder, "built-in")
+  }
+}
+
+/** `SparkSessionExtensions` injection of the same functions — the
+  * deployment-grade path: any session built with
+  * `spark.sql.extensions=graft.expr.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) resolves `vec_dot` /
+  * `top_k_pairs` with no imperative registration call.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => GraftFunctions.vecDotBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("top_k_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
+      (exprs: Seq[Expression]) => GraftFunctions.topKBuilder(exprs)))
   }
 }
