@@ -40,6 +40,17 @@ class CoverageModelSpec extends AnyFunSuite {
     assert(math.abs(imp.map(_._2).sum - 1.0) < 1e-9)
   }
 
+  test("fitted pipeline persists and reloads with identical predictions (production roundtrip)") {
+    import org.apache.spark.ml.PipelineModel
+    val fitted = CoverageModel.fit(labeled, numTrees = 10)
+    val path = java.nio.file.Paths.get("target", "coverage-model").toAbsolutePath.toString
+    fitted.model.write.overwrite().save(path)
+    val reloaded = PipelineModel.load(path)
+    val a = fitted.predict(labeled).select("coverage", "predicted_coverage")
+    val b = reloaded.transform(labeled).select("coverage", "predicted_coverage")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("confusion matrix rows sum to class counts (K3)") {
     val fitted = CoverageModel.fit(labeled, numTrees = 10)
     val scored = fitted.predict(labeled)
