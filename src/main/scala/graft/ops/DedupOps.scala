@@ -38,4 +38,40 @@ object DedupOps {
     val b2 = bands.select((joinCols :+ "doc_id").map(col): _*).withColumnRenamed("doc_id", "d2")
     b1.join(b2, joinCols).filter(col("d1") < col("d2")).select("d1", "d2").distinct()
   }
+
+  /** Duplicate clusters from a near-dup pair list: connected components
+    * by iterative min-label propagation (each doc adopts the smallest
+    * doc_id reachable so far; converges in O(component diameter)
+    * rounds — near-dup clusters are dense, so a handful). Each round is
+    * two keyed shuffles; intermediate frames are localCheckpoint-ed so
+    * the lineage doesn't grow with iterations (the classic iterative-
+    * algorithm hazard on Spark at scale).
+    *
+    * Returns (doc_id, cluster) where cluster = min doc_id of the
+    * component; docs absent from `pairs` are their own cluster only if
+    * included via `allDocs`.
+    */
+  def duplicateClusters(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint()
+    var labels = allDocs.select(col("doc_id"), col("doc_id").as("cluster"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster", "n_cluster"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("n_cluster")).as("min_neighbor"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .withColumn("new_cluster", least(col("cluster"), coalesce(col("min_neighbor"), col("cluster"))))
+        .select(col("doc_id"), col("new_cluster").as("cluster"), col("cluster").as("old_cluster"))
+        .localCheckpoint()
+      changed = updated.filter(col("cluster") =!= col("old_cluster")).count()
+      labels = updated.select("doc_id", "cluster")
+      iter += 1
+    }
+    labels
+  }
 }

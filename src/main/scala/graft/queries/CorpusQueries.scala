@@ -162,6 +162,85 @@ object CorpusQueries extends QueryModule {
         JOIN sizes n2 ON d2 = n2.doc_id
         WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5
         ORDER BY d1, d2"""),
-      doc = "composed dedup: LSH candidates -> exact Jaccard verify (north-star scale path)")
+      doc = "composed dedup: LSH candidates -> exact Jaccard verify (north-star scale path)"),
+
+    // ---------------------------------------------------------------- q55
+    // Duplicate clusters: connected components over the q50 near-dup
+    // graph (keep-one-per-CLUSTER is the op a corpus dedup actually
+    // ships). Spark side: iterative min-label propagation
+    // (DedupOps.duplicateClusters, O(diameter) keyed-join rounds);
+    // oracle: recursive CTE transitive closure — two different
+    // formulations, hash-identical result.
+    "q55_dup_clusters" -> NamedQuery(
+      fn = (s, d) => {
+        implicit val sp = s
+        val scope = Seq("lang", "source")
+        val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope).persist()
+        val sig = graft.ops.DedupOps.minhashSignatures(toks, 8, scope)
+        val bands = graft.ops.DedupOps.lshBands(sig, 2, scope)
+        val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
+        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val t1 = toks.select(col("doc_id").as("d1"), col("tok"))
+        val t2 = toks.select(col("doc_id").as("d2"), col("tok"))
+        val pairs = candidates.join(t1, Seq("d1")).join(t2, Seq("d2", "tok"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+          .filter(round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6) >= 0.5)
+          .select("d1", "d2")
+        val docs = Tables.documents(s, d).select("doc_id")
+        graft.ops.DedupOps.duplicateClusters(pairs, docs, maxIter = 15)
+          .groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+          .orderBy("cluster")
+      },
+      oracle = Some("""
+        WITH RECURSIVE toks AS (
+          SELECT DISTINCT doc_id, lang, source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, lang, source, seed, min(md5(tok || '#' || seed)) AS mh
+          FROM toks CROSS JOIN generate_series(0, 7) s(seed)
+          GROUP BY 1, 2, 3, 4),
+        bands AS (
+          SELECT doc_id, lang, source, seed // 2 AS band,
+                 md5(min(mh) || max(mh)) AS band_hash
+          FROM sig
+          GROUP BY doc_id, lang, source, seed // 2),
+        candidates AS (
+          SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+          FROM bands b1 JOIN bands b2
+            ON b1.lang = b2.lang AND b1.source = b2.source
+           AND b1.band = b2.band AND b1.band_hash = b2.band_hash
+           AND b1.doc_id < b2.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        inter AS (
+          SELECT c.d1, c.d2, COUNT(*) AS cnt
+          FROM candidates c
+          JOIN toks t1 ON t1.doc_id = c.d1
+          JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT d1, d2
+          FROM inter
+          JOIN sizes n1 ON d1 = n1.doc_id
+          JOIN sizes n2 ON d2 = n2.doc_id
+          WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5),
+        edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL
+          SELECT d2, d1 FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT doc_id, doc_id AS lab FROM documents
+          UNION
+          SELECT e.dst AS doc_id, r.lab
+          FROM reach r JOIN edges e ON e.src = r.doc_id),
+        labels AS (
+          SELECT doc_id, MIN(lab) AS cluster FROM reach GROUP BY doc_id)
+        SELECT cluster, COUNT(*) AS n_docs
+        FROM labels
+        GROUP BY cluster
+        ORDER BY cluster"""),
+      doc = "duplicate clusters: iterative components vs recursive-CTE oracle (north-star)")
   )
 }
