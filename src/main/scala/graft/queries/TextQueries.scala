@@ -92,6 +92,54 @@ object TextQueries extends QueryModule {
                n_chars // 100 AS len_bucket
         FROM documents
         ORDER BY doc_id"""),
-      doc = "md5 document fingerprint (north-star)")
+      doc = "md5 document fingerprint (north-star)"),
+
+    // ---------------------------------------------------------------- q56
+    // Winnowing (rolling-hash fingerprinting, MOSS-style): hash every
+    // 3-token shingle, slide a 4-shingle window per document, keep the
+    // window minimum — the selected hashes are the document's
+    // fingerprints (robust to local edits, O(len) per doc). Output:
+    // per-doc fingerprint-set stats (bounded).
+    "q56_winnowing" -> NamedQuery(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+          .filter(size(col("toks")) >= 6) // ≥ 3 shingles → ≥ 1 full-ish window
+        val shingles = docs.select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(1, size(toks)-2), i -> md5(concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2))))"))
+            .as(Seq("pos", "h")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(0, 3)
+        val fps = shingles
+          .withColumn("win_min", min(col("h")).over(w))
+          .select("doc_id", "win_min").distinct()
+        fps.groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_fingerprints"),
+            min(col("win_min")).as("min_fp"),
+            max(col("win_min")).as("max_fp"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH docs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 6),
+        sh AS (
+          SELECT doc_id, i AS pos, md5(a[i] || ' ' || a[i+1] || ' ' || a[i+2]) AS h
+          FROM docs CROSS JOIN LATERAL unnest(range(1, len(a) - 1)) AS t(i)),
+        fps AS (
+          SELECT DISTINCT doc_id,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+          FROM sh)
+        SELECT doc_id, COUNT(*) AS n_fingerprints,
+               MIN(win_min) AS min_fp, MAX(win_min) AS max_fp
+        FROM fps
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      doc = "winnowing rolling-hash fingerprints (north-star)")
   )
 }
