@@ -56,7 +56,10 @@ object DedupOps {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint()
-    var labels = allDocs.select(col("doc_id"), col("doc_id").as("cluster"))
+    // only docs that appear in a pair need the iteration; the rest are
+    // their own cluster by definition (usually the large majority)
+    val pairedDocs = edges.select(col("src").as("doc_id")).distinct().localCheckpoint()
+    var labels = pairedDocs.select(col("doc_id"), col("doc_id").as("cluster"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -72,6 +75,9 @@ object DedupOps {
       labels = updated.select("doc_id", "cluster")
       iter += 1
     }
-    labels
+    val isolated = allDocs.select("doc_id")
+      .join(pairedDocs, Seq("doc_id"), "left_anti")
+      .withColumn("cluster", col("doc_id"))
+    labels.unionByName(isolated)
   }
 }
