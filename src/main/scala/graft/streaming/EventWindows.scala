@@ -42,6 +42,14 @@ object EventWindows {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("user_id"), col("n_events"))
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast per micro-batch — the streaming analog of the
+    * reference's plays⋈games dim joins, C1). No state, no watermark
+    * needed: static side is re-resolved each batch.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Streaming exact-dedup (the streaming form of the batch q33
     * north-star op): drop repeated payload fingerprints, with the
     * watermark bounding the dedup state to 10 minutes of keys — the

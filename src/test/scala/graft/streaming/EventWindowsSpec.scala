@@ -74,6 +74,50 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(total === 1000L) // every event landed in exactly one window
   }
 
+  test("stream-static join enriches events with a broadcast dim (C1, streaming form)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((5L, "gold"), (6L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[EventWindows.Event]
+    input.addData(
+      EventWindows.Event(1, ts(0), 5, "click", 1.0),
+      EventWindows.Event(2, ts(1), 7, "view", 2.0)) // 7 missing from dim → null tier
+    val out = runToMemory(
+      EventWindows.enrichWithDim(input.toDF(), dim, "user_id"), "enrich_out", OutputMode.Append)
+    val tiers = out.select("user_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tiers(5L) === Some("gold"))
+    assert(tiers(7L) === None)
+  }
+
+  test("streaming parquet sink writes windowed results that read back (A6, streaming form)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Paths.get("target", "stream-sink", "data").toAbsolutePath
+    val ckDir = java.nio.file.Paths.get("target", "stream-sink", "ck").toAbsolutePath
+    Seq(outDir, ckDir).foreach { p =>
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    val input = MemoryStream[EventWindows.Event]
+    input.addData(
+      EventWindows.Event(1, ts(0), 1, "click", 1.0),
+      EventWindows.Event(2, ts(0, 30), 1, "click", 2.0))
+    // advance the watermark so the first window closes and appends
+    val q = EventWindows.tumblingCounts(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckDir.toString)
+      .format("parquet").start(outDir.toString)
+    input.addData(EventWindows.Event(3, ts(30), 1, "flush", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(outDir.toString)
+    val clicks = back.filter($"event_type" === "click").select("n_events", "sum_value").head()
+    assert(clicks.getLong(0) === 2L && clicks.getDouble(1) === 3.0)
+  }
+
   test("streaming dedup drops in-window duplicate fingerprints (north-star dedup, streaming form)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
