@@ -50,6 +50,27 @@ object EventWindows {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's clicks in the preceding 30 minutes. Both sides watermarked
+    * so the join state is bounded — the hardest streaming shape the
+    * engine exposes (event-time range condition + state cleanup).
+    */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    clicks.join(purchases, expr(
+      """user_id = p_user AND
+         purchase_ts >= click_ts AND
+         purchase_ts <= click_ts + INTERVAL 30 MINUTES"""))
+      .select("user_id", "click_id", "purchase_id", "purchase_value")
+  }
+
   /** Streaming exact-dedup (the streaming form of the batch q33
     * north-star op): drop repeated payload fingerprints, with the
     * watermark bounding the dedup state to 10 minutes of keys — the

@@ -118,6 +118,21 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(clicks.getLong(0) === 2L && clicks.getDouble(1) === 3.0)
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks within 30 min (J)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventWindows.Event]
+    input.addData(
+      EventWindows.Event(1, ts(0), 5, "click", 0.0),     // user 5 clicks at 10:00
+      EventWindows.Event(2, ts(10), 5, "purchase", 9.99), // buys at 10:10 → attributed
+      EventWindows.Event(3, ts(12), 6, "purchase", 5.0),  // user 6 never clicked → dropped
+      EventWindows.Event(4, Timestamp.valueOf("2024-01-01 11:40:00"), 5, "purchase", 1.0)) // > 30 min → dropped
+    val out = runToMemory(
+      EventWindows.clickToPurchase(input.toDF()), "attrib_out", OutputMode.Append)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((5L, 1L, 2L)))
+  }
+
   test("streaming dedup drops in-window duplicate fingerprints (north-star dedup, streaming form)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
