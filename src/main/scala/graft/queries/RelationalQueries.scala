@@ -476,7 +476,34 @@ object RelationalQueries extends QueryModule {
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag"""),
-      doc = "typed Dataset groupByKey aggregation (§1.3)")
+      doc = "typed Dataset groupByKey aggregation (§1.3)"),
+
+    // ---------------------------------------------------------------- q57
+    // ntile + dense_rank (§2.E "available free" row): price quartiles
+    // within each priority, tie-break pinned by order key.
+    "q57_ntile_quartiles" -> NamedQuery(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .groupBy("o_orderpriority", "quartile")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority", "quartile")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM (SELECT o_orderpriority, o_totalprice,
+                     CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS quartile
+              FROM orders)
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      doc = "ntile quartiles per group (§2.E free extension)")
   )
 
   final case class LineSlim(l_returnflag: String, l_linenumber: Long)
