@@ -53,12 +53,15 @@ object DedupOps {
     */
   def duplicateClusters(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 10): DataFrame = {
     // undirected edge list, both directions
+    // lazy checkpoints: the plan is cut (lineage stays flat across
+    // iterations) but materialization rides on the next action instead
+    // of costing one of its own
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // only docs that appear in a pair need the iteration; the rest are
     // their own cluster by definition (usually the large majority)
-    val pairedDocs = edges.select(col("src").as("doc_id")).distinct().localCheckpoint()
+    val pairedDocs = edges.select(col("src").as("doc_id")).distinct().localCheckpoint(false)
     var labels = pairedDocs.select(col("doc_id"), col("doc_id").as("cluster"))
     var changed = 1L
     var iter = 0
@@ -70,7 +73,7 @@ object DedupOps {
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .withColumn("new_cluster", least(col("cluster"), coalesce(col("min_neighbor"), col("cluster"))))
         .select(col("doc_id"), col("new_cluster").as("cluster"), col("cluster").as("old_cluster"))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the convergence count below
       changed = updated.filter(col("cluster") =!= col("old_cluster")).count()
       labels = updated.select("doc_id", "cluster")
       iter += 1
