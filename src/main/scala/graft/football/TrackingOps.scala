@@ -42,6 +42,36 @@ object TrackingOps {
       .select("gameId", "playId", "nflId", "displayName", "subFrame", "xi", "yi")
   }
 
+  /** §1.1's grouped-sub-frame escape hatch, used where it is genuinely
+    * warranted: longest consecutive run of strictly-increasing speed per
+    * player-play — an inherently sequential scan a window can't express
+    * cleanly. `Dataset.flatMapGroups` keeps it one shuffle on the group
+    * key with a streamed (never materialized) group iterator; every
+    * other operator in the engine stays relational (the preferred
+    * rewrite, SURVEY.md §2.L).
+    */
+  def longestAccelStreak(tracking: DataFrame)(implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    tracking
+      .select(col("gameId"), col("playId"), col("nflId"), col("frameId"), col("s"))
+      .as[(Long, Long, Long, Int, Double)]
+      .groupByKey { case (g, p, n, _, _) => (g, p, n) }
+      .flatMapGroups { (key: (Long, Long, Long), rows: Iterator[(Long, Long, Long, Int, Double)]) =>
+        val (g, p, n) = key
+        val sorted = rows.toSeq.sortBy(_._4)
+        var best = if (sorted.isEmpty) 0 else 1
+        var cur = best
+        sorted.sliding(2).foreach {
+          case Seq(a, b) =>
+            cur = if (b._5 > a._5) cur + 1 else 1
+            if (cur > best) best = cur
+          case _ =>
+        }
+        Iterator.single((g, p, n, best))
+      }
+      .toDF("gameId", "playId", "nflId", "longest_accel_streak")
+  }
+
   /** Derived per-frame speed from positions (yd/s at `hz` frames/sec) —
     * the inverse of the kinematics projection; useful to validate or
     * replace a noisy sensor `s` column.

@@ -37,6 +37,24 @@ class TrackingOpsSpec extends AnyFunSuite {
     assert(up.select(sum(col("xi"))).head().getDouble(0) === 12.0)
   }
 
+  test("longestAccelStreak finds the sequential run a window can't (flatMapGroups)") {
+    import spark.implicits._
+    implicit val s = spark
+    // speeds: 1,2,3,1,2 → longest increasing run = 3
+    val df = Seq(
+      (1L, 1L, 7L, "P", 1, 0.0, 0.0, 1.0),
+      (1L, 1L, 7L, "P", 2, 1.0, 0.0, 2.0),
+      (1L, 1L, 7L, "P", 3, 2.0, 0.0, 3.0),
+      (1L, 1L, 7L, "P", 4, 3.0, 0.0, 1.0),
+      (1L, 1L, 7L, "P", 5, 4.0, 0.0, 2.0),
+      (1L, 1L, 8L, "Q", 1, 0.0, 0.0, 5.0)
+    ).toDF("gameId", "playId", "nflId", "displayName", "frameId", "x", "y", "s")
+    val streaks = TrackingOps.longestAccelStreak(df)
+      .collect().map(r => r.getLong(2) -> r.getInt(3)).toMap
+    assert(streaks(7L) === 3)
+    assert(streaks(8L) === 1)
+  }
+
   test("derivedSpeed recovers constant velocity from positions") {
     val d = TrackingOps.derivedSpeed(straightLine, hz = 10.0)
     val speeds = d.filter(col("derived_s").isNotNull)
