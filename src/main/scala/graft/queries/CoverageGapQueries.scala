@@ -188,6 +188,33 @@ object CoverageGapQueries extends QueryModule {
       oracle = None,
       doc = "K1-K3 RF fit/score/confusion via spark.ml (rows-only check)"),
 
+    // ---------------------------------------------------------------- q58
+    // Statistical aggregates (§2.D extension; profiling surface):
+    // correlation / sample covariance / stddev per group. Co-moment
+    // accumulation differs by ulps across engines and partition orders,
+    // so results round to 6 (the same guard as the transcendental I-ops).
+    "q58_correlations" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+            round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"),
+            round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      doc = "corr/covar/stddev statistical profiling (§2.D extension)"),
+
     // ---------------------------------------------------------------- q27
     // F4 (all coverages.R:192-199): seeded 75/25 split — statistical, not
     // row-identical across engines; no oracle.
