@@ -65,8 +65,11 @@ object CoveragePipeline {
     val arrived = df.filter(col("event").isin(PassArrivalEvents: _*))
     val scoped =
       if (!firstArrivalOnly) arrived
-      else arrived.filter(col("frameId") ===
-        min("frameId").over(Window.partitionBy("gameId", "playId")))
+      else arrived
+        .withColumn("minArrivalFrame",
+          min("frameId").over(Window.partitionBy("gameId", "playId")))
+        .filter(col("frameId") === col("minArrivalFrame"))
+        .drop("minArrivalFrame")
     scoped.withColumn("distToFootball",
       Kinematics.dist(col("x"), col("y"), col("xFootball"), col("yFootball")))
   }
@@ -78,12 +81,14 @@ object CoveragePipeline {
     * reference's pattern (SURVEY.md §7.4 scale posture).
     */
   def selectPlay(plays: DataFrame, descRegex: String, k: Int): Option[org.apache.spark.sql.Row] = {
-    val ranked = plays
+    val rows = plays
       .filter(col("playDescription").rlike(descRegex))
       .orderBy(col("offensePlayResult").desc, col("playId").asc)
       .limit(k)
-    val rows = ranked.tail(1)
-    rows.headOption
+      .collect()
+    // k-th ranked play or None when fewer than k match (the reference's
+    // slice(k) yields zero rows there — never a lower-ranked substitute)
+    rows.lift(k - 1)
   }
 
   /** §3.3 stage 1 (all coverages.R:118-127): line of scrimmage = ball x

@@ -37,10 +37,14 @@ object FieldControlPipeline {
       .withColumn("dist_from_ball",
         Kinematics.dist(col("x"), col("y"), col("xFootball"), col("yFootball")))
       .withColumn("r", Kinematics.radiusOfInfluence(col("dist_from_ball")))
-      .withColumn("s_ratio_sq", pow(col("s") / Kinematics.MaxSpeed, 2)) // Field Control.R:252 uses squared ratio
-      .withColumn("sx", col("r") * (lit(1.0) + col("s_ratio_sq")) / 2.0)
-      .withColumn("sy", col("r") * (lit(1.0) - col("s_ratio_sq")) / 2.0)
-      .withColumn("sgn", when(col("team") === "home", 1.0).otherwise(-1.0))
+      // Scaling axes exactly as the reference (Field Control.R:250,
+      // 304-311): S = diag(r·(1+s_ratio), r·(1−s_ratio)) with the
+      // UNSQUARED speed ratio s/13 and no halving.
+      .withColumn("sx", col("r") * (lit(1.0) + col("s_ratio")))
+      .withColumn("sy", col("r") * (lit(1.0) - col("s_ratio")))
+      // Field Control.R:363-367 flips the HOME team to −1 so that a
+      // home-dominated cell has control_sum → −∞ and control → 1.
+      .withColumn("sgn", when(col("team") === "home", -1.0).otherwise(1.0))
     val grid = FieldControl.fieldGrid(spark, nx, ny)
     val fanout = k.crossJoin(broadcast(grid))
       .withColumn("maha_sq", FieldControl.mahalanobisSq(

@@ -206,8 +206,8 @@ object CoverageGapQueries extends QueryModule {
       },
       oracle = Some("""
         SELECT l_returnflag,
-               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-               round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax,
+               round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+               round(covar_samp(l_discount, l_tax), 6) + 0.0 AS covar_disc_tax,
                round(stddev_samp(l_quantity), 6) AS sd_qty,
                COUNT(*) AS n
         FROM lineitem

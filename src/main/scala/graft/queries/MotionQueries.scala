@@ -64,10 +64,10 @@ object MotionQueries extends QueryModule {
           SELECT *, sin(radians(dir)) * s AS v_x, cos(radians(dir)) * s AS v_y
           FROM base)
         SELECT l_orderkey, l_linenumber,
-               round(v_x, 6) AS v_x, round(v_y, 6) AS v_y,
+               round(v_x, 6) + 0.0 AS v_x, round(v_y, 6) + 0.0 AS v_y,
                round(CASE WHEN v_x = 0 AND v_y = 0 THEN 0.0
                           WHEN v_x = 0 THEN sign(v_y) * pi() / 2.0
-                          ELSE atan(v_y / v_x) END, 6) AS v_theta,
+                          ELSE atan(v_y / v_x) END, 6) + 0.0 AS v_theta,
                round(least(4.0 + pow(d_ball, 3) * 0.3, 10.0), 6) AS radius
         FROM k
         ORDER BY l_orderkey, l_linenumber"""),
@@ -82,8 +82,10 @@ object MotionQueries extends QueryModule {
         val players0 = supplierPlayers(s, d)
         val k = Kinematics.withProjection()(Kinematics.withVelocity(players0))
           .withColumn("r", Kinematics.radiusOfInfluence(col("d_ball")))
-          .withColumn("sx", col("r") * (lit(1.0) + col("s_ratio")) / 2.0)
-          .withColumn("sy", col("r") * (lit(1.0) - col("s_ratio")) / 2.0)
+          // same scaling axes as FieldControlPipeline (Field Control.R:250,
+          // 304-311): unsquared s_ratio, no halving
+          .withColumn("sx", col("r") * (lit(1.0) + col("s_ratio")))
+          .withColumn("sy", col("r") * (lit(1.0) - col("s_ratio")))
         val grid = FieldControl.fieldGrid(s, 24, 12)
         val infl = k.crossJoin(broadcast(grid))
           .withColumn("influence", FieldControl.gaussianInfluence(
@@ -116,7 +118,7 @@ object MotionQueries extends QueryModule {
                  least(4.0 + pow(d_ball, 3) * 0.3, 10.0) AS r
           FROM k),
         k3 AS (
-          SELECT *, r * (1.0 + s_ratio) / 2.0 AS sx, r * (1.0 - s_ratio) / 2.0 AS sy
+          SELECT *, r * (1.0 + s_ratio) AS sx, r * (1.0 - s_ratio) AS sy
           FROM k2),
         g AS (
           SELECT gx.i * (120.0 / 24) AS grid_x, gy.j * (160.0 / 3.0 / 12) AS grid_y

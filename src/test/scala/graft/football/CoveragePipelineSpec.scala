@@ -48,6 +48,28 @@ class CoveragePipelineSpec extends AnyFunSuite {
     assert(math.abs(r - expected) < 1e-12)
   }
 
+  test("distanceAtArrival(firstArrivalOnly) keeps only each play's first arrival frame (E4)") {
+    import spark.implicits._
+    // two arrival frames per play — the disabled-in-reference E4 variant
+    // must keep only the earliest (Tutorial.R:194-195)
+    val df = Seq(
+      (1L, 10L, 4, "pass_arrived", 10.0, 10.0, 11.0, 11.0),
+      (1L, 10L, 6, "pass_outcome_caught", 12.0, 10.0, 12.5, 11.0),
+      (1L, 20L, 9, "pass_arrived", 20.0, 5.0, 21.0, 6.0),
+      (1L, 20L, 2, "ball_snap", 19.0, 5.0, 20.0, 6.0)
+    ).toDF("gameId", "playId", "frameId", "event", "x", "y", "xFootball", "yFootball")
+    val out = CoveragePipeline.distanceAtArrival(df, firstArrivalOnly = true)
+    val frames = out.select("playId", "frameId").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(frames === Set((10L, 4), (20L, 9)))
+    assert(out.columns.contains("distToFootball") && !out.columns.contains("minArrivalFrame"))
+  }
+
+  test("selectPlay returns None when fewer than k plays match (F2 slice semantics)") {
+    assert(CoveragePipeline.selectPlay(FootballFixtures.plays(spark), ".", 99).isEmpty)
+    assert(CoveragePipeline.selectPlay(FootballFixtures.plays(spark), "no_such_play", 1).isEmpty)
+  }
+
   test("withLineOfScrimmage attaches frame-1 ball x per play (§3.3 stage 1, Q2 scope)") {
     val std = CoveragePipeline.withBall(enriched)
     val withLos = CoveragePipeline.withLineOfScrimmage(std)

@@ -16,11 +16,12 @@ class FieldControlPipelineSpec extends AnyFunSuite {
     val vals = ctl.select("control").collect().map(_.getDouble(0))
     assert(vals.forall(v => v > 0.0 && v < 1.0))
     // near the lone home player in play (1,20) frame 1, home should dominate:
-    // control = 1/(1+exp(sum)) with home sgn=+1 → sum>0 → control<0.5
+    // home flips to sgn=−1 (Field Control.R:363-367), so
+    // control = 1/(1+exp(sum)) with sum<0 → control>0.5 (home control → 1)
     val nearHome = ctl.filter(col("playId") === 20 && col("frameId") === 1)
       .withColumn("d", graft.ops.Kinematics.dist(col("grid_x"), col("grid_y"), lit(40.0), lit(30.0)))
       .orderBy("d").select("control").head().getDouble(0)
-    assert(nearHome < 0.5)
+    assert(nearHome > 0.5)
   }
 
   test("mahalanobis pruning leaves the control surface unchanged at the safe cutoff") {

@@ -32,6 +32,9 @@ def values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        # byte-level like the driver's hash: -0.0 != +0.0
+        if a == 0.0 and b == 0.0:
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     return a == b
 
