@@ -35,7 +35,12 @@ object Bench {
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Queries that persist() intermediates can't unpersist before the
+      // terminal action runs here; drop their cached blocks now so cache
+      // pressure from one query never degrades the queries after it.
+      spark.sharedState.cacheManager.clearCache()
+      (name, elapsed, err)
     }
     // Failed queries are reported in "errors" (not timed as successes)
     // so a crash is never indistinguishable from a fast result.

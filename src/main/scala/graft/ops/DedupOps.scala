@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Distinct (scope…, doc_id, tok) unigrams of a text column. */
+  /** Distinct (scope…, doc_id, tok) unigrams of a text column. doc_id is
+    * unique, so the per-row `array_distinct` before the explode IS the
+    * global distinct — no shuffle at all (an `explode().distinct()`
+    * would shuffle every token row).
+    */
   def tokenSet(docs: DataFrame, textCol: String, scopeCols: Seq[String])(implicit s: SparkSession): DataFrame =
     docs.select((scopeCols :+ "doc_id").map(col) :+
-      explode(split(trim(col(textCol)), "\\s+")).as("tok"): _*).distinct()
+      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"): _*)
 
   /** k string-min md5 signatures per doc: min(md5(tok || '#' || seed)). */
   def minhashSignatures(toks: DataFrame, k: Int, scopeCols: Seq[String])(implicit s: SparkSession): DataFrame = {
@@ -28,6 +32,32 @@ object DedupOps {
     sig.withColumn("band", expr(s"seed div $rowsPerBand"))
       .groupBy((scopeCols ++ Seq("doc_id", "band")).map(col): _*)
       .agg(md5(concat(min(col("mh")), max(col("mh")))).as("band_hash"))
+
+  /** Fused [[minhashSignatures]]+[[lshBands]]: all k signature mins as
+    * agg columns of ONE groupBy (map-side partial combine, no k× row
+    * fan-out), band hashes derived with least/greatest (band min/max
+    * over `rowsPerBand` signature columns), then unpivoted to the same
+    * (scope…, doc_id, band, band_hash) long form. One keyed shuffle
+    * carrying |docs| rows instead of two carrying k·|docs| — the shape
+    * that holds at 100 TB. Semantics identical to the two-step path
+    * (DedupRecallSpec pins the equivalence).
+    */
+  def bandHashes(toks: DataFrame, k: Int, rowsPerBand: Int, scopeCols: Seq[String]): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val mins = (0 until k).map(seed =>
+      min(md5(concat(col("tok"), lit(s"#$seed")))).as(s"mh$seed"))
+    val sig = toks.groupBy((scopeCols :+ "doc_id").map(col): _*).agg(mins.head, mins.tail: _*)
+    val nBands = k / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val cs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(b.toLong).as("band"),
+        md5(concat(least(cs: _*), greatest(cs: _*))).as("band_hash"))
+    }
+    sig.select((scopeCols :+ "doc_id").map(col) :+
+      explode(array(bandStructs: _*)).as("bb"): _*)
+      .select((scopeCols :+ "doc_id").map(col) :+ col("bb.band").as("band") :+
+        col("bb.band_hash").as("band_hash"): _*)
+  }
 
   /** Distinct candidate pairs (d1 < d2) sharing any band bucket within
     * the same scope — the bounded-shuffle alternative to all-pairs.
@@ -52,12 +82,14 @@ object DedupOps {
     * included via `allDocs`.
     */
   def duplicateClusters(pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected edge list, both directions
-    // lazy checkpoints: the plan is cut (lineage stays flat across
-    // iterations) but materialization rides on the next action instead
-    // of costing one of its own
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    // Checkpoint the (expensive) pair pipeline ONCE, then mirror the
+    // checkpointed result — a union of two live branches would compute
+    // the whole upstream pipeline twice (no exchange reuse across the
+    // renamed branches). Lazy checkpoints: the plan is cut (lineage
+    // stays flat across iterations) but materialization rides on the
+    // next action instead of costing one of its own.
+    val p = pairs.select(col("d1").as("src"), col("d2").as("dst")).localCheckpoint(false)
+    val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(false)
     // only docs that appear in a pair need the iteration; the rest are
     // their own cluster by definition (usually the large majority)
@@ -77,6 +109,8 @@ object DedupOps {
       changed = updated.filter(col("cluster") =!= col("old_cluster")).count()
       labels = updated.select("doc_id", "cluster")
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[duplicateClusters] iter=$iter changed=$changed t=${System.nanoTime() / 1e9}")
     }
     val isolated = allDocs.select("doc_id")
       .join(pairedDocs, Seq("doc_id"), "left_anti")

@@ -112,8 +112,7 @@ object CorpusQueries extends QueryModule {
         // reused by signatures, sizes, and both intersection sides —
         // materialize once (no exchange reuse across renamed branches)
         val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope).persist()
-        val sig = graft.ops.DedupOps.minhashSignatures(toks, 8, scope)
-        val bands = graft.ops.DedupOps.lshBands(sig, 2, scope)
+        val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
         val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
         val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val t1 = toks.select(col("doc_id").as("d1"), col("tok"))
@@ -176,8 +175,7 @@ object CorpusQueries extends QueryModule {
         implicit val sp = s
         val scope = Seq("lang", "source")
         val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope).persist()
-        val sig = graft.ops.DedupOps.minhashSignatures(toks, 8, scope)
-        val bands = graft.ops.DedupOps.lshBands(sig, 2, scope)
+        val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
         val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
         val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val t1 = toks.select(col("doc_id").as("d1"), col("tok"))

@@ -20,11 +20,13 @@ import graft.ops.RelationalOps
   */
 object DedupQueries extends QueryModule {
 
-  /** Distinct (doc_id, token) pairs — the unigram set per document. */
+  /** Distinct (doc_id, token) pairs — the unigram set per document.
+    * doc_id is unique → per-row array_distinct replaces a global
+    * distinct shuffle (see DedupOps.tokenSet).
+    */
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
 
   def queries: Seq[(String, NamedQuery)] = Seq(
 
@@ -61,9 +63,9 @@ object DedupQueries extends QueryModule {
         // Catalyst can't reuse the exchange across the renamed branches,
         // so materialize it once (SURVEY.md §4: cache reused inputs)
         val sh = docs.select(col("doc_id"), col("lang"), col("source"),
-          explode(expr(
-            "transform(sequence(1, size(toks)-2), i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))"))
-            .as("shingle")).distinct().persist()
+          explode(array_distinct(expr(
+            "transform(sequence(1, size(toks)-2), i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))")))
+            .as("shingle")).persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val s1 = sh.select(col("doc_id").as("d1"), col("lang"), col("source"), col("shingle"))
         val s2 = sh.select(col("doc_id").as("d2"), col("lang"), col("source"), col("shingle"))
@@ -115,8 +117,7 @@ object DedupQueries extends QueryModule {
       fn = (s, d) => {
         implicit val sp = s
         val toks = docTokens(s, d)
-        val sig = graft.ops.DedupOps.minhashSignatures(toks, 8, Seq.empty)
-        val bands = graft.ops.DedupOps.lshBands(sig, 2, Seq.empty)
+        val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, Seq.empty)
         val buckets = bands.groupBy("band", "band_hash")
           .agg(count(lit(1)).as("bucket_size"))
         buckets.groupBy("band")

@@ -45,4 +45,16 @@ class DedupRecallSpec extends AnyFunSuite {
     info(f"MinHash band recall = $recall%.3f over ${nTruth.toInt} true pairs")
     assert(recall >= 0.7, f"band recall $recall%.3f below 0.7")
   }
+
+  test("fused bandHashes equals the two-step minhashSignatures+lshBands path") {
+    implicit val s = spark
+    val scope = Seq("lang", "source")
+    val toks = DedupOps.tokenSet(Tables.documents(spark, sf), "text", scope)
+    val twoStep = DedupOps.lshBands(DedupOps.minhashSignatures(toks, 8, scope), 2, scope)
+      .select("lang", "source", "doc_id", "band", "band_hash")
+    val fused = DedupOps.bandHashes(toks, 8, 2, scope)
+      .select("lang", "source", "doc_id", "band", "band_hash")
+    assert(twoStep.exceptAll(fused).isEmpty && fused.exceptAll(twoStep).isEmpty,
+      "fused band hashes diverge from the reference two-step formulation")
+  }
 }
