@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries, MotionQueries, EventQueries, TextQueries,
-    DedupQueries, SimilarityQueries, CoverageGapQueries, CorpusQueries)
+    DedupQueries, SimilarityQueries, CoverageGapQueries, CorpusQueries,
+    PipelineQueries)
 
   private lazy val all: Seq[(String, NamedQuery)] = modules.flatMap(_.queries)
 
