@@ -154,6 +154,142 @@ object PipelineQueries extends QueryModule {
         FROM orders
         GROUP BY CUBE(o_orderpriority, o_orderstatus)
         ORDER BY priority, status"""),
-      doc = "cube + grouping_id subtotal lattice (§2.D free extension)")
+      doc = "cube + grouping_id subtotal lattice (§2.D free extension)"),
+
+    // ---------------------------------------------------------------- q63
+    // Sequence packing (concat-and-chunk): lay documents end-to-end in
+    // doc_id order WITHIN each (lang, source) shard and cut fixed
+    // 256-token training chunks. Each doc's placement is an exclusive
+    // prefix sum — one keyed window per shard (never a global total
+    // order: shards pack independently and in parallel, which is what
+    // makes this runnable over 100 TB). All-integer → exact oracle.
+    "q63_sequence_packing" -> NamedQuery(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 256L
+        val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .withColumn("n_tokens", graft.ops.TextOps.tokenCount(col("text")))
+          .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("first_chunk", expr(s"offset div $budget"))
+          .withColumn("last_chunk", expr(s"(offset + n_tokens - 1) div $budget"))
+          .withColumn("n_chunks_spanned", col("last_chunk") - col("first_chunk") + 1L)
+          .select("doc_id", "lang", "source", "n_tokens", "offset",
+            "first_chunk", "n_chunks_spanned")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, lang, source, n_tokens, "offset",
+               "offset" // 256 AS first_chunk,
+               ("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1 AS n_chunks_spanned
+        FROM (
+          SELECT doc_id, lang, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 COALESCE(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+                   OVER (PARTITION BY lang, source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+          FROM documents)
+        ORDER BY doc_id"""),
+      doc = "sequence packing: sharded concat-and-chunk token budgeting (north-star)"),
+
+    // ---------------------------------------------------------------- q64
+    // TF-IDF: the highest-scoring term per document. tf = in-doc count,
+    // idf = ln(N/df) (rounded at 6 — transcendental); both shuffles are
+    // keyed (token / doc_id), df join is a broadcast-size aggregate.
+    "q64_tfidf_top_term" -> NamedQuery(
+      fn = (s, d) => {
+        val docs = Tables.documents(s, d)
+        val nDocs = docs.count() // bounded scalar (driver literal, like F5)
+        val tf = docs
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(df), Seq("tok"))
+          .withColumn("score", round(col("tf") * round(log(lit(nDocs.toDouble) / col("df")), 6), 6))
+        graft.ops.RelationalOps.topKPerGroup(
+          Seq("doc_id"), Seq(col("score").desc, col("tok").asc), 1)(scored)
+          .select("doc_id", "tok", "tf", "df", "score")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tf AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+        dfc AS (SELECT tok, COUNT(*) AS df FROM tfc GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, tok, tf, df,
+                 round(tf * round(ln(n_docs / CAST(df AS DOUBLE)), 6), 6) AS score
+          FROM tfc JOIN dfc USING (tok) CROSS JOIN n)
+        SELECT doc_id, tok, tf, df, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, tok ASC) AS rn FROM scored)
+        WHERE rn = 1
+        ORDER BY doc_id"""),
+      doc = "tf-idf top term per document (north-star text analysis)"),
+
+    // ---------------------------------------------------------------- q65
+    // Semantic dedup (SemDeDup shape): coarse-assign every embedding to
+    // its nearest centroid (broadcast, q40's quantizer), then ONLY
+    // within a cell mark vectors whose cosine to a lower-id cell member
+    // is ≥ 0.95 as drops. The candidate scan is cell-bucketed — the
+    // 100 TB path — never a global all-pairs.
+    "q65_semantic_dedup" -> NamedQuery(
+      fn = (s, d) => {
+        import graft.expr.GraftFunctions
+        GraftFunctions.register(s)
+        val v = Tables.embeddings(s, d)
+          .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+        val cents = v.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"), col("nrm").as("cent_nrm"))
+        val assigned = graft.ops.RelationalOps.topKPerGroup(
+          Seq("vec_id"), Seq(col("cent_cos").desc, col("cent_id").asc), 1)(
+          v.crossJoin(broadcast(cents))
+            .withColumn("cent_cos",
+              round(expr("vec_dot(embedding, cent_emb)") / (col("nrm") * col("cent_nrm")), 6)))
+          .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
+        val a = assigned.select(col("cell"), col("vec_id").as("v1"), col("embedding").as("emb1"), col("nrm").as("n1"))
+        val b = assigned.select(col("cell"), col("vec_id").as("v2"), col("embedding").as("emb2"), col("nrm").as("n2"))
+        val drops = a.join(b, Seq("cell")).filter(col("v1") < col("v2"))
+          .withColumn("cos", round(expr("vec_dot(emb1, emb2)") / (col("n1") * col("n2")), 6))
+          .filter(col("cos") >= 0.95)
+          .select(col("v2").as("vec_id")).distinct()
+        assigned.join(drops.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vecs"), sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"))
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+          FROM v ORDER BY vec_id LIMIT 8),
+        assigned AS (
+          SELECT vec_id, cell, emb, nrm
+          FROM (SELECT v.vec_id, c.cent_id AS cell, v.emb, v.nrm,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY round(list_dot_product(v.emb, c.cent_emb) / (v.nrm * c.cent_nrm), 6) DESC,
+                                  c.cent_id ASC) AS rn
+                FROM v CROSS JOIN cents c)
+          WHERE rn = 1),
+        drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.95),
+        flagged AS (
+          SELECT a.cell, a.vec_id,
+                 CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
+          FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id)
+        SELECT cell, COUNT(*) AS n_vecs, CAST(SUM(dropped) AS BIGINT) AS n_dropped
+        FROM flagged
+        GROUP BY cell
+        ORDER BY cell"""),
+      doc = "semantic dedup: centroid cells then in-cell cosine keeper (north-star scale path)")
   )
 }
