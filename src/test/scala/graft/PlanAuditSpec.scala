@@ -54,4 +54,29 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q11_event_filters")
     assert(p.contains("PushedFilters:") && p.contains("In(event_type"))
   }
+
+  test("q63 packing is ONE keyed window exchange over a pruned scan (no global sort before the window)") {
+    val p = plan("q63_sequence_packing")
+    // one hash exchange for the (lang, source) window; the only other
+    // exchange is the final presentation-order range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
+    assert(p.contains("windowspecdefinition(lang"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"))
+  }
+
+  test("q65 assigns centroids via broadcast and searches only within cells") {
+    val p = plan("q65_semantic_dedup")
+    // centroid fan-out is broadcast (both the assign crossJoin and the
+    // in-cell join build sides); no cartesian product anywhere
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("vec_dot"))
+  }
+
+  test("q61 multimodal decode path shuffles once on the media key") {
+    val p = plan("q61_media_features")
+    // repartition(media_id) + the groupBy(kind) partial/final agg
+    assert(p.contains("MapPartitions") || p.contains("mapPartitions") || p.contains("SerializeFromObject"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
 }
