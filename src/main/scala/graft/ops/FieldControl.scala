@@ -31,9 +31,15 @@ object FieldControl {
   /** I11 (Field Control.R:294-319 + 341-347), closed form. For rotation
     * R(θ) and scaling S(sx, sy): σ11 = sx²cos²θ + sy²sin²θ,
     * σ22 = sx²sin²θ + sy²cos²θ, σ12 = (sx²−sy²)·sinθ·cosθ,
-    * det Σ = sx²·sy². The density normalized by its own maximum (the
-    * reference's per-player window max, Field Control.R:346-347, which is
-    * attained at the mean) is exp(−½·[σ22·dx² − 2σ12·dx·dy + σ11·dy²]/det).
+    * det Σ = sx²·sy². Normalization: the reference divides each player's
+    * density by its max over the DISCRETE grid (Field Control.R:346-347);
+    * we normalize by the continuous maximum at μ — i.e. return
+    * exp(−½·[σ22·dx² − 2σ12·dx·dy + σ11·dy²]/det) directly. The two
+    * differ by a per-player factor of exp(+½·mahaSq(cell nearest μ))
+    * (= 1 exactly when the grid contains μ): a deliberate, documented
+    * deviation — the continuous form needs no second pass over the
+    * fan-out (the reference's window-max is an extra O(rows×cells)
+    * scan), and the per-cell ORDERING of influence is unchanged.
     */
   def gaussianInfluence(gx: Column, gy: Column, muX: Column, muY: Column,
                         theta: Column, sx: Column, sy: Column): Column =
