@@ -69,6 +69,49 @@ object DedupOps {
     b1.join(b2, joinCols).filter(col("d1") < col("d2")).select("d1", "d2").distinct()
   }
 
+  /** Exact unigram Jaccard on a candidate pair list, exploded-join
+    * form: intersection counts come from joining the (doc, tok) table
+    * onto the candidates and hash-aggregating — compact fixed-width
+    * shuffle rows, no per-pair array work. Wins when documents are
+    * SHORT (the candidates×tokens intermediate stays small). See
+    * [[jaccardOnCandidates]] for the long-document alternative; both
+    * return identical exact-integer Jaccard.
+    */
+  def jaccardExploded(toks: DataFrame, candidates: DataFrame): DataFrame = {
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val t1 = toks.select(col("doc_id").as("d1"), col("tok"))
+    val t2 = toks.select(col("doc_id").as("d2"), col("tok"))
+    candidates.join(t1, Seq("d1")).join(t2, Seq("d2", "tok"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("jacc", round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6))
+      .select("d1", "d2", "c", "n1", "n2", "jacc")
+  }
+
+  /** Exact unigram Jaccard on a candidate pair list, array form: each
+    * doc's token set is collected into ONE array row, then |A∩B| is a
+    * map-side `array_intersect` on the joined pair. Shuffles |docs|
+    * array rows instead of 2×|tokens| rows and never materializes the
+    * candidates×tokens intermediate — wins when documents are LONG
+    * (hundreds+ of tokens) relative to the candidate count. Counts are
+    * exact integers — Jaccard is bit-identical to [[jaccardExploded]].
+    */
+  def jaccardOnCandidates(toks: DataFrame, candidates: DataFrame): DataFrame = {
+    // persisted: both join branches (d1/d2) consume the same aggregate —
+    // without it the collect_set shuffle runs twice (callers' terminal
+    // action unpersists via the Bench/Verify per-query cache clear)
+    val arrs = toks.groupBy("doc_id").agg(collect_set(col("tok")).as("tokset")).persist()
+    candidates
+      .join(arrs.select(col("doc_id").as("d1"), col("tokset").as("ts1")), Seq("d1"))
+      .join(arrs.select(col("doc_id").as("d2"), col("tokset").as("ts2")), Seq("d2"))
+      .withColumn("c", size(array_intersect(col("ts1"), col("ts2"))).cast("long"))
+      .withColumn("n1", size(col("ts1")).cast("long"))
+      .withColumn("n2", size(col("ts2")).cast("long"))
+      .withColumn("jacc", round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6))
+      .select("d1", "d2", "c", "n1", "n2", "jacc")
+  }
+
   /** Duplicate clusters from a near-dup pair list: connected components
     * by iterative min-label propagation (each doc adopts the smallest
     * doc_id reachable so far; converges in O(component diameter)

@@ -114,15 +114,10 @@ object CorpusQueries extends QueryModule {
         val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope).persist()
         val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
         val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
-        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val t1 = toks.select(col("doc_id").as("d1"), col("tok"))
-        val t2 = toks.select(col("doc_id").as("d2"), col("tok"))
-        val inter = candidates.join(t1, Seq("d1")).join(t2, Seq("d2", "tok"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-        inter
-          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-          .withColumn("jacc", round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6))
+        // exploded-join Jaccard: these docs are short (~25 tokens), so
+        // the compact (doc, tok) shuffle beats per-pair array work —
+        // DedupOps.jaccardOnCandidates is the long-document alternative
+        graft.ops.DedupOps.jaccardExploded(toks, candidates)
           .filter(col("jacc") >= 0.5)
           .select("d1", "d2", "jacc")
           .orderBy("d1", "d2")
@@ -177,14 +172,8 @@ object CorpusQueries extends QueryModule {
         val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope).persist()
         val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
         val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
-        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val t1 = toks.select(col("doc_id").as("d1"), col("tok"))
-        val t2 = toks.select(col("doc_id").as("d2"), col("tok"))
-        val pairs = candidates.join(t1, Seq("d1")).join(t2, Seq("d2", "tok"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-          .filter(round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6) >= 0.5)
+        val pairs = graft.ops.DedupOps.jaccardExploded(toks, candidates)
+          .filter(col("jacc") >= 0.5)
           .select("d1", "d2")
         val docs = Tables.documents(s, d).select("doc_id")
         graft.ops.DedupOps.duplicateClusters(pairs, docs, maxIter = 15)
