@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Pretraining-corpus curation extensions (builder-prompt north-star):
+  * eval-set decontamination, repetition quality metrics, deterministic
+  * mixture sampling, RAG chunking, and unigram-LM scoring. All pure
+  * relational/column programs — every shuffle is keyed on doc_id or
+  * token (scales horizontally); the only broadcast sides are bounded
+  * (eval-set grams, vocabulary, single-row totals).
+  */
+object PretrainQueries extends QueryModule {
+
+  /** (doc_id, arr) with arr = whitespace token array. */
+  private def tokenArrays(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(trim(col("text")), "\\s+").as("arr"))
+
+  def queries: Seq[(String, NamedQuery)] = Seq(
+
+    // ---------------------------------------------------------------- q66
+    // Decontamination: flag training docs sharing any 5-gram with the
+    // eval set (docs with doc_id % 97 == 0 stand in for a benchmark
+    // suite). The n-gram generator is an array transform (no joins to
+    // build grams); eval grams are benchmark-sized -> broadcast, so the
+    // contamination check is a map-side hash join over the training
+    // grams — the shape that survives a 100 TB training side.
+    "q66_decontam" -> NamedQuery(
+      fn = (s, d) => {
+        val grams = tokenArrays(s, d)
+          .filter(size(col("arr")) >= 5)
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))"))
+              .as("gram"))
+          .distinct()
+        val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+          .select("gram").distinct()
+        grams.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(evalGrams), Seq("gram"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("gram")).as("n_shared_grams"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH arrs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(arr) - 3),
+                 i -> array_to_string(list_slice(arr, i, i + 4), ' '))) AS gram
+          FROM arrs WHERE len(arr) >= 5),
+        eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+        SELECT doc_id, COUNT(DISTINCT gram) AS n_shared_grams
+        FROM grams JOIN eval_grams USING (gram)
+        WHERE doc_id % 97 <> 0
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      doc = "eval-set decontamination via 5-gram overlap (north-star)"),
+
+    // ---------------------------------------------------------------- q67
+    // Repetition quality metrics (Gopher-style): duplicate-token
+    // fraction and most-frequent-bigram fraction per document, plus the
+    // keep/drop verdict. Bigram counting shuffles on (doc_id, bigram) —
+    // O(doc length) rows per doc, keyed, no global state.
+    "q67_repetition" -> NamedQuery(
+      fn = (s, d) => {
+        val base = tokenArrays(s, d)
+          .withColumn("n_toks", size(col("arr")).cast("long"))
+          .withColumn("n_distinct", size(array_distinct(col("arr"))).cast("long"))
+          .filter(col("n_toks") >= 2)
+        val top = base
+          .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+            explode(expr(
+              "transform(sequence(1, size(arr) - 1), i -> concat_ws(' ', slice(arr, i, 2)))"))
+              .as("bg"))
+          .groupBy("doc_id", "n_toks", "n_distinct", "bg")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "n_toks", "n_distinct")
+          .agg(max(col("c")).as("top_bigram_n"))
+        top
+          .withColumn("dup_token_frac",
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_toks"), 6))
+          .withColumn("top_bigram_frac",
+            round(col("top_bigram_n").cast("double") / (col("n_toks") - 1L), 6))
+          .withColumn("keep",
+            (col("dup_token_frac") <= 0.8 && col("top_bigram_frac") <= 0.2).cast("long"))
+          .select("doc_id", "n_toks", "dup_token_frac", "top_bigram_frac", "keep")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH arrs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents),
+        base AS (
+          SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_toks,
+                 CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct, arr
+          FROM arrs WHERE len(arr) >= 2),
+        bg AS (
+          SELECT doc_id, n_toks, n_distinct,
+                 unnest(list_transform(range(1, len(arr)),
+                   i -> array_to_string(list_slice(arr, i, i + 1), ' '))) AS bg
+          FROM base),
+        cnt AS (
+          SELECT doc_id, n_toks, n_distinct, bg, COUNT(*) AS c
+          FROM bg GROUP BY 1, 2, 3, 4),
+        top AS (
+          SELECT doc_id, n_toks, n_distinct, MAX(c) AS top_bigram_n
+          FROM cnt GROUP BY 1, 2, 3)
+        SELECT doc_id, n_toks,
+               round(1.0 - CAST(n_distinct AS DOUBLE) / n_toks, 6) AS dup_token_frac,
+               round(CAST(top_bigram_n AS DOUBLE) / (n_toks - 1), 6) AS top_bigram_frac,
+               CAST(CASE WHEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_toks, 6) <= 0.8
+                          AND round(CAST(top_bigram_n AS DOUBLE) / (n_toks - 1), 6) <= 0.2
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM top
+        ORDER BY doc_id"""),
+      doc = "Gopher-style repetition metrics + keep/drop verdict (north-star)"),
+
+    // ---------------------------------------------------------------- q68
+    // Deterministic mixture sampling: rebalance the language mix with
+    // per-lang keep rates applied via an md5 bucket of doc_id — the
+    // reproducible, cluster-order-independent form of "sample 30% of
+    // English" (no rand(), no global coordination; identical decision
+    // for a doc on any executor of any cluster size).
+    "q68_mixture_sample" -> NamedQuery(
+      fn = (s, d) => {
+        val h = md5(col("doc_id").cast("string"))
+        val bucket = (ascii(substring(h, 1, 1)) * 256
+          + ascii(substring(h, 2, 1)) * 16
+          + ascii(substring(h, 3, 1))) % 1000
+        val rate = when(col("lang") === "en", 300L)
+          .when(col("lang") === "de", 600L)
+          .otherwise(800L)
+        Tables.documents(s, d)
+          .withColumn("bucket", bucket.cast("long"))
+          .withColumn("rate", rate)
+          .filter(col("bucket") < col("rate"))
+          .select("doc_id", "lang", "bucket", "rate")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 16
+                     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 1000 AS BIGINT) AS bucket,
+                 CAST(CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 600 ELSE 800 END AS BIGINT) AS rate
+          FROM documents)
+        SELECT doc_id, lang, bucket, rate
+        FROM b
+        WHERE bucket < rate
+        ORDER BY doc_id"""),
+      doc = "deterministic per-lang mixture downsampling via md5 buckets (north-star)"),
+
+    // ---------------------------------------------------------------- q69
+    // RAG chunking: overlapping token windows (size 32, stride 24) with
+    // a content hash per chunk. Pure array arithmetic inside one
+    // codegen span — the chunker never shuffles; output is the chunk
+    // catalog an embedding stage would consume.
+    "q69_rag_chunks" -> NamedQuery(
+      fn = (s, d) => {
+        tokenArrays(s, d)
+          .select(col("doc_id"), col("arr"),
+            explode(expr("sequence(1, size(arr), 24)")).as("start"))
+          .withColumn("chunk_idx", ((col("start") - 1L) / 24L).cast("long"))
+          .withColumn("chunk", expr("slice(arr, start, 32)"))
+          .withColumn("n_chunk_toks", size(col("chunk")).cast("long"))
+          .withColumn("chunk_hash", md5(concat_ws(" ", col("chunk"))))
+          .select("doc_id", "chunk_idx", "n_chunk_toks", "chunk_hash")
+          .orderBy("doc_id", "chunk_idx")
+      },
+      oracle = Some("""
+        WITH arrs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents),
+        st AS (
+          SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 24)) AS s
+          FROM arrs)
+        SELECT doc_id,
+               CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(arr, s, least(s + 31, len(arr)))) AS BIGINT) AS n_chunk_toks,
+               md5(array_to_string(list_slice(arr, s, least(s + 31, len(arr))), ' ')) AS chunk_hash
+        FROM st
+        ORDER BY doc_id, chunk_idx"""),
+      doc = "overlapping token-window RAG chunk catalog (north-star)"),
+
+    // ---------------------------------------------------------------- q70
+    // Unigram-LM document scoring (the cheap stand-in for a
+    // model-based quality filter): corpus unigram probabilities, then
+    // each doc's mean token log-probability. The vocabulary aggregate
+    // is O(vocab) -> broadcast; per-token logs are rounded then summed
+    // as DECIMAL so the mean is exact and order-independent at any
+    // parallelism.
+    "q70_unigram_logprob" -> NamedQuery(
+      fn = (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val total = vocab.agg(sum(col("cnt")).as("total"))
+        toks.join(broadcast(vocab), Seq("tok"))
+          .crossJoin(broadcast(total))
+          .withColumn("lp",
+            round(log(col("cnt").cast("double") / col("total")), 6)
+              .cast(DecimalType(28, 6)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(cnt) AS total FROM vocab)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               round(CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / total), 6) AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_logprob
+        FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      doc = "unigram-LM mean log-prob quality score per doc (north-star)")
+  )
+}

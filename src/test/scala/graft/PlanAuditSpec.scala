@@ -73,6 +73,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("vec_dot"))
   }
 
+  test("q66 checks contamination via broadcast (training grams never shuffle for the join)") {
+    val p = plan("q66_decontam")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string"))
+  }
+
+  test("q68 sampling is a map-only predicate (no hash exchange before the final sort)") {
+    val p = plan("q68_mixture_sample")
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert(p.contains("FileScan parquet"))
+  }
+
+  test("q70 broadcasts the vocabulary and the total (corpus side never re-shuffles for them)") {
+    val p = plan("q70_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"))
+  }
+
   test("q61 multimodal decode path shuffles once on the media key") {
     val p = plan("q61_media_features")
     // repartition(media_id) + the groupBy(kind) partial/final agg
