@@ -228,6 +228,101 @@ object CorpusQueries extends QueryModule {
         FROM labels
         GROUP BY cluster
         ORDER BY cluster"""),
-      doc = "duplicate clusters: iterative components vs recursive-CTE oracle (north-star)")
+      doc = "duplicate clusters: iterative components vs recursive-CTE oracle (north-star)"),
+
+    // ---------------------------------------------------------------- q73
+    // Incremental dedup — the continuous-ingest shape: a NEW batch
+    // (doc_id % 10 == 9 stands in for today's crawl) is checked against
+    // the existing corpus, never corpus-vs-corpus. Exact dups match on
+    // the content fingerprint (one keyed join); near-dups go through
+    // MinHash bands scoped by (lang, source) with the band join
+    // restricted to new×old, then exact Jaccard ≥ 0.5 verifies only
+    // those candidates. At 100 TB the corpus side is a bucketed/static
+    // table and each day's batch streams through this exact plan.
+    "q73_incremental_dedup" -> NamedQuery(
+      fn = (s, d) => {
+        implicit val sp = s
+        val scope = Seq("lang", "source")
+        val docs = Tables.documents(s, d)
+        val isNew = col("doc_id") % 10 === 9
+        val fp = docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+        val exact = fp.filter(isNew).select(col("doc_id"), col("fp"))
+          .join(fp.filter(!isNew).select(col("doc_id").as("old_id"), col("fp")), Seq("fp"))
+          .groupBy("doc_id").agg(min(col("old_id")).as("exact_match"))
+        val toks = graft.ops.DedupOps.tokenSet(docs, "text", scope).persist()
+        val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
+        val joinCols = scope ++ Seq("band", "band_hash")
+        val cand = bands.filter(isNew)
+          .select((joinCols :+ "doc_id").map(col): _*).withColumnRenamed("doc_id", "d1")
+          .join(bands.filter(!isNew)
+            .select((joinCols :+ "doc_id").map(col): _*).withColumnRenamed("doc_id", "d2"),
+            joinCols)
+          .select("d1", "d2").distinct()
+        val near = graft.ops.DedupOps.jaccardExploded(toks, cand)
+          .filter(col("jacc") >= 0.5)
+          .groupBy(col("d1").as("doc_id")).agg(min(col("d2")).as("near_match"))
+        docs.filter(isNew).select("doc_id")
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .withColumn("verdict",
+            when(col("exact_match").isNotNull, "exact_dup")
+              .when(col("near_match").isNotNull, "near_dup")
+              .otherwise("unique"))
+          .withColumn("match_id", coalesce(col("exact_match"), col("near_match"), lit(-1L)))
+          .select("doc_id", "verdict", "match_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH fp AS (
+          SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+        exact AS (
+          SELECT n.doc_id, MIN(o.doc_id) AS exact_match
+          FROM fp n JOIN fp o ON n.fp = o.fp
+          WHERE n.doc_id % 10 = 9 AND o.doc_id % 10 <> 9
+          GROUP BY n.doc_id),
+        toks AS (
+          SELECT DISTINCT doc_id, lang, source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, lang, source, seed, min(md5(tok || '#' || seed)) AS mh
+          FROM toks CROSS JOIN generate_series(0, 7) s(seed)
+          GROUP BY 1, 2, 3, 4),
+        bands AS (
+          SELECT doc_id, lang, source, seed // 2 AS band,
+                 md5(min(mh) || max(mh)) AS band_hash
+          FROM sig
+          GROUP BY doc_id, lang, source, seed // 2),
+        candidates AS (
+          SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+          FROM bands b1 JOIN bands b2
+            ON b1.lang = b2.lang AND b1.source = b2.source
+           AND b1.band = b2.band AND b1.band_hash = b2.band_hash
+          WHERE b1.doc_id % 10 = 9 AND b2.doc_id % 10 <> 9),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        inter AS (
+          SELECT c.d1, c.d2, COUNT(*) AS cnt
+          FROM candidates c
+          JOIN toks t1 ON t1.doc_id = c.d1
+          JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+          GROUP BY 1, 2),
+        near AS (
+          SELECT d1 AS doc_id, MIN(d2) AS near_match
+          FROM inter
+          JOIN sizes n1 ON d1 = n1.doc_id
+          JOIN sizes n2 ON d2 = n2.doc_id
+          WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5
+          GROUP BY d1)
+        SELECT d.doc_id,
+               CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+                    WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+                    ELSE 'unique' END AS verdict,
+               COALESCE(e.exact_match, nr.near_match, -1) AS match_id
+        FROM documents d
+        LEFT JOIN exact e ON d.doc_id = e.doc_id
+        LEFT JOIN near nr ON d.doc_id = nr.doc_id
+        WHERE d.doc_id % 10 = 9
+        ORDER BY d.doc_id"""),
+      doc = "incremental new-batch-vs-corpus dedup: exact + banded near-dup (north-star)")
   )
 }

@@ -184,6 +184,92 @@ object DedupQueries extends QueryModule {
         FROM sums
         ORDER BY doc_id"""
       },
-      doc = "16-bit SimHash fingerprint (north-star)")
+      doc = "16-bit SimHash fingerprint (north-star)"),
+
+    // ---------------------------------------------------------------- q71
+    // SimHash near-dup search, banded (the scale path q36's fingerprint
+    // exists for): a 32-bit simhash per doc, split into 4 bands of 8
+    // bits; only docs sharing a band value within the same (lang,
+    // source) scope become candidates (keyed join on the band bucket —
+    // never all-pairs), then the full 32-bit Hamming distance verifies
+    // candidates at ≤ 3. Banding guarantee: Hamming ≤ 3 over 4 bands
+    // forces ≥ 1 identical band (pigeonhole), so the candidate set has
+    // PERFECT recall at the threshold — unlike MinHash banding, which
+    // is probabilistic.
+    "q71_simhash_neardup" -> NamedQuery(
+      fn = (s, d) => {
+        val nBits = 32
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), col("source"), col("doc_id"),
+            explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+          .withColumn("h", md5(col("tok")))
+        val aggs = (0 until nBits).map { i =>
+          sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1)).as(s"s$i")
+        }
+        val bits = (0 until nBits).map(i => when(col(s"s$i") >= 0, "1").otherwise("0"))
+        val sh = toks.groupBy("lang", "source", "doc_id").agg(aggs.head, aggs.tail: _*)
+          .withColumn("simhash", concat(bits: _*))
+          .select("lang", "source", "doc_id", "simhash")
+        val bands = sh.select(col("lang"), col("source"), col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b.toLong).as("band"),
+              substring(col("simhash"), b * 8 + 1, 8).as("bits"))): _*)).as("bb"))
+          .select(col("lang"), col("source"), col("doc_id"), col("simhash"),
+            col("bb.band").as("band"), col("bb.bits").as("bits"))
+        val b1 = bands.select(col("lang"), col("source"), col("band"), col("bits"),
+          col("doc_id").as("d1"), col("simhash").as("sh1"))
+        val b2 = bands.select(col("lang"), col("source"), col("band"), col("bits"),
+          col("doc_id").as("d2"), col("simhash").as("sh2"))
+        val ham = (1 to nBits).map(i =>
+          when(substring(col("sh1"), i, 1) =!= substring(col("sh2"), i, 1), 1L).otherwise(0L))
+          .reduce(_ + _)
+        b1.join(b2, Seq("lang", "source", "band", "bits"))
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2", "sh1", "sh2").distinct()
+          .withColumn("hamming", ham)
+          .filter(col("hamming") <= 3L)
+          .select("d1", "d2", "hamming")
+          .orderBy("d1", "d2")
+      },
+      oracle = Some {
+        val sums = (0 until 32).map(i =>
+          s"CAST(SUM(CASE WHEN substring(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s$i")
+          .mkString(",\n                 ")
+        val bits = (0 until 32).map(i => s"CASE WHEN s$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+        val ham = (1 to 32).map(i =>
+          s"CASE WHEN substring(c.sh1, $i, 1) <> substring(c.sh2, $i, 1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH toks AS (
+          SELECT DISTINCT lang, source, doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents),
+        h AS (SELECT lang, source, doc_id, md5(tok) AS h FROM toks),
+        sums AS (
+          SELECT lang, source, doc_id,
+                 $sums
+          FROM h GROUP BY 1, 2, 3),
+        sh AS (SELECT lang, source, doc_id, $bits AS simhash FROM sums),
+        bands AS (
+          SELECT lang, source, doc_id, simhash, unnest(range(0, 4)) AS band
+          FROM sh),
+        bb AS (
+          SELECT lang, source, doc_id, simhash, band,
+                 substring(simhash, CAST(band * 8 + 1 AS INTEGER), 8) AS bits
+          FROM bands),
+        c AS (
+          SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2,
+                 b1.simhash AS sh1, b2.simhash AS sh2
+          FROM bb b1 JOIN bb b2
+            ON b1.lang = b2.lang AND b1.source = b2.source
+           AND b1.band = b2.band AND b1.bits = b2.bits
+           AND b1.doc_id < b2.doc_id)
+        SELECT c.d1, c.d2, CAST($ham AS BIGINT) AS hamming
+        FROM c
+        WHERE $ham <= 3
+        ORDER BY c.d1, c.d2"""
+      },
+      doc = "banded SimHash near-dup: pigeonhole candidates + Hamming verify (north-star scale path)")
   )
 }

@@ -231,6 +231,82 @@ object SimilarityQueries extends QueryModule {
         CROSS JOIN generate_series(0, 63) g(k)
         GROUP BY label, k
         ORDER BY label, pos"""),
-      doc = "per-label mean embedding (IVF centroid training; north-star)")
+      doc = "per-label mean embedding (IVF centroid training; north-star)"),
+
+    // ---------------------------------------------------------------- q72
+    // One k-means Lloyd iteration (the inner loop of IVF/SemDeDup
+    // centroid training) as a pure DataFrame program: assign every
+    // vector to its nearest of 8 seed centroids by squared L2
+    // (broadcast, rounded-before-argmin), then measure how far each
+    // centroid would move. The movement is computed from exact DECIMAL
+    // component sums — shift = sqrt(Σ_pos (Σv_p − n·old_p)²)/n — so the
+    // answer is bit-identical at any partition count (a double-sum mean
+    // would be order-dependent). Iterating = re-running with the new
+    // centroids; each round is one broadcast join + one keyed shuffle.
+    "q72_kmeans_step" -> NamedQuery(
+      fn = (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        GraftFunctions.register(s)
+        val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val cents = v.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+        val assigned = RelationalOps.topKPerGroup(
+          Seq("vec_id"), Seq(col("d2").asc, col("cent_id").asc), 1)(
+          v.crossJoin(broadcast(cents))
+            .withColumn("d2", round(
+              expr("vec_dot(embedding, embedding)")
+                - lit(2.0) * expr("vec_dot(embedding, cent_emb)")
+                + expr("vec_dot(cent_emb, cent_emb)"), 6)))
+          .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
+        val sums = assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("v").cast("double"), 6).cast(DecimalType(18, 6))).as("sv"))
+        val old = cents
+          .select(col("cent_id").as("cell"), posexplode(col("cent_emb")).as(Seq("pos", "ov")))
+          .withColumn("ovd", round(col("ov").cast("double"), 6).cast(DecimalType(18, 6)))
+        sums.join(old.select("cell", "pos", "ovd"), Seq("cell", "pos"))
+          .withColumn("dd", col("sv") - col("n") * col("ovd"))
+          .groupBy("cell")
+          .agg(max(col("n")).as("n_assigned"),
+            round(sqrt(sum(col("dd") * col("dd")).cast("double")) / max(col("n")), 6).as("shift"))
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM v ORDER BY vec_id LIMIT 8),
+        assigned AS (
+          SELECT vec_id, cell, emb FROM (
+            SELECT v.vec_id, c.cent_id AS cell, v.emb,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY round(list_dot_product(v.emb, v.emb)
+                               - 2.0 * list_dot_product(v.emb, c.cent_emb)
+                               + list_dot_product(c.cent_emb, c.cent_emb), 6) ASC,
+                              c.cent_id ASC) AS rn
+            FROM v CROSS JOIN cents c)
+          WHERE rn = 1),
+        comp AS (
+          SELECT cell, unnest(emb) AS val,
+                 unnest(range(0, len(emb))) AS pos
+          FROM assigned),
+        sums AS (
+          SELECT cell, pos, COUNT(*) AS n,
+                 SUM(CAST(round(val, 6) AS DECIMAL(18,6))) AS sv
+          FROM comp GROUP BY 1, 2),
+        old AS (
+          SELECT cent_id AS cell,
+                 CAST(round(unnest(cent_emb), 6) AS DECIMAL(18,6)) AS ovd,
+                 unnest(range(0, len(cent_emb))) AS pos
+          FROM cents),
+        diff AS (
+          SELECT s.cell, s.n, (s.sv - s.n * o.ovd) AS dd
+          FROM sums s JOIN old o ON o.cell = s.cell AND o.pos = s.pos)
+        SELECT cell, MAX(n) AS n_assigned,
+               round(sqrt(CAST(SUM(dd * dd) AS DOUBLE)) / MAX(n), 6) AS shift
+        FROM diff
+        GROUP BY cell
+        ORDER BY cell"""),
+      doc = "k-means Lloyd step: broadcast assign + exact-decimal centroid shift (north-star)")
   )
 }

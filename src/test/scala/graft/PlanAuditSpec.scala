@@ -91,6 +91,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"))
   }
 
+  test("q72 assigns centroids via broadcast; no cartesian product") {
+    val p = plan("q72_kmeans_step")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("vec_dot"))
+  }
+
+  test("q73 candidate generation joins band buckets (sort-merge or hash), never all-pairs") {
+    val p = plan("q73_incremental_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q61 multimodal decode path shuffles once on the media key") {
     val p = plan("q61_media_features")
     // repartition(media_id) + the groupBy(kind) partial/final agg
