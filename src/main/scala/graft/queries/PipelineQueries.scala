@@ -290,6 +290,74 @@ object PipelineQueries extends QueryModule {
         FROM flagged
         GROUP BY cell
         ORDER BY cell"""),
-      doc = "semantic dedup: centroid cells then in-cell cosine keeper (north-star scale path)")
+      doc = "semantic dedup: centroid cells then in-cell cosine keeper (north-star scale path)"),
+
+    // ---------------------------------------------------------------- q74
+    // STATEFUL streaming through the correctness gate: the
+    // flatMapGroupsWithState sessionizer (EventWindows.sessionize, the
+    // §2.J custom-state surface) runs as a real Structured Streaming
+    // query over the events file and must hash-match the batch
+    // lag+running-sum oracle. End-of-stream flush: every user gets one
+    // far-future sentinel EVENT, so the sessionizer's own gap logic
+    // closes the last real session inside the data batch — emission
+    // never waits on an event-time timeout plus no-data micro-batch
+    // (that timeout path still exists for genuinely unbounded runs;
+    // here processAllAvailable alone is deterministic). Sentinel
+    // "sessions" start at the sentinel timestamp and are filtered out.
+    "q74_stream_sessions" -> NamedQuery(
+      fn = (s, d) => {
+        import graft.streaming.EventWindows
+        implicit val sp = s
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("q74_events")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          dir.resolve("events.parquet"))
+        val raw = Tables.load(s, d, "events") // ts as nanos long
+        val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+        val sentinelNs = maxNs + 2L * 3600 * 1000000000L
+        raw.select(col("user_id")).distinct()
+          .select(lit(-1L).as("event_id"), lit(sentinelNs).as("ts"), col("user_id"),
+            lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+          .write.mode("overwrite").parquet(s"$dir/sentinels.parquet")
+        val stream = s.readStream.schema(raw.schema).parquet(s"$dir/*.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .as[EventWindows.Event]
+        // State-store partition count is captured from shuffle.partitions
+        // at query START and every partition pays a per-batch store
+        // commit: 8 partitions is plenty at this state size — 32 only
+        // multiplies commit overhead. Restore right after start (the
+        // setting is read once).
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try EventWindows.sessionize(stream).toDF()
+            .writeStream.outputMode(OutputMode.Append)
+            .format("memory").queryName("q74_stream_sessions").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.processAllAvailable() finally q.stop()
+        s.table("q74_stream_sessions")
+          .filter(col("session_start_us") < sentinelNs / 1000L)
+          .orderBy("user_id", "session_start_us")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+          FROM events),
+        m AS (
+          SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > ${30L * 60 * 1000 * 1000} THEN 1 ELSE 0 END AS new_session
+          FROM t),
+        sid AS (
+          SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM m)
+        SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events,
+               MAX(ts_us) - MIN(ts_us) AS span_us
+        FROM sid
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start_us"""),
+      doc = "stateful streaming sessionization vs the batch oracle (§2.J flatMapGroupsWithState)")
   )
 }

@@ -21,9 +21,19 @@ object EventWindows {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
+  /** Session accumulator; all times are epoch MICROseconds (the events
+    * table is ns-precision truncated to µs — ms would silently coarsen).
+    */
   final case class SessionState(count: Long, start: Long, last: Long)
 
-  final case class SessionOut(user_id: Long, n_events: Long, span_ms: Long)
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              n_events: Long, span_us: Long)
+
+  /** Epoch µs of a Timestamp (getTime is ms-truncated; go via Instant). */
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
 
   /** Tumbling 1-minute event-time counts with a 10-minute watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =
@@ -88,7 +98,7 @@ object EventWindows {
     */
   def sessionize(events: Dataset[Event])(implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
-    val gapMs = 30L * 60 * 1000
+    val gapUs = 30L * 60 * 1000 * 1000
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
@@ -98,18 +108,20 @@ object EventWindows {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, s.count, s.last - s.start))
+            Iterator.single(SessionOut(userId, s.start, s.count, s.last - s.start))
           } else {
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            // (µs, event_id) sort pins batch-internal order — identical
+            // to the batch formulation's lag() ORDER BY (q21/q74 oracle)
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var emitted = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(s.copy(count = s.count + 1, last = t))
                 case Some(s) =>
-                  emitted ::= SessionOut(userId, s.count, s.last - s.start)
+                  emitted ::= SessionOut(userId, s.start, s.count, s.last - s.start)
                   cur = Some(SessionState(1, t, t))
                 case None =>
                   cur = Some(SessionState(1, t, t))
@@ -117,7 +129,9 @@ object EventWindows {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // GroupState timeouts are ms-granular: round the µs
+              // deadline UP so a timeout never fires early
+              state.setTimeoutTimestamp(s.last / 1000L + gapUs / 1000L + 1L)
             }
             emitted.reverseIterator
           }

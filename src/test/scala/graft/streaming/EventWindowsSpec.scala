@@ -190,6 +190,6 @@ class EventWindowsSpec extends AnyFunSuite {
     q.stop()
     val rows = spark.table("sessions_out").as[EventWindows.SessionOut].collect()
     // the first session (3 events, 2-min span) must have been emitted
-    assert(rows.exists(r => r.user_id == 5 && r.n_events == 3 && r.span_ms == 2 * 60 * 1000))
+    assert(rows.exists(r => r.user_id == 5 && r.n_events == 3 && r.span_us == 2L * 60 * 1000 * 1000))
   }
 }
