@@ -358,6 +358,42 @@ object PipelineQueries extends QueryModule {
         FROM sid
         GROUP BY user_id, session_id
         ORDER BY user_id, session_start_us"""),
-      doc = "stateful streaming sessionization vs the batch oracle (§2.J flatMapGroupsWithState)")
+      doc = "stateful streaming sessionization vs the batch oracle (§2.J flatMapGroupsWithState)"),
+
+    // ---------------------------------------------------------------- q75
+    // Video frame sampling through the gate: every-4th-frame catalog
+    // from the multimodal surface (MultimodalOps.sampleFrames — a
+    // sequence+explode generator, not a driver loop), each sampled
+    // frame fingerprinted from its payload window via the deterministic
+    // stub (substring of the synthetic payload; a real codec would
+    // decode the frame here — plan shape unchanged). The fan-out is
+    // map-only; the payload attach is one keyed join.
+    "q75_frame_sample" -> NamedQuery(
+      fn = (s, d) => {
+        import graft.multimodal.MultimodalOps
+        val media = MultimodalOps.syntheticMedia(Tables.documents(s, d))
+        val frames = MultimodalOps.sampleFrames(media, 4)
+        frames
+          .join(Tables.documents(s, d).select(col("doc_id").as("media_id"), col("text")),
+            Seq("media_id"))
+          .withColumn("frame_idx", col("frame_idx").cast("long"))
+          .withColumn("frame_hash",
+            md5(substring(col("text"), (col("frame_idx") + 1).cast("int"), lit(32))))
+          .select("media_id", "frame_idx", "frame_hash")
+          .orderBy("media_id", "frame_idx")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT doc_id AS media_id, text,
+                 CAST(n_chars % 120 + 1 AS BIGINT) AS n_frames
+          FROM documents WHERE doc_id % 3 = 2),
+        f AS (
+          SELECT media_id, text, unnest(range(0, n_frames, 4)) AS frame_idx
+          FROM v)
+        SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               md5(substr(text, CAST(frame_idx + 1 AS INTEGER), 32)) AS frame_hash
+        FROM f
+        ORDER BY media_id, frame_idx"""),
+      doc = "multimodal frame sampling: every-4th-frame catalog + stub fingerprints (north-star)")
   )
 }
