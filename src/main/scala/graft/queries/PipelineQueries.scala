@@ -72,8 +72,16 @@ object PipelineQueries extends QueryModule {
             sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
           .select(unix_micros(col("window.start")).as("window_start_us"),
             col("event_type"), col("n_events"), col("sum_value"))
-        val q = windowed.writeStream.outputMode(OutputMode.Complete)
-          .format("memory").queryName("q60_stream_hourly").start()
+        // 8 state partitions (read once at query start): the windowed
+        // aggregate's state store pays a per-partition commit each
+        // batch — 32 partitions only multiply that overhead at this
+        // state size (same measurement as q74).
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try windowed.writeStream.outputMode(OutputMode.Complete)
+            .format("memory").queryName("q60_stream_hourly").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         try q.processAllAvailable() finally q.stop()
         s.table("q60_stream_hourly").orderBy("window_start_us", "event_type")
       },

@@ -503,7 +503,49 @@ object RelationalQueries extends QueryModule {
               FROM orders)
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
-      doc = "ntile quartiles per group (§2.E free extension)")
+      doc = "ntile quartiles per group (§2.E free extension)"),
+
+    // ---------------------------------------------------------------- q76
+    // Window-function breadth closure (§2.E "available free" row, the
+    // rest of it): lead (next-order gap), rank + percent_rank +
+    // cume_dist over customer spend, first/last value over an explicit
+    // frame — per customer, one keyed window shuffle serves all six
+    // functions (same spec ⇒ Catalyst plans a single Window exec).
+    "q76_window_breadth" -> NamedQuery(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") % 50 === 0)
+          .withColumn("next_days",
+            datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate")).cast("long"))
+          .withColumn("rk", rank().over(w).cast("long"))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("first_price", first(col("o_totalprice")).over(wf))
+          .withColumn("last_price", last(col("o_totalprice")).over(wf))
+          .select("o_custkey", "o_orderkey", "next_days", "rk", "pr", "cd",
+            "first_price", "last_price")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day', o_orderdate,
+                    lead(o_orderdate, 1) OVER w) AS BIGINT) AS next_days,
+               CAST(rank() OVER w AS BIGINT) AS rk,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd,
+               first_value(o_totalprice) OVER wf AS first_price,
+               last_value(o_totalprice) OVER wf AS last_price
+        FROM orders
+        WHERE o_custkey % 50 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey"""),
+      doc = "lead/rank/percent_rank/cume_dist/first/last in one window shuffle (§2.E closure)")
   )
 
   final case class LineSlim(l_returnflag: String, l_linenumber: Long)
