@@ -126,7 +126,7 @@ object PipelineQueries extends QueryModule {
                  round(list_sum(list_transform(range(1, length(text) + 1, 8),
                                                p -> ord(substr(text, p, 1)) / 255.0)), 6) AS f0
           FROM documents)
-        SELECT kind, COUNT(*) AS n_media, SUM(n_bytes) AS total_bytes,
+        SELECT kind, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
                CAST(SUM(CAST(f0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_f0
         FROM m
         GROUP BY kind
@@ -189,14 +189,14 @@ object PipelineQueries extends QueryModule {
       },
       oracle = Some("""
         SELECT doc_id, lang, source, n_tokens, "offset",
-               "offset" // 256 AS first_chunk,
-               ("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1 AS n_chunks_spanned
+               CAST("offset" // 256 AS BIGINT) AS first_chunk,
+               CAST(("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1 AS BIGINT) AS n_chunks_spanned
         FROM (
           SELECT doc_id, lang, source,
                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-                 COALESCE(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+                 CAST(COALESCE(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
                    OVER (PARTITION BY lang, source ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
           FROM documents)
         ORDER BY doc_id"""),
       doc = "sequence packing: sharded concat-and-chunk token budgeting (north-star)"),

@@ -15,6 +15,8 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pa_ds
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -24,6 +26,31 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
+
+
+def norm_type(t: pa.DataType) -> str:
+    """Canonical type label, dtype-STRICT where the driver's hash is.
+
+    The driver hashes typed values, so DuckDB HUGEINT (arrow
+    decimal128(38,0)) vs Spark BIGINT (int64) must FAIL here even when
+    the numbers agree. Only representation-level spellings that hash
+    identically are collapsed (large_string vs string, tz label on
+    timestamps, dictionary encoding)."""
+    if pa.types.is_dictionary(t):
+        t = t.value_type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    return str(t)
+
+
+def schema_types(schema: pa.Schema) -> dict:
+    return {f.name: norm_type(f.type) for f in schema}
 
 
 def values_equal(a, b) -> bool:
@@ -48,19 +75,30 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
+            spark_ds = pa_ds.dataset(f"{out_dir}/{name}", format="parquet")
+            got_types = schema_types(spark_ds.schema)
             got = canon(pd.read_parquet(f"{out_dir}/{name}"))
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
             continue
         try:
-            exp = canon(con.execute(sql).df())
+            exp_tbl = con.execute(sql).arrow()
+            exp_types = schema_types(exp_tbl.schema)
+            exp = canon(exp_tbl.to_pandas())
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {str(e)[:200]}")
             n_fail += 1
             continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns spark={list(got.columns)} duck={list(exp.columns)}")
+            n_fail += 1
+            continue
+        type_mismatch = {c: (got_types.get(c), exp_types.get(c))
+                         for c in got.columns
+                         if got_types.get(c) != exp_types.get(c)}
+        if type_mismatch:
+            print(f"FAIL {name}: dtype mismatch (spark, duck): {type_mismatch}")
             n_fail += 1
             continue
         if len(got) != len(exp):
