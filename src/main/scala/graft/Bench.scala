@@ -47,8 +47,17 @@ object Bench {
     val ok = results.filter(_._3.isEmpty)
     val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20),
+    // same as Verify — an exotic control char in an exception message must
+    // not produce an invalid BENCH json line.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val errs = results.collect { case (k, _, Some(m)) =>
-      s"\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
+      s"\"" + k + "\":" + q(m)
     }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

@@ -211,6 +211,32 @@ object EventQueries extends QueryModule {
         WHERE k IS NOT NULL
         GROUP BY event_type
         ORDER BY event_type"""),
-      doc = "JSON props extraction (§2.I extension)")
+      doc = "JSON props extraction (§2.I extension)"),
+
+    // ---------------------------------------------------------------- q79
+    // Skew-safe aggregation end-to-end (SURVEY.md §4 scale posture):
+    // events has only 5 event_type values, so a direct groupBy funnels
+    // ~1/5 of ALL rows through each of 5 reduce tasks no matter how many
+    // executors exist — the textbook hot-key shape. SkewOps.saltedAgg
+    // splits each key across 32 salt buckets (phase 1) and recombines
+    // (phase 2); decimal sums keep both phases order-independent so the
+    // result is bit-identical to the direct plan the oracle runs.
+    "q79_salted_hot_agg" -> NamedQuery(
+      fn = (s, d) => {
+        graft.ops.SkewOps.saltedAgg(
+          keys = Seq("event_type"), saltBuckets = 32,
+          aggs = Map("sum_value" ->
+            col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))))(
+          Tables.events(s, d))
+          .withColumn("sum_value", col("sum_value").cast("double"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      doc = "two-phase salted aggregation of a hot key (§4 skew posture, SkewOps)")
   )
 }

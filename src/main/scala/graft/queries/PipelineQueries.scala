@@ -402,6 +402,48 @@ object PipelineQueries extends QueryModule {
                md5(substr(text, CAST(frame_idx + 1 AS INTEGER), 32)) AS frame_hash
         FROM f
         ORDER BY media_id, frame_idx"""),
-      doc = "multimodal frame sampling: every-4th-frame catalog + stub fingerprints (north-star)")
+      doc = "multimodal frame sampling: every-4th-frame catalog + stub fingerprints (north-star)"),
+
+    // ---------------------------------------------------------------- q78
+    // STREAM-STREAM interval join through the correctness gate: the
+    // EventWindows.clickToPurchase attribution (both sides watermarked,
+    // event-time range condition bounding join state) runs as a real
+    // Structured Streaming self-join over the events file and must
+    // hash-match the batch DuckDB interval-join oracle. Inner-join rows
+    // emit as matches arrive — no sentinel needed (unlike q74's
+    // stateful flush); the watermark's role here is state CLEANUP, which
+    // is what keeps the buffered sides finite on an unbounded stream.
+    "q78_stream_attribution" -> NamedQuery(
+      fn = (s, d) => {
+        import graft.streaming.EventWindows
+        val dir = java.nio.file.Files.createTempDirectory("q78_events")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          dir.resolve("events.parquet"))
+        val schema = Tables.load(s, d, "events").schema // ts as nanos long
+        val stream = s.readStream.schema(schema).parquet(dir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val joined = EventWindows.clickToPurchase(stream)
+        // join state is keyed by user_id: 8 store partitions (see q74)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try joined.writeStream.outputMode(OutputMode.Append)
+            .format("memory").queryName("q78_stream_attribution").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.processAllAvailable() finally q.stop()
+        s.table("q78_stream_attribution")
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      oracle = Some(s"""
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               p.value AS purchase_value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) >= epoch_us(c.ts)
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + ${30L * 60 * 1000000L}
+        ORDER BY c.user_id, click_id, purchase_id"""),
+      doc = "stream-stream interval join vs the batch oracle (§2.J hardest shape)")
   )
 }

@@ -129,10 +129,12 @@ object PretrainQueries extends QueryModule {
     // for a doc on any executor of any cluster size).
     "q68_mixture_sample" -> NamedQuery(
       fn = (s, d) => {
+        // First 3 md5 hex digits as a uniform 0..4095 value, % 1000 —
+        // conv() parses the hex; DuckDB (no conv) mirrors it with
+        // per-digit ascii arithmetic. Keep rates then track the nominal
+        // 300/600/800 per-mille within the 4096%1000 remainder skew.
         val h = md5(col("doc_id").cast("string"))
-        val bucket = (ascii(substring(h, 1, 1)) * 256
-          + ascii(substring(h, 2, 1)) * 16
-          + ascii(substring(h, 3, 1))) % 1000
+        val bucket = conv(substring(h, 1, 3), 16, 10).cast("long") % 1000
         val rate = when(col("lang") === "en", 300L)
           .when(col("lang") === "de", 600L)
           .otherwise(800L)
@@ -144,13 +146,19 @@ object PretrainQueries extends QueryModule {
           .orderBy("doc_id")
       },
       oracle = Some("""
-        WITH b AS (
+        WITH hx AS (
           SELECT doc_id, lang,
-                 CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
-                     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 16
-                     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 1000 AS BIGINT) AS bucket,
+                 ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS a0,
+                 ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) AS a1,
+                 ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) AS a2
+          FROM documents),
+        b AS (
+          SELECT doc_id, lang,
+                 CAST(((a0 - CASE WHEN a0 >= 97 THEN 87 ELSE 48 END) * 256
+                     + (a1 - CASE WHEN a1 >= 97 THEN 87 ELSE 48 END) * 16
+                     + (a2 - CASE WHEN a2 >= 97 THEN 87 ELSE 48 END)) % 1000 AS BIGINT) AS bucket,
                  CAST(CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 600 ELSE 800 END AS BIGINT) AS rate
-          FROM documents)
+          FROM hx)
         SELECT doc_id, lang, bucket, rate
         FROM b
         WHERE bucket < rate

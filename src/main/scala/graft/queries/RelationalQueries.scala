@@ -545,7 +545,47 @@ object RelationalQueries extends QueryModule {
                wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         ORDER BY o_custkey, o_orderkey"""),
-      doc = "lead/rank/percent_rank/cume_dist/first/last in one window shuffle (§2.E closure)")
+      doc = "lead/rank/percent_rank/cume_dist/first/last in one window shuffle (§2.E closure)"),
+
+    // ---------------------------------------------------------------- q77
+    // H1/Q5 full shape (all coverages.R:186-188, 288-294): MULTI-measure
+    // wide pivot — 2 measures × 3 pinned names with zero-fill — through
+    // RelationalOps.pivotWide. 17k (l_orderkey, l_returnflag) groups
+    // hold >1 lineitem at sf0.01, so the min_by(measure, ord) collision
+    // pinning (the deterministic replacement for the reference's silent
+    // list-columns) is exercised on real collisions, not just the spec
+    // fixture. The order key must be UNIQUE within (group, name) or
+    // min_by ties are partition-order nondeterminism: l_linenumber alone
+    // collides in this data, so the pin is the composite
+    // (l_linenumber, l_partkey, l_suppkey) packed into one long (field
+    // widths hold to sf≈5000). Oracle: conditional arg_min aggregates.
+    "q77_pivot_measures" -> NamedQuery(
+      fn = (s, d) => {
+        val ord = col("l_linenumber").cast("long") * lit(100000000000000L) +
+          col("l_partkey") * lit(10000000L) + col("l_suppkey")
+        RelationalOps.pivotWide(
+          keys = Seq("l_orderkey"), nameCol = "l_returnflag",
+          names = Seq("A", "N", "R"),
+          measures = Seq("l_quantity", "l_extendedprice"),
+          orderCol = "__ord")(
+          Tables.lineitem(s, d).withColumn("__ord", ord))
+          .orderBy("l_orderkey")
+      },
+      oracle = Some("""
+        WITH l AS (
+          SELECT *, l_linenumber * 100000000000000 + l_partkey * 10000000 + l_suppkey AS ord
+          FROM lineitem)
+        SELECT l_orderkey,
+               COALESCE(arg_min(l_quantity, ord) FILTER (WHERE l_returnflag = 'A'), 0) AS l_quantity_A,
+               COALESCE(arg_min(l_quantity, ord) FILTER (WHERE l_returnflag = 'N'), 0) AS l_quantity_N,
+               COALESCE(arg_min(l_quantity, ord) FILTER (WHERE l_returnflag = 'R'), 0) AS l_quantity_R,
+               COALESCE(arg_min(l_extendedprice, ord) FILTER (WHERE l_returnflag = 'A'), 0) AS l_extendedprice_A,
+               COALESCE(arg_min(l_extendedprice, ord) FILTER (WHERE l_returnflag = 'N'), 0) AS l_extendedprice_N,
+               COALESCE(arg_min(l_extendedprice, ord) FILTER (WHERE l_returnflag = 'R'), 0) AS l_extendedprice_R
+        FROM l
+        GROUP BY l_orderkey
+        ORDER BY l_orderkey"""),
+      doc = "multi-measure wide pivot with min_by collision pinning (H1 + quirk Q5)")
   )
 
   final case class LineSlim(l_returnflag: String, l_linenumber: Long)
