@@ -26,9 +26,17 @@ object FieldControlPipeline {
     * 6-decimal rounding) while cutting most of the fan-out's
     * aggregation input on a full-size grid; `None` disables pruning.
     */
+  /** `gridNormalize`: normalize each player's influence by its max over
+    * the discrete grid (the reference's Field Control.R:346-347 form,
+    * via [[FieldControl.normalizeByGridMax]]) instead of the default
+    * continuous-max form. Changes absolute control values only when the
+    * grid doesn't contain a player's projected mean; per-cell ordering
+    * is identical either way.
+    */
   def playControl(spark: SparkSession, tracking: DataFrame,
                   nx: Int = 120, ny: Int = 53,
-                  pruneMahalanobis: Option[Double] = Some(12.0)): DataFrame = {
+                  pruneMahalanobis: Option[Double] = Some(12.0),
+                  gridNormalize: Boolean = false): DataFrame = {
     // ball position per frame for the radius model (C4/D8 pattern);
     // football rows themselves don't project influence (Field Control.R:230)
     val withBall = CoveragePipeline.withBall(Standardize.directionStandardize(tracking))
@@ -55,8 +63,15 @@ object FieldControlPipeline {
       case None => fanout
     }
     val keys = Seq("gameId", "playId", "frameId", "grid_x", "grid_y")
-    val aggd = pruned
-      .withColumn("influence", exp(lit(-0.5) * col("maha_sq")))
+    val influenced = pruned.withColumn("influence", exp(lit(-0.5) * col("maha_sq")))
+    // the max cell sits nearest μ, far inside any sane pruning cutoff,
+    // so the window max over pruned rows equals the full-grid max
+    val normalized =
+      if (gridNormalize)
+        FieldControl.normalizeByGridMax(
+          Seq("gameId", "playId", "frameId", "nflId"))(influenced)
+      else influenced
+    val aggd = normalized
       .groupBy(keys.map(col): _*)
       .agg(sum(col("influence") * col("sgn")).as("control_sum"))
     // restore cells whose every contribution was pruned: their sum is 0

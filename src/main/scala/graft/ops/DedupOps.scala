@@ -137,23 +137,35 @@ object DedupOps {
     // only docs that appear in a pair need the iteration; the rest are
     // their own cluster by definition (usually the large majority)
     val pairedDocs = edges.select(col("src").as("doc_id")).distinct().localCheckpoint(false)
-    var labels = pairedDocs.select(col("doc_id"), col("doc_id").as("cluster"))
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    // one min-label round: each doc adopts min(own, neighbors') cluster;
+    // lazy-checkpointed so lineage stays flat (materialized by the next
+    // convergence-count action downstream)
+    def propagate(labels: DataFrame): DataFrame = {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster", "n_cluster"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_cluster")).as("min_neighbor"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      labels.select("doc_id", "cluster").join(neighborMin, Seq("doc_id"), "left")
         .withColumn("new_cluster", least(col("cluster"), coalesce(col("min_neighbor"), col("cluster"))))
         .select(col("doc_id"), col("new_cluster").as("cluster"), col("cluster").as("old_cluster"))
-        .localCheckpoint(false) // materialized by the convergence count below
-      changed = updated.filter(col("cluster") =!= col("old_cluster")).count()
-      labels = updated.select("doc_id", "cluster")
-      iter += 1
+        .localCheckpoint(false)
+    }
+    var labels = pairedDocs.select(col("doc_id"), col("doc_id").as("cluster"))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // TWO propagation rounds per driver action: the count is the
+      // per-round fixed cost (job launch + full scan), and min-label
+      // propagation is monotone, so "the second round changed nothing"
+      // alone certifies the fixpoint — no changes are missed by not
+      // counting the first round.
+      val step2 = propagate(propagate(labels))
+      round += 2
+      val changed = step2.filter(col("cluster") =!= col("old_cluster")).count()
+      converged = changed == 0
+      labels = step2.select("doc_id", "cluster")
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[duplicateClusters] iter=$iter changed=$changed t=${System.nanoTime() / 1e9}")
+        System.err.println(s"[duplicateClusters] round=$round changed(last)=$changed t=${System.nanoTime() / 1e9}")
     }
     val isolated = allDocs.select("doc_id")
       .join(pairedDocs, Seq("doc_id"), "left_anti")

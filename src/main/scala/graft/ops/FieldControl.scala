@@ -68,6 +68,24 @@ object FieldControl {
     (s22 * dx * dx - lit(2.0) * s12 * dx * dy + s11 * dy * dy) / det
   }
 
+  /** Field Control.R:346-347 EXACTLY (E3): each player's influence
+    * divided by its max over the evaluated DISCRETE grid — the
+    * reference's normalization, selectable where parity with the
+    * reference's absolute values matters. The constant density factor
+    * 1/(2π√det) cancels in the division, so this equals
+    * dmvnorm(cell)/max(dmvnorm over grid) exactly. Differs from the
+    * default continuous form ([[gaussianInfluence]], which normalizes by
+    * the density at μ) by a per-player factor of
+    * exp(+½·min-over-grid maha²) — = 1 exactly when the grid contains μ.
+    * Costs one window shuffle+scan over the rows×cells fan-out (the
+    * reason the continuous form is the default).
+    */
+  def normalizeByGridMax(playerCols: Seq[String], influenceCol: String = "influence")(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(playerCols.map(col): _*)
+    df.withColumn(influenceCol, col(influenceCol) / max(col(influenceCol)).over(w))
+  }
+
   /** D3 + I5 + B3 sign flip (Field Control.R:357-373): team-signed sum of
     * influence per grid cell, squashed by the sigmoid
     * `control = 1 / (1 + exp(sum))`. `teamSign` is ±1 per input row.

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Guard rails for the declared O(n²) correctness baselines (q34 in-
+  * bucket all-pairs Jaccard, q37 brute-force cosine, q39 all-pairs
+  * near-dup). Those queries exist to ORACLE the scale paths (banded
+  * MinHash/SimHash, LSH buckets, IVF cells) — they must never be pointed
+  * at a corpus-scale input, where n² work is a silent cluster-killer.
+  * The guard fails fast instead (SCALING.md "all-pairs baselines").
+  */
+object ScaleGuards {
+
+  /** Rows above which an all-pairs baseline refuses to run. 50k rows is
+    * already ~1.25B pairs — far past any sane baseline/oracle run, and
+    * early enough that the failure costs seconds, not cluster-days.
+    */
+  val DefaultMaxAllPairsRows = 50000L
+
+  /** Fail fast if `df` is larger than the all-pairs bound. The check
+    * scans at most bound+1 rows (limit short-circuits — it never counts
+    * the full input), so the guard itself stays O(bound) at any scale.
+    * Deliberate larger runs can raise the bound via the session conf
+    * `spark.graft.allPairs.maxRows`.
+    */
+  def requireAllPairsSafe(df: DataFrame, what: String): DataFrame = {
+    val bound = df.sparkSession.conf
+      .getOption("spark.graft.allPairs.maxRows")
+      .map(_.toLong).getOrElse(DefaultMaxAllPairsRows)
+    val n = df.limit((bound + 1).toInt).count()
+    require(n <= bound,
+      s"$what is an O(n²) all-pairs correctness baseline; input exceeds " +
+        s"$bound rows (≥$n). Use its scale path (banded LSH / IVF cells) " +
+        "or raise spark.graft.allPairs.maxRows for a deliberate run.")
+    df
+  }
+}

@@ -55,10 +55,12 @@ object DedupQueries extends QueryModule {
     // |∩| / (|A|+|B|−|∩|) — exact integer counts, no float drift.
     "q34_ngram_jaccard" -> NamedQuery(
       fn = (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("source"),
-            split(trim(col("text")), "\\s+").as("toks"))
-          .filter(size(col("toks")) >= 3)
+        val docs = graft.ops.ScaleGuards.requireAllPairsSafe(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("source"),
+              split(trim(col("text")), "\\s+").as("toks"))
+            .filter(size(col("toks")) >= 3),
+          "q34_ngram_jaccard")
         // the shingle set feeds three consumers (sizes + both join sides);
         // Catalyst can't reuse the exchange across the renamed branches,
         // so materialize it once (SURVEY.md §4: cache reused inputs)

@@ -45,8 +45,9 @@ object SimilarityQueries extends QueryModule {
     // oracle; rank key = round(cos, 6) with vec-id tie-break).
     "q37_cosine_topk" -> NamedQuery(
       fn = (s, d) => {
-        val a = vecs(s, d).select(col("vec_id").as("v1"), col("embedding").as("emb1"), col("nrm").as("n1"))
-        val b = vecs(s, d).select(col("vec_id").as("v2"), col("embedding").as("emb2"), col("nrm").as("n2"))
+        val guarded = graft.ops.ScaleGuards.requireAllPairsSafe(vecs(s, d), "q37_cosine_topk")
+        val a = guarded.select(col("vec_id").as("v1"), col("embedding").as("emb1"), col("nrm").as("n1"))
+        val b = guarded.select(col("vec_id").as("v2"), col("embedding").as("emb2"), col("nrm").as("n2"))
         // compute each dot once on the upper triangle, then explode the
         // mirrored pair (cos is symmetric) — halves the dominant cost in
         // a single pass (a union of the same plan would recompute it)
@@ -122,9 +123,10 @@ object SimilarityQueries extends QueryModule {
     // cosine threshold (clusters share labels in the testdata).
     "q39_neardup_pairs" -> NamedQuery(
       fn = (s, d) => {
-        val a = vecs(s, d).select(col("vec_id").as("v1"), col("label").as("label_a"),
+        val guarded = graft.ops.ScaleGuards.requireAllPairsSafe(vecs(s, d), "q39_neardup_pairs")
+        val a = guarded.select(col("vec_id").as("v1"), col("label").as("label_a"),
           col("embedding").as("emb1"), col("nrm").as("n1"))
-        val b = vecs(s, d).select(col("vec_id").as("v2"), col("label").as("label_b"),
+        val b = guarded.select(col("vec_id").as("v2"), col("label").as("label_b"),
           col("embedding").as("emb2"), col("nrm").as("n2"))
         a.join(b, col("v1") < col("v2"))
           .withColumn("cos", round(expr("vec_dot(emb1, emb2)") / (col("n1") * col("n2")), 6))

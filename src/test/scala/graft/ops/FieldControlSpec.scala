@@ -61,6 +61,66 @@ class FieldControlSpec extends AnyFunSuite {
     assert(math.abs(got - expected) < 1e-9)
   }
 
+  test("normalizeByGridMax equals the reference's dmvnorm/grid-max formula (Field Control.R:346-347)") {
+    import spark.implicits._
+    // Two players (different μ/Σ/θ) over one 8×6 grid whose cells do NOT
+    // contain either μ — the case where the discrete form differs from
+    // the continuous default.
+    val players = Seq((1L, 10.3, 9.7, 0.4, 3.0, 1.5), (2L, 4.1, 12.9, 1.1, 2.0, 0.5))
+    val grid = for (i <- 0 until 8; j <- 0 until 6) yield (i * 1.7, j * 2.3)
+    val fanout = players.toDF("nflId", "mu_x", "mu_y", "theta", "sx", "sy")
+      .crossJoin(grid.toDF("grid_x", "grid_y"))
+      .withColumn("influence", FieldControl.gaussianInfluence(
+        col("grid_x"), col("grid_y"), col("mu_x"), col("mu_y"),
+        col("theta"), col("sx"), col("sy")))
+    val got = FieldControl.normalizeByGridMax(Seq("nflId"))(fanout)
+      .select("nflId", "grid_x", "grid_y", "influence")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    // reference formula, computed independently: full dmvnorm density
+    // (constant 1/(2π√det) included) divided by its max over the grid
+    def dmvnorm(gx: Double, gy: Double, muX: Double, muY: Double,
+                theta: Double, sx: Double, sy: Double): Double = {
+      val (c, s) = (math.cos(theta), math.sin(theta))
+      val (sx2, sy2) = (sx * sx, sy * sy)
+      val (s11, s22, s12) = (sx2 * c * c + sy2 * s * s, sx2 * s * s + sy2 * c * c, (sx2 - sy2) * s * c)
+      val det = sx2 * sy2
+      val (dx, dy) = (gx - muX, gy - muY)
+      math.exp(-0.5 * (s22 * dx * dx - 2 * s12 * dx * dy + s11 * dy * dy) / det) /
+        (2 * math.Pi * math.sqrt(det))
+    }
+    players.foreach { case (id, muX, muY, theta, sx, sy) =>
+      val dens = grid.map { case (gx, gy) => (gx, gy) -> dmvnorm(gx, gy, muX, muY, theta, sx, sy) }
+      val mx = dens.map(_._2).max
+      dens.foreach { case ((gx, gy), d) =>
+        assert(math.abs(got((id, gx, gy)) - d / mx) < 1e-12,
+          s"player $id cell ($gx,$gy)")
+      }
+      // the reference property: every player's grid max normalizes to exactly 1
+      assert(math.abs(grid.map { case (gx, gy) => got((id, gx, gy)) }.max - 1.0) < 1e-12)
+    }
+  }
+
+  test("playControl gridNormalize changes absolute control only via the per-player grid-max factor") {
+    val keys = Seq("gameId", "playId", "frameId", "grid_x", "grid_y")
+    val base = graft.football.FieldControlPipeline.playControl(
+      spark, graft.FootballFixtures.tracking(spark), nx = 12, ny = 6)
+      .select((keys :+ "control").map(col): _*)
+    val gridNorm = graft.football.FieldControlPipeline.playControl(
+      spark, graft.FootballFixtures.tracking(spark), nx = 12, ny = 6, gridNormalize = true)
+      .select((keys :+ "control").map(col): _*)
+    assert(gridNorm.count() === base.count())
+    val vals = gridNorm.select("control").collect().map(_.getDouble(0))
+    assert(vals.forall(v => v > 0.0 && v < 1.0))
+    // grid-max normalization scales each player's influence UP by ≥1
+    // (discrete max ≤ continuous max), pushing every |control_sum| up:
+    // cells keep their side of 0.5 — ordering semantics are unchanged
+    val joined = base.withColumnRenamed("control", "c0")
+      .join(gridNorm.withColumnRenamed("control", "c1"), keys)
+    val crossed = joined.filter(
+      (col("c0") - 0.5) * (col("c1") - 0.5) < -1e-12).count()
+    assert(crossed === 0, s"$crossed cells switched dominance under gridNormalize")
+  }
+
   test("teamControl sums signed influence and sigmoids into (0,1); sign-swap flips around 0.5 (D3/I5/B3)") {
     import spark.implicits._
     val df = Seq(
