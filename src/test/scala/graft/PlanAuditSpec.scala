@@ -104,6 +104,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q77 multi-measure pivot is the two-stage PivotFirst shape, partial+final at each stage") {
+    val p = plan("q77_pivot_measures")
+    // stage 1: min_by collision pinning keyed by (l_orderkey, l_returnflag);
+    // stage 2: pivotfirst rotation keyed by l_orderkey — both with map-side
+    // partials, no per-measure shuffles, nothing unkeyed
+    assert(p.contains("partial_min_by"))
+    assert(p.contains("partial_pivotfirst"))
+    assert("Exchange hashpartitioning\\(l_orderkey#\\d+L, l_returnflag".r.findAllIn(p).length === 1)
+    assert("Exchange hashpartitioning\\(l_orderkey#\\d+L, \\d".r.findAllIn(p).length === 1)
+  }
+
+  test("q79 salted aggregation is the two-phase shape: salt exchange below, key exchange above") {
+    val p = plan("q79_salted_hot_agg")
+    // phase 1 shuffles on (event_type, __salt) — the hot key split
+    // across salt buckets; phase 2 recombines on event_type alone
+    assert(p.contains("__salt"))
+    assert("Exchange hashpartitioning\\(event_type[^_]*__salt".r.findAllIn(p).nonEmpty)
+    assert("Exchange hashpartitioning\\(event_type#".r.findAllIn(p).nonEmpty)
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
   test("q61 multimodal decode path shuffles once on the media key") {
     val p = plan("q61_media_features")
     // repartition(media_id) + the groupBy(kind) partial/final agg
