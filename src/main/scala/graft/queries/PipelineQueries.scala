@@ -444,6 +444,86 @@ object PipelineQueries extends QueryModule {
          AND epoch_us(p.ts) >= epoch_us(c.ts)
          AND epoch_us(p.ts) <= epoch_us(c.ts) + ${30L * 60 * 1000000L}
         ORDER BY c.user_id, click_id, purchase_id"""),
-      doc = "stream-stream interval join vs the batch oracle (§2.J hardest shape)")
+      doc = "stream-stream interval join vs the batch oracle (§2.J hardest shape)"),
+
+    // ---------------------------------------------------------------- q80
+    // SLIDING windows through the gate: EventWindows.slidingCounts'
+    // shape (5-minute windows every minute — each event lands in 5
+    // overlapping windows) as a real Structured Streaming query,
+    // hash-matched to a batch oracle that materializes the same 5
+    // window starts per event with unnest(range(0,5)). Complete mode
+    // like q60: window finalization never depends on a trailing
+    // no-data batch advancing the watermark.
+    "q80_stream_sliding" -> NamedQuery(
+      fn = (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("q80_events")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          dir.resolve("events.parquet"))
+        val schema = Tables.load(s, d, "events").schema // ts as nanos long
+        val stream = s.readStream.schema(schema).parquet(dir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val windowed = stream
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("user_id"), col("n_events"))
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try windowed.writeStream.outputMode(OutputMode.Complete)
+            .format("memory").queryName("q80_stream_sliding").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.processAllAvailable() finally q.stop()
+        s.table("q80_stream_sliding").orderBy("window_start_us", "user_id")
+      },
+      oracle = Some("""
+        WITH slid AS (
+          SELECT user_id,
+                 ((epoch_us(ts) // 60000000) - unnest(range(0, 5))) * 60000000 AS window_start_us
+          FROM events)
+        SELECT window_start_us, user_id, COUNT(*) AS n_events
+        FROM slid
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      doc = "Structured Streaming sliding windows vs the batch oracle (§2.J)"),
+
+    // ---------------------------------------------------------------- q81
+    // STREAMING dedup through the gate: EventWindows.dedupStream
+    // (watermarked dropDuplicates — the streaming form of exact dedup
+    // q33; the watermark bounds dedup state to 10 minutes of keys) over
+    // the events file, projected to the (fp, ts_us) dedup keys so the
+    // output is deterministic regardless of which physical row
+    // dropDuplicates keeps. Fingerprint uses integer/string columns
+    // only — no float-to-string formatting to disagree on cross-engine.
+    "q81_stream_dedup" -> NamedQuery(
+      fn = (s, d) => {
+        import graft.streaming.EventWindows
+        val dir = java.nio.file.Files.createTempDirectory("q81_events")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          dir.resolve("events.parquet"))
+        val schema = Tables.load(s, d, "events").schema
+        val stream = s.readStream.schema(schema).parquet(dir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val deduped = EventWindows
+          .dedupStream(stream, keyCols = Seq("user_id", "event_type"))
+          .select(col("fp"), unix_micros(col("ts")).as("ts_us"))
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try deduped.writeStream.outputMode(OutputMode.Append)
+            .format("memory").queryName("q81_stream_dedup").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.processAllAvailable() finally q.stop()
+        s.table("q81_stream_dedup").orderBy("fp", "ts_us")
+      },
+      oracle = Some("""
+        SELECT DISTINCT md5(CAST(user_id AS VARCHAR) || '#' || event_type) AS fp,
+               epoch_us(ts) AS ts_us
+        FROM events
+        ORDER BY fp, ts_us"""),
+      doc = "streaming exact dedup (watermark-bounded state) vs the batch oracle (§2.J)")
   )
 }

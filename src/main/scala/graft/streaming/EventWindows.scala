@@ -86,9 +86,10 @@ object EventWindows {
     * watermark bounding the dedup state to 10 minutes of keys — the
     * property that keeps state finite on an unbounded stream.
     */
-  def dedupStream(events: DataFrame): DataFrame =
+  def dedupStream(events: DataFrame,
+                  keyCols: Seq[String] = Seq("user_id", "event_type", "value")): DataFrame =
     events
-      .withColumn("fp", md5(concat_ws("#", col("user_id"), col("event_type"), col("value"))))
+      .withColumn("fp", md5(concat_ws("#", keyCols.map(col): _*)))
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("fp", "ts")
 
