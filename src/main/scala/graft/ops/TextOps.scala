@@ -46,4 +46,24 @@ object TextOps {
         regexp_replace(text, "https?://\\S+", " "),
         "\\S+@\\S+\\.\\S+", " "),
       "[0-9]+", " ")
+
+  // PII patterns shared by the redactor and its counters. ASCII-only and
+  // RE2-compatible (no backrefs/lookaround), so Java regex and DuckDB
+  // agree on every match.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII redaction (north-star corpus compliance): emails, IPv4
+    * addresses, and phone-like digit groups each replaced by a typed
+    * placeholder. Order matters — emails first (they contain dots and
+    * digits), then IPs (dotted digits), then bare phone groups. Pure
+    * codegen'd regexp_replace chain, map-only at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 }

@@ -309,6 +309,52 @@ object SimilarityQueries extends QueryModule {
         FROM diff
         GROUP BY cell
         ORDER BY cell"""),
-      doc = "k-means Lloyd step: broadcast assign + exact-decimal centroid shift (north-star)")
+      doc = "k-means Lloyd step: broadcast assign + exact-decimal centroid shift (north-star)"),
+
+    // ---------------------------------------------------------------- q83
+    // Int8 symmetric quantization — the vector-DB ingest step (4× memory
+    // cut before ANN serving). Per vector: scale = max|x|/127, q_i =
+    // clamp(floor(x_i/scale + 0.5), ±127). floor(x+0.5) instead of
+    // round(): pure IEEE double ops are bit-identical across engines,
+    // while round()'s half-handling is engine-defined. Map-only (one
+    // projection over the embedding array — no shuffle before the
+    // presentation sort); output carries the quantized checksum + error
+    // stats, not the int8 payload.
+    "q83_int8_quantize" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.embeddings(s, d)
+          .withColumn("mx", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+          .withColumn("scale", expr("CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END"))
+          .withColumn("q", expr(
+            "transform(embedding, x -> CAST(greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) / scale + 0.5d))) AS INT))"))
+          .select(
+            col("vec_id"),
+            round(col("scale"), 6).as("scale_r"),
+            expr("CAST(aggregate(q, 0L, (acc, v) -> acc + v) AS BIGINT)").as("sum_q"),
+            expr("md5(array_join(q, ','))").as("q_md5"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        m AS (
+          SELECT vec_id, emb,
+                 list_max(list_transform(emb, x -> abs(x))) AS mx
+          FROM v),
+        sc AS (
+          SELECT vec_id, emb,
+                 CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+          FROM m),
+        q AS (
+          SELECT vec_id, scale,
+                 list_transform(emb, x ->
+                   CAST(greatest(-127.0, least(127.0, floor(x / scale + 0.5))) AS INTEGER)) AS qv
+          FROM sc)
+        SELECT vec_id, round(scale, 6) AS scale_r,
+               CAST(list_sum(qv) AS BIGINT) AS sum_q,
+               md5(array_to_string(qv, ',')) AS q_md5
+        FROM q
+        ORDER BY vec_id"""),
+      doc = "int8 symmetric embedding quantization, engine-exact (north-star vector ingest)")
   )
 }

@@ -140,6 +140,58 @@ object TextQueries extends QueryModule {
         FROM fps
         GROUP BY doc_id
         ORDER BY doc_id"""),
-      doc = "winnowing rolling-hash fingerprints (north-star)")
+      doc = "winnowing rolling-hash fingerprints (north-star)"),
+
+    // ---------------------------------------------------------------- q82
+    // PII redaction (north-star corpus compliance). The synthetic corpus
+    // contains no PII, so known positives are INJECTED deterministically
+    // (doc_id-derived email/phone/IP appended to the text — the same
+    // construction on both engines), then TextOps.redactPii must remove
+    // every one of them: the md5 is over the redacted text, and the
+    // residual-PII count must be zero for all rows. Map-only; the regex
+    // chain is RE2-compatible so Java and DuckDB agree on every match.
+    "q82_pii_redaction" -> NamedQuery(
+      fn = (s, d) => {
+        import graft.ops.TextOps
+        val synth = concat(
+          col("text"),
+          lit(" contact u"), col("doc_id"), lit("@ex-mail.com"),
+          lit(" call 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))
+        Tables.documents(s, d)
+          .withColumn("synth", synth)
+          .withColumn("redacted", TextOps.redactPii(col("synth")))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("synth"), lit(TextOps.EmailRe), lit(0))).cast("long").as("n_email"),
+            size(regexp_extract_all(col("synth"), lit(TextOps.Ipv4Re), lit(0))).cast("long").as("n_ip"),
+            size(regexp_extract_all(col("redacted"), lit("[A-Za-z0-9._%+-]+@|[0-9]{3}-[0-9]{4}|[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"), lit(0)))
+              .cast("long").as("n_residual_pii"),
+            md5(col("redacted")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH synth AS (
+          SELECT doc_id,
+                 text || ' contact u' || doc_id || '@ex-mail.com'
+                      || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' from 10.0.' || doc_id % 256 || '.7' AS s
+          FROM documents),
+        red AS (
+          SELECT doc_id, s,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                   '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS r
+          FROM synth)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(s, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(r, '[A-Za-z0-9._%+-]+@|[0-9]{3}-[0-9]{4}|[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_residual_pii,
+               md5(r) AS redacted_md5
+        FROM red
+        ORDER BY doc_id"""),
+      doc = "PII redaction with injected known positives, residual must be zero (north-star)")
   )
 }
