@@ -237,6 +237,87 @@ object EventQueries extends QueryModule {
         FROM events
         GROUP BY event_type
         ORDER BY event_type"""),
-      doc = "two-phase salted aggregation of a hot key (§4 skew posture, SkewOps)")
+      doc = "two-phase salted aggregation of a hot key (§4 skew posture, SkewOps)"),
+
+    // ---------------------------------------------------------------- q84
+    // Range join via bin-and-residual rewrite. Per event: count/sum of
+    // ALL events (any user) in the preceding 10 minutes — a GLOBAL
+    // trailing window. The two naive forms both die at scale: a window
+    // function needs a single ORDER BY ts partition (one task owns the
+    // whole stream), and Spark plans the raw θ-join as a nested-loop.
+    // The rewrite bins both sides into 10-minute buckets, joins on the
+    // bin key (each right row serves bins b and b+1 — one 2× explode),
+    // and applies the exact range as a residual filter: a keyed shuffle
+    // whose candidate set per row is ~2 bins, at any scale. Plan-pinned
+    // to never fall back to a nested loop.
+    "q84_range_join_binned" -> NamedQuery(
+      fn = (s, d) => {
+        val binUs = 600000000L // 10 minutes
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("ts_us").as("tu"), col("value"))
+        val left = e.select(col("event_id"), col("tu"),
+          expr(s"tu div $binUs").as("join_bin"))
+        val right = e
+          .select(col("tu").as("tu2"), col("value"),
+            explode(array(expr(s"tu div $binUs"),
+              expr(s"tu div $binUs") + 1L)).as("join_bin"))
+        val agg = left.join(right, Seq("join_bin"))
+          .filter(col("tu2") >= col("tu") - binUs && col("tu2") < col("tu"))
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_prev_10m"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("sum_prev_10m"))
+        e.select("event_id").join(agg, Seq("event_id"), "left")
+          .na.fill(0L, Seq("n_prev_10m")).na.fill(0.0, Seq("sum_prev_10m"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id, epoch_us(ts) AS tu, value FROM events)
+        SELECT a.event_id,
+               COUNT(b.event_id) AS n_prev_10m,
+               CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_prev_10m
+        FROM e a LEFT JOIN e b
+          ON b.tu >= a.tu - 600000000 AND b.tu < a.tu
+        GROUP BY a.event_id
+        ORDER BY a.event_id"""),
+      doc = "global trailing range join via bin + residual filter (the keyed scale path)"),
+
+    // ---------------------------------------------------------------- q85
+    // Exact quantiles as order statistics: per event_type, the p50/p90
+    // value at rank floor((n-1)·p)+1 (ALL-INTEGER rank arithmetic — no
+    // interpolation, so nothing depends on float evaluation order and
+    // the oracle matches bit-for-bit; interpolating percentile() differs
+    // per engine in ulp-level half-handling). One keyed window shuffle
+    // ranks, one aggregate extracts both ranks — the exact-quantile
+    // cost model at any scale: a sort per group key, never a global one.
+    "q85_exact_quantiles" -> NamedQuery(
+      fn = (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(
+            max(col("n")).as("n_rows"),
+            max(when(col("rn") === expr("(n - 1) div 2") + 1L, col("value"))).as("p50"),
+            max(when(col("rn") === expr("((n - 1) * 9) div 10") + 1L, col("value"))).as("p90"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT event_type, value,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value ASC, event_id ASC) AS BIGINT) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+        SELECT event_type, MAX(n) AS n_rows,
+               MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS p50,
+               MAX(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN value END) AS p90
+        FROM r
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      doc = "exact p50/p90 as order statistics, all-integer ranks (§2.D exact-quantile closure)")
   )
 }

@@ -125,6 +125,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial_count"))
   }
 
+  test("q83 quantization is map-only: no hash exchange before the presentation sort") {
+    val p = plan("q83_int8_quantize")
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert(p.contains("FileScan parquet"))
+  }
+
+  test("q84 range join is a keyed equi-join on the bin, never a nested loop") {
+    val p = plan("q84_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("join_bin"))
+  }
+
   test("q61 multimodal decode path shuffles once on the media key") {
     val p = plan("q61_media_features")
     // repartition(media_id) + the groupBy(kind) partial/final agg
