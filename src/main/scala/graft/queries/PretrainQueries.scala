@@ -197,6 +197,55 @@ object PretrainQueries extends QueryModule {
         ORDER BY doc_id, chunk_idx"""),
       doc = "overlapping token-window RAG chunk catalog (north-star)"),
 
+    // ---------------------------------------------------------------- q86
+    // Cross-document boilerplate removal (the C4/CCNet line-dedup op,
+    // distinct from doc-level dedup): non-overlapping 10-token segments
+    // hashed per doc, document frequency counted across the corpus, and
+    // any segment appearing in ≥2 docs dropped from every doc's kept
+    // token budget. Two keyed shuffles (segment hash, then doc_id); the
+    // df side is corpus-vocabulary-sized, so it stays a keyed JOIN —
+    // never a broadcast — which is the 100 TB shape (a production run
+    // would pre-filter df≥k into a semi-join side the same way).
+    "q86_boilerplate_segments" -> NamedQuery(
+      fn = (s, d) => {
+        val segs = tokenArrays(s, d)
+          .select(col("doc_id"), col("arr"),
+            explode(expr("sequence(1, size(arr), 10)")).as("start"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", expr("slice(arr, start, 10)"))).as("seg_hash"),
+            size(expr("slice(arr, start, 10)")).cast("long").as("seg_toks"))
+        val freq = segs.groupBy("seg_hash")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        segs.join(freq, Seq("seg_hash"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_segs"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boilerplate"),
+            sum(when(col("df") >= 2, lit(0L)).otherwise(col("seg_toks"))).as("kept_tokens"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH arrs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents),
+        st AS (
+          SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 10)) AS s
+          FROM arrs),
+        segs AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(arr, s, least(s + 9, len(arr))), ' ')) AS seg_hash,
+                 CAST(len(list_slice(arr, s, least(s + 9, len(arr)))) AS BIGINT) AS seg_toks
+          FROM st),
+        freq AS (
+          SELECT seg_hash, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
+        SELECT doc_id, COUNT(*) AS n_segs,
+               CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+               CAST(SUM(CASE WHEN df >= 2 THEN 0 ELSE seg_toks END) AS BIGINT) AS kept_tokens
+        FROM segs JOIN freq USING (seg_hash)
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      doc = "cross-doc boilerplate segment removal, C4/CCNet-style (north-star)"),
+
     // ---------------------------------------------------------------- q70
     // Unigram-LM document scoring (the cheap stand-in for a
     // model-based quality filter): corpus unigram probabilities, then
