@@ -318,6 +318,58 @@ object EventQueries extends QueryModule {
         FROM r
         GROUP BY event_type
         ORDER BY event_type"""),
-      doc = "exact p50/p90 as order statistics, all-integer ranks (§2.D exact-quantile closure)")
+      doc = "exact p50/p90 as order statistics, all-integer ranks (§2.D exact-quantile closure)"),
+
+    // ---------------------------------------------------------------- q87
+    // Time-series resampling + gap fill: a dense hourly grid per user
+    // (5-user stratum), hourly sums left-joined onto it, missing hours
+    // forward-filled with last_value(IGNORE NULLS). The grid is
+    // generated distributively (sequence+explode over the corpus hour
+    // range × users — never a driver loop) and the fill is one keyed
+    // window per user: the resample-then-carry shape that serves any
+    // per-entity time series at scale. Hours before a user's first
+    // event stay NULL on both engines (nothing to carry).
+    "q87_gap_fill" -> NamedQuery(
+      fn = (s, d) => {
+        val hourUs = 3600000000L
+        val e = Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts_us div $hourUs").as("h"), col("value"))
+        val stratum = e.filter(col("user_id") % 30 === 0)
+        val hourly = stratum.groupBy("user_id", "h")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("sv"))
+        val hours = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(explode(expr("sequence(h0, h1)")).as("h"))
+        val users = stratum.select("user_id").distinct()
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        users.crossJoin(broadcast(hours))
+          .join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("n_events", coalesce(col("n"), lit(0L)))
+          .withColumn("sum_ff", last(col("sv"), ignoreNulls = true).over(w))
+          .select(col("user_id"), (col("h") * hourUs).as("hour_us"),
+            col("n_events"), col("sum_ff"))
+          .orderBy("user_id", "hour_us")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) // 3600000000 AS h, value FROM events),
+        rng AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        hours AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM rng),
+        users AS (SELECT DISTINCT user_id FROM e WHERE user_id % 30 = 0),
+        hourly AS (
+          SELECT user_id, h, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+          FROM e WHERE user_id % 30 = 0 GROUP BY 1, 2),
+        grid AS (SELECT u.user_id, hh.h FROM users u CROSS JOIN hours hh)
+        SELECT g.user_id, g.h * 3600000000 AS hour_us,
+               CAST(COALESCE(hy.n, 0) AS BIGINT) AS n_events,
+               last_value(hy.sv IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_ff
+        FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
+        ORDER BY g.user_id, hour_us"""),
+      doc = "hourly resample + forward gap fill per user (time-series carry, §2.E extension)")
   )
 }

@@ -555,14 +555,21 @@ object RelationalQueries extends QueryModule {
     // pinning (the deterministic replacement for the reference's silent
     // list-columns) is exercised on real collisions, not just the spec
     // fixture. The order key must be UNIQUE within (group, name) or
-    // min_by ties are partition-order nondeterminism: l_linenumber alone
-    // collides in this data, so the pin is the composite
-    // (l_linenumber, l_partkey, l_suppkey) packed into one long (field
-    // widths hold to sf≈5000). Oracle: conditional arg_min aggregates.
+    // min_by ties are partition-order nondeterminism: the synthetic data
+    // is TPC-H-ISH, not strict — (l_linenumber, l_partkey, l_suppkey)
+    // genuinely duplicates within an order (e.g. orderkey 1294 at
+    // sf0.001) — so the pin is a fixed-width zero-padded string over
+    // those keys PLUS both measures (×100, exact at 2 decimals).
+    // Remaining ties then have identical measures and the pick is
+    // immaterial. Oracle: conditional arg_min on the same string.
     "q77_pivot_measures" -> NamedQuery(
       fn = (s, d) => {
-        val ord = col("l_linenumber").cast("long") * lit(100000000000000L) +
-          col("l_partkey") * lit(10000000L) + col("l_suppkey")
+        val ord = concat(
+          lpad(col("l_linenumber").cast("string"), 4, "0"),
+          lpad(col("l_partkey").cast("string"), 9, "0"),
+          lpad(col("l_suppkey").cast("string"), 9, "0"),
+          lpad(round(col("l_quantity") * 100).cast("long").cast("string"), 8, "0"),
+          lpad(round(col("l_extendedprice") * 100).cast("long").cast("string"), 12, "0"))
         RelationalOps.pivotWide(
           keys = Seq("l_orderkey"), nameCol = "l_returnflag",
           names = Seq("A", "N", "R"),
@@ -573,7 +580,12 @@ object RelationalQueries extends QueryModule {
       },
       oracle = Some("""
         WITH l AS (
-          SELECT *, l_linenumber * 100000000000000 + l_partkey * 10000000 + l_suppkey AS ord
+          SELECT *,
+                 lpad(CAST(l_linenumber AS VARCHAR), 4, '0')
+                 || lpad(CAST(l_partkey AS VARCHAR), 9, '0')
+                 || lpad(CAST(l_suppkey AS VARCHAR), 9, '0')
+                 || lpad(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR), 8, '0')
+                 || lpad(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 12, '0') AS ord
           FROM lineitem)
         SELECT l_orderkey,
                COALESCE(arg_min(l_quantity, ord) FILTER (WHERE l_returnflag = 'A'), 0) AS l_quantity_A,
@@ -585,7 +597,37 @@ object RelationalQueries extends QueryModule {
         FROM l
         GROUP BY l_orderkey
         ORDER BY l_orderkey"""),
-      doc = "multi-measure wide pivot with min_by collision pinning (H1 + quirk Q5)")
+      doc = "multi-measure wide pivot with min_by collision pinning (H1 + quirk Q5)"),
+
+    // ---------------------------------------------------------------- q88
+    // Partitioned write → partition-PRUNED read through the gate (A6 +
+    // §4 "partition pruning" made observable, not just spec'd): write
+    // documents hive-partitioned by lang, read back filtered to one
+    // lang — the scan must list only that partition directory
+    // (PartitionFilters, pinned in PlanAuditSpec), which at 100 TB is
+    // the difference between reading 1/5th and all of a table. The
+    // aggregate then verifies the round-trip content against the
+    // unpartitioned oracle.
+    "q88_partitioned_prune" -> NamedQuery(
+      fn = (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("q88_docs")
+        Tables.documents(s, d).write.mode("overwrite")
+          .partitionBy("lang").parquet(out.toString)
+        s.read.parquet(out.toString)
+          .filter(col("lang") === "en")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang", "source")
+      },
+      oracle = Some("""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE lang = 'en'
+        GROUP BY lang, source
+        ORDER BY lang, source"""),
+      doc = "hive-partitioned write + partition-pruned scan round trip (A6/§4)")
   )
 
   final case class LineSlim(l_returnflag: String, l_linenumber: Long)

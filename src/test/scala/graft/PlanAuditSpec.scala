@@ -138,6 +138,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("join_bin"))
   }
 
+  test("q88 reads only the filtered lang partition (PartitionFilters pruning)") {
+    val p = plan("q88_partitioned_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(lang"))
+    assert(p.contains("(lang#") && p.contains("= en)"))
+  }
+
   test("q61 multimodal decode path shuffles once on the media key") {
     val p = plan("q61_media_features")
     // repartition(media_id) + the groupBy(kind) partial/final agg
