@@ -28,4 +28,24 @@ object SkewOps {
       .agg(sum(col("__cnt")).as("n_rows"),
         aggs.keys.map(n => sum(col(s"__sum_$n")).as(n)).toSeq: _*)
   }
+
+  /** Salted shuffle join for a pathologically hot join key, for when
+    * BOTH sides are too big to broadcast and AQE's skew split (which
+    * only divides partitions, not one giant key) isn't enough: the fact
+    * side gets a deterministic salt in [0, saltBuckets) (hash of its
+    * non-key columns — NOT random, so replays/retries and the oracle
+    * stay stable), the dim side is replicated once per salt value, and
+    * the join runs on (key, salt) — the hot key's rows now spread over
+    * `saltBuckets` tasks. Row-identical to the unsalted equi-join.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+                 saltBuckets: Int, saltCols: Seq[String]): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", pmod(hash(saltCols.map(col): _*), lit(saltBuckets)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(replicatedDim,
+      saltedFact(factKey) === replicatedDim(dimKey) &&
+        saltedFact("__salt") === replicatedDim("__salt"))
+      .drop("__salt")
+  }
 }

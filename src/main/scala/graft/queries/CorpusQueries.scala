@@ -323,6 +323,59 @@ object CorpusQueries extends QueryModule {
         LEFT JOIN near nr ON d.doc_id = nr.doc_id
         WHERE d.doc_id % 10 = 9
         ORDER BY d.doc_id"""),
-      doc = "incremental new-batch-vs-corpus dedup: exact + banded near-dup (north-star)")
+      doc = "incremental new-batch-vs-corpus dedup: exact + banded near-dup (north-star)"),
+
+    // ---------------------------------------------------------------- q93
+    // Corpus-overlap audit: pairwise 5-gram Jaccard between SOURCES —
+    // the "how much does dataset A repeat dataset B" matrix read before
+    // fixing a pretraining mixture. Everything is keyed on the gram
+    // (distinct per source, then a self-join on gram whose fan-out is
+    // bounded by (#sources choose 2) per gram — never all-pairs over
+    // docs), so a 100 TB corpus costs two gram-keyed shuffles; the
+    // per-source size/intersection tables are #sources²-small.
+    "q93_source_overlap" -> NamedQuery(
+      fn = (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("source"), split(trim(col("text")), "\\s+").as("arr"))
+          .filter(size(col("arr")) >= 5)
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))"))
+            .as("gram"))
+          .distinct()
+        val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = grams.as("a")
+          .join(grams.as("b"), Seq("gram"))
+          .filter(col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+          .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+          .select(col("s1"), col("s2"), col("n_inter"),
+            round(col("n_inter").cast("double") /
+              (col("n1") + col("n2") - col("n_inter")), 6).as("jaccard"))
+          .orderBy("s1", "s2")
+      },
+      oracle = Some("""
+        WITH arrs AS (
+          SELECT source, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT source, unnest(list_transform(range(1, len(arr) - 3),
+                 i -> array_to_string(list_slice(arr, i, i + 4), ' '))) AS gram
+          FROM arrs WHERE len(arr) >= 5),
+        sizes AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY source),
+        inter AS (
+          SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_inter
+          FROM grams a JOIN grams b USING (gram)
+          WHERE a.source < b.source
+          GROUP BY 1, 2)
+        SELECT s1, s2, CAST(n_inter AS BIGINT) AS n_inter,
+               round(CAST(n_inter AS DOUBLE) / (z1.n + z2.n - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes z1 ON z1.source = s1
+        JOIN sizes z2 ON z2.source = s2
+        ORDER BY s1, s2"""),
+      doc = "pairwise source 5-gram Jaccard overlap matrix (north-star)")
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.Tables
-import graft.ops.RelationalOps
+import graft.ops.{RelationalOps, SkewOps}
 
 /** Relational operator coverage (SURVEY.md §2 classes A-H, F-G) expressed
   * over the driver's TPC-H-ish tables. Each query name carries the §2 op
@@ -627,7 +627,152 @@ object RelationalQueries extends QueryModule {
         WHERE lang = 'en'
         GROUP BY lang, source
         ORDER BY lang, source"""),
-      doc = "hive-partitioned write + partition-pruned scan round trip (A6/§4)")
+      doc = "hive-partitioned write + partition-pruned scan round trip (A6/§4)"),
+
+    // ---------------------------------------------------------------- q89
+    // Bucketed co-located join (§4 "bucketing for co-located joins" made
+    // observable): both sides written as 8-bucket tables on the join
+    // key, then sort-merge joined with ZERO join-side Exchange — the
+    // bucketed scans already satisfy the join's distribution
+    // requirement. At 100 TB this is THE repeated-join amortization:
+    // pay the shuffle once at write time, never again per query. The
+    // plan pin (PlanAuditSpec) asserts exactly one hashpartitioning
+    // Exchange in the whole plan — the post-join groupBy — and bucketed
+    // scans on both sides. merge hint keeps the small sf test data on
+    // the SMJ path a real cluster would take (no broadcast shortcut).
+    "q89_bucketed_join" -> NamedQuery(
+      fn = (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("q89_bkt")
+        s.sql("DROP TABLE IF EXISTS q89_orders")
+        s.sql("DROP TABLE IF EXISTS q89_customer")
+        Tables.orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$out/orders").mode("overwrite").saveAsTable("q89_orders")
+        Tables.customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$out/customer").mode("overwrite").saveAsTable("q89_customer")
+        s.table("q89_orders").hint("merge")
+          .join(s.table("q89_customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+          .orderBy("c_nationkey")
+      },
+      oracle = Some("""
+        SELECT c_nationkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey"""),
+      doc = "8-bucket co-located SMJ, zero join-side Exchange (§4 bucketing)"),
+
+    // ---------------------------------------------------------------- q90
+    // Salted shuffle join (§4 skew posture, the JOIN-side complement of
+    // q79's salted aggregation): lineitem salted deterministically on
+    // its non-key columns, orders replicated ×8, joined on
+    // (orderkey, salt). For a pathologically hot key — one viral
+    // document, one null-ish default id — AQE's skew split can divide a
+    // partition but not one giant key's sort run; salting spreads that
+    // key across 8 tasks by construction. Row-identical to the plain
+    // equi-join (the oracle IS the plain join); merge hint pins the
+    // big-big SMJ path.
+    "q90_salted_join" -> NamedQuery(
+      fn = (s, d) => {
+        SkewOps.saltedJoin(
+          Tables.lineitem(s, d),
+          Tables.orders(s, d).select("o_orderkey", "o_orderpriority").hint("merge"),
+          factKey = "l_orderkey", dimKey = "o_orderkey", saltBuckets = 8,
+          saltCols = Seq("l_linenumber", "l_partkey", "l_suppkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      doc = "deterministic-salt skew join, dim replicated x8 (§4 skew)"),
+
+    // ---------------------------------------------------------------- q91
+    // MERGE / upsert (CDC batch application): a deterministic change
+    // batch — updates for orderkey%7 (price bump, status 'U'), inserts
+    // for orderkey%13 (shifted key, status 'I') — applied onto the
+    // orders snapshot with ONE full-outer join on the key, change side
+    // winning via coalesce. This is the engine's answer to
+    // MERGE INTO without a table format: at 100 TB the base would be
+    // bucketed on the key (q89) so the apply join is co-located and the
+    // only shuffle is the (small) change batch. Output: post-merge
+    // per-status totals.
+    "q91_merge_upsert" -> NamedQuery(
+      fn = (s, d) => {
+        val base = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val upd = base.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("U").as("c_status"),
+            (col("o_totalprice") + 10).as("c_price"))
+        val ins = base.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("I").as("c_status"), col("o_totalprice").as("c_price"))
+        val changes = upd.unionByName(ins)
+        base.join(changes, Seq("o_orderkey"), "full_outer")
+          .select(
+            coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+            coalesce(col("c_price"), col("o_totalprice")).as("price"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_rows"), dsum(col("price")).as("sum_price"))
+          .orderBy("status")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        upd AS (
+          SELECT o_orderkey, 'U' AS c_status, o_totalprice + 10 AS c_price
+          FROM base WHERE o_orderkey % 7 = 0),
+        ins AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey, 'I' AS c_status, o_totalprice AS c_price
+          FROM base WHERE o_orderkey % 13 = 0),
+        chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        merged AS (
+          SELECT COALESCE(c.c_status, b.o_orderstatus) AS status,
+                 COALESCE(c.c_price, b.o_totalprice) AS price
+          FROM base b FULL JOIN chg c ON b.o_orderkey = c.o_orderkey)
+        SELECT status, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM merged
+        GROUP BY status
+        ORDER BY status"""),
+      doc = "CDC upsert via one full-outer apply join (MERGE shape)"),
+
+    // ---------------------------------------------------------------- q92
+    // Explicit GROUPING SETS through the native Dataset API (rollup is
+    // q20, cube is q62 — this closes the lattice triple with a HAND-
+    // PICKED set list, the form that matters at scale: a cube over k
+    // columns expands 2^k groupings, grouping sets pays only for the
+    // ones a dashboard actually reads).
+    "q92_grouping_sets" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.orders(s, d)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("gid"), col("n_orders"), col("sum_price"))
+          .orderBy("gid", "status", "priority")
+      },
+      oracle = Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, status, priority"""),
+      doc = "hand-picked grouping-sets lattice via native API (§2.D closure)")
   )
 
   final case class LineSlim(l_returnflag: String, l_linenumber: Long)

@@ -144,6 +144,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("(lang#") && p.contains("= en)"))
   }
 
+  test("q89 bucketed SMJ has zero join-side Exchange (only the post-join agg shuffles)") {
+    val p = plan("q89_bucketed_join")
+    assert(p.contains("SortMergeJoin"))
+    // the ONLY hash exchange is the groupBy(c_nationkey) after the join:
+    // both join inputs are 8-bucket scans that already satisfy the
+    // join's distribution requirement
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
+    assert(p.contains("Bucketed: true"))
+  }
+
+  test("q90 salted join spreads the key over (key, salt) and replicates the dim, no broadcast") {
+    val p = plan("q90_salted_join")
+    assert(p.contains("SortMergeJoin"))
+    assert(p.contains("__salt"))
+    assert(p.contains("Generate explode"))  // dim replicated across salts
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
   test("q61 multimodal decode path shuffles once on the media key") {
     val p = plan("q61_media_features")
     // repartition(media_id) + the groupBy(kind) partial/final agg
