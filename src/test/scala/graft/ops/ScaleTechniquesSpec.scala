@@ -27,6 +27,23 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("saltedJoin equals the plain equi-join at several bucket counts") {
+    import spark.implicits._
+    // hot key 1 carries 90% of the fact side
+    val fact = (1 to 2000).map(i => (if (i % 10 == 0) (i % 7).toLong + 2 else 1L, i.toLong))
+      .toDF("fk", "v")
+    val dim = (1 to 10).map(i => (i.toLong, s"d$i")).toDF("dk", "name")
+    val direct = fact.join(dim, col("fk") === col("dk"))
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (buckets <- Seq(1, 3, 8)) {
+      val salted = SkewOps.saltedJoin(fact, dim, "fk", "dk", buckets, Seq("v"))
+        .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(salted === direct, s"saltBuckets=$buckets")
+    }
+  }
+
   test("bucketed tables join without an exchange (co-located fact join)") {
     val wh = java.nio.file.Paths.get("target", "bucketing-test").toAbsolutePath
     // idempotence: the metastore (fresh derby per JVM) forgets the tables
