@@ -97,5 +97,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("top_k_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
       (exprs: Seq[Expression]) => GraftFunctions.topKBuilder(exprs)))
+    // conf-gated (spark.graft.rangeJoin.binWidth) range-join rewrite
+    e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
   }
 }

@@ -370,6 +370,44 @@ object EventQueries extends QueryModule {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_ff
         FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
         ORDER BY g.user_id, hour_us"""),
-      doc = "hourly resample + forward gap fill per user (time-series carry, §2.E extension)")
+      doc = "hourly resample + forward gap fill per user (time-series carry, §2.E extension)"),
+
+    // ---------------------------------------------------------------- q94
+    // The OPTIMIZER-RULE path of the binned range join (q84 is the same
+    // rewrite written by hand): the query is the NAÏVE range θ-join —
+    // every event against each sampled user's first-hour window, no
+    // equi-key — which Spark alone plans as a nested-loop/cartesian.
+    // With plans/BinnedRangeJoinRule installed and
+    // spark.graft.rangeJoin.binWidth set to the window width, Catalyst
+    // rewrites it to a bin equi-join + exact residual automatically;
+    // the user keeps the declarative BETWEEN form. Plan-pinned: no
+    // BroadcastNestedLoopJoin/CartesianProduct, __graft_bin keys +
+    // Generate explode present.
+    "q94_range_join_rule" -> NamedQuery(
+      fn = (s, d) => {
+        graft.plans.BinnedRangeJoinRule.install(s)
+        s.conf.set(graft.plans.BinnedRangeJoinRule.BinWidthKey, "3600000000")
+        val e = Tables.events(s, d).select(col("user_id"), col("ts_us"))
+        val windows = e.filter(col("user_id") % 20 === 0)
+          .groupBy(col("user_id").as("w_user"))
+          .agg(min(col("ts_us")).as("lo"))
+          .select(col("w_user"), col("lo"), (col("lo") + 3600000000L).as("hi"))
+        e.join(windows, col("ts_us") >= col("lo") && col("ts_us") <= col("hi"))
+          .groupBy("w_user")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("w_user")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        w AS (
+          SELECT user_id AS w_user, MIN(ts_us) AS lo, MIN(ts_us) + 3600000000 AS hi
+          FROM e WHERE user_id % 20 = 0 GROUP BY 1)
+        SELECT w_user, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM e JOIN w ON ts_us BETWEEN lo AND hi
+        GROUP BY w_user
+        ORDER BY w_user"""),
+      doc = "range theta-join auto-rewritten by BinnedRangeJoinRule (§5 Rule[LogicalPlan])")
   )
 }

@@ -162,6 +162,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"))
   }
 
+  test("q94 range theta-join is auto-rewritten to a binned equi-join (no nested loop)") {
+    val p = plan("q94_range_join_rule")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("__graft_bin"))        // rule's bin keys drive the join
+    assert(p.contains("Generate explode"))   // bounds side exploded over its bins
+  }
+
   test("q61 multimodal decode path shuffles once on the media key") {
     val p = plan("q61_media_features")
     // repartition(media_id) + the groupBy(kind) partial/final agg

@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** BinnedRangeJoinRule semantics: the rewrite must be EXACT (bin
+  * candidates are a superset, the residual filter restores equality
+  * with the naïve θ-join) for any sign of the data — truncating `div`
+  * is not floor for negatives, but monotonicity is all the proof needs.
+  */
+class BinnedRangeJoinRuleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def withRule[A](binWidth: Long)(body: => A): A = {
+    BinnedRangeJoinRule.install(spark)
+    spark.conf.set(BinnedRangeJoinRule.BinWidthKey, binWidth.toString)
+    try body
+    finally spark.conf.unset(BinnedRangeJoinRule.BinWidthKey)
+  }
+
+  private def fixtures = {
+    import spark.implicits._
+    // points across negative and positive ranges; intervals of mixed width
+    val points = (-500L to 500L by 7L).map(x => (x, s"p$x")).toDF("x", "tag")
+    val intervals = Seq(
+      (1L, -490L, -400L), (2L, -10L, 25L), (3L, 0L, 0L),
+      (4L, 100L, 399L), (5L, 350L, 360L), (6L, 480L, 600L))
+      .toDF("iid", "lo", "hi")
+    (points, intervals)
+  }
+
+  test("rewritten join returns exactly the naive theta-join rows (incl. negatives)") {
+    val (points, intervals) = fixtures
+    val cond = col("x") >= col("lo") && col("x") <= col("hi")
+    val expected = points.join(intervals, cond)
+      .select("iid", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(1L, 13L, 100L, 10000L)) {
+      val got = withRule(w) {
+        val df = points.join(intervals, cond).select("iid", "x")
+        assert(df.queryExecution.executedPlan.toString.contains("__graft_bin"),
+          s"rule did not fire at binWidth=$w")
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(got === expected, s"binWidth=$w")
+    }
+  }
+
+  test("rule is inert without the conf, and on joins with an equi-key") {
+    val (points, intervals) = fixtures
+    val cond = col("x") >= col("lo") && col("x") <= col("hi")
+    BinnedRangeJoinRule.install(spark)
+    // conf unset -> naive plan untouched
+    val p0 = points.join(intervals, cond).queryExecution.executedPlan.toString
+    assert(!p0.contains("__graft_bin"))
+    // extra equality conjunct -> strict matcher declines (already keyed)
+    val keyed = withRule(10L) {
+      points.withColumn("k", col("x") % 3)
+        .join(intervals.withColumn("k", col("iid") % 3), Seq("k"))
+        .queryExecution.executedPlan.toString
+    }
+    assert(!keyed.contains("__graft_bin"))
+  }
+}
