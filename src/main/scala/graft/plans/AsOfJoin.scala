@@ -1,0 +1,185 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.LongType
+
+/** Backward as-of join as a first-class operator — the full §5(c)
+  * extension ladder (logical node → strategy → physical exec), for the
+  * one shape where composing built-ins has the right ANSWER but the
+  * wrong PLAN: the two-table "attach the latest quote at or before each
+  * probe" join. The union+window encoding (q44's single-table form)
+  * shuffles probe and quote rows through one window and carries every
+  * quote column as a conditional lag; this operator instead
+  * hash-partitions each side on its keys, sorts (key, time) — both
+  * demands EnsureRequirements satisfies with ordinary exchanges, and
+  * both REUSABLE from bucketed/sorted layouts — then streams a
+  * per-partition two-pointer merge: O(|L| + |R|), constant memory (one
+  * retained match row), no per-row search.
+  *
+  * Semantics: LEFT OUTER, inclusive — each left row pairs with the
+  * right row of equal keys having the greatest time <= left time, or
+  * nulls. Left rows with NULL time and right rows with NULL time never
+  * match. Ties on (keys, time) on the right resolve to the last row in
+  * sort order (callers wanting determinism should pre-aggregate to
+  * unique (keys, time), as q95 does).
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override lazy val resolved: Boolean = childrenResolved &&
+    (leftKeys ++ rightKeys :+ leftTime :+ rightTime).forall(_.resolved)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition on the keys, sort (keys, time) — the same demands a
+  // sort-merge join makes, so AQE/EnsureRequirements handle them with
+  // standard exchanges (or none, over bucketed layouts)
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (leftKeys.isEmpty) AllTuples :: AllTuples :: Nil
+    else ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = BindReferences.bindReference(leftTime, lOut)
+    val rTimeExpr = BindReferences.bindReference(rightTime, rOut)
+    val keyTypes = leftKeys.map(_.dataType)
+    val outAttrs = output
+    val rWidth = rOut.length
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rWidth)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _          // next unconsumed right row
+        private var rHeadKey: UnsafeRow = _
+        private var rHeadTime: Long = _
+        private var lastMatch: InternalRow = _      // latest consumed right row
+        private var lastMatchKey: UnsafeRow = _
+
+        private def advanceRight(): Unit = {
+          rHead = null
+          while (rHead == null && rIter.hasNext) {
+            val r = rIter.next()
+            val t = rTimeExpr.eval(r)
+            if (t != null) {                        // null-time quotes never match
+              rHead = r.copy()
+              rHeadKey = rKeyProj(rHead).copy()
+              rHeadTime = t.asInstanceOf[Long]
+            }
+          }
+        }
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lt = lTimeExpr.eval(l)
+          if (lt == null) {
+            joined(l, nullRight)                    // null probe time: no match
+          } else {
+            val ltime = lt.asInstanceOf[Long]
+            var advancing = true
+            while (advancing && rHead != null) {
+              val cmp = keyOrd.compare(rHeadKey, lKey)
+              if (cmp < 0) {
+                advanceRight()                      // stale key: discard
+              } else if (cmp == 0 && rHeadTime <= ltime) {
+                lastMatch = rHead                   // candidate; later ones win
+                lastMatchKey = rHeadKey
+                advanceRight()
+              } else {
+                advancing = false                   // future key or future time
+              }
+            }
+            // lastMatch's time <= some earlier probe time <= ltime for the
+            // same key (probe times ascend within a key), so only the key
+            // must be re-checked
+            if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0) {
+              joined(l, lastMatch)
+            } else {
+              joined(l, nullRight)
+            }
+          }
+          resultProj(joined)
+        }
+      }
+    }
+  }
+}
+
+/** Public API + imperative strategy installation. */
+object AsOfJoinOps {
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+
+  /** Backward inclusive as-of join: each `left` row joined to the
+    * `right` row with equal `keys` and the greatest `rightTimeCol` <=
+    * `leftTimeCol` (LEFT OUTER; both time columns must be LongType —
+    * e.g. epoch micros). Column names must be disjoint apart from the
+    * shared key names; right key/time columns keep their names in the
+    * output.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val spark = left.sparkSession
+    install(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val lt = attr(lPlan, leftTimeCol)
+    val rt = attr(rPlan, rightTimeCol)
+    require(lt.dataType == LongType && rt.dataType == LongType,
+      s"as-of time columns must be LongType, got ${lt.dataType}/${rt.dataType}")
+    GraftBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)), lt, rt))
+  }
+}

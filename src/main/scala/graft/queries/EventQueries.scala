@@ -408,6 +408,46 @@ object EventQueries extends QueryModule {
         FROM e JOIN w ON ts_us BETWEEN lo AND hi
         GROUP BY w_user
         ORDER BY w_user"""),
-      doc = "range theta-join auto-rewritten by BinnedRangeJoinRule (§5 Rule[LogicalPlan])")
+      doc = "range theta-join auto-rewritten by BinnedRangeJoinRule (§5 Rule[LogicalPlan])"),
+
+    // ---------------------------------------------------------------- q95
+    // The custom PHYSICAL operator through the gate: two-table backward
+    // as-of join via plans/AsOfJoinExec (logical node → strategy →
+    // streaming two-pointer merge exec; §5(c) — q44 is the composed
+    // single-table form). Probes = non-signup events, quotes = signups
+    // pre-aggregated to unique (user, ts) so the backward match is
+    // deterministic. Checked against DuckDB's NATIVE ASOF LEFT JOIN —
+    // two independent as-of implementations agreeing row-for-row.
+    "q95_asof_operator" -> NamedQuery(
+      fn = (s, d) => {
+        val e = Tables.events(s, d)
+        val probes = e.filter(col("event_type") =!= "signup")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val quotes = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id").as("q_user"), col("ts_us").as("q_ts"))
+          .agg(max(col("value")).as("signup_value"))
+          .withColumnRenamed("q_user", "user_id")
+        graft.plans.AsOfJoinOps.asofJoin(
+          probes, quotes, Seq("user_id"), "ts_us", "q_ts")
+          // output = left ++ right; re-label the right key to disambiguate
+          .toDF("event_id", "user_id", "ts_us", "q_user", "q_ts", "signup_value")
+          .select(col("event_id"), col("user_id"), col("signup_value"),
+            (col("ts_us") - col("q_ts")).as("us_since_signup"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        probes AS (
+          SELECT event_id, user_id, ts_us FROM e WHERE event_type <> 'signup'),
+        quotes AS (
+          SELECT user_id, ts_us AS q_ts, MAX(value) AS signup_value
+          FROM e WHERE event_type = 'signup' GROUP BY 1, 2)
+        SELECT p.event_id, p.user_id, q.signup_value,
+               p.ts_us - q.q_ts AS us_since_signup
+        FROM probes p ASOF LEFT JOIN quotes q
+          ON p.user_id = q.user_id AND p.ts_us >= q.q_ts
+        ORDER BY p.event_id"""),
+      doc = "backward as-of join via custom AsOfJoinExec vs DuckDB native ASOF (§5(c))")
   )
 }

@@ -169,6 +169,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"))   // bounds side exploded over its bins
   }
 
+  test("q95 plans the custom AsOfJoinExec (one exchange+sort per side, no window fallback)") {
+    val p = plan("q95_asof_operator")
+    assert(p.contains("AsOfJoin"))
+    assert(!p.contains("Window"))  // not the union+window encoding
+  }
+
   test("q61 multimodal decode path shuffles once on the media key") {
     val p = plan("q61_media_features")
     // repartition(media_id) + the groupBy(kind) partial/final agg

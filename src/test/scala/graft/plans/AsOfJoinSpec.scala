@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** AsOfJoinExec semantics vs an independent SQL formulation (correlated
+  * max-per-probe), plus the operator's plan shape and edge cases: empty
+  * right, null times, keys present on only one side, multi-column keys.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def probes = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", 100L), (2L, "a", 205L), (3L, "a", 300L),
+      (4L, "b", 50L), (5L, "b", 500L),
+      (6L, "c", 10L),                      // key with no quotes at all
+      (7L, "a", 200L)                      // exactly equal to a quote time
+    ).toDF("pid", "k", "pt")
+  }
+
+  private def quotes = {
+    import spark.implicits._
+    Seq(
+      ("a", 90L, 1.0), ("a", 200L, 2.0), ("a", 290L, 3.0),
+      ("b", 60L, 4.0),                     // after probe 4, before probe 5
+      ("d", 5L, 9.0)                       // key with no probes
+    ).toDF("k2", "qt", "qv")
+  }
+
+  private def viaSql(): Set[(Long, Option[Long])] = {
+    probes.createOrReplaceTempView("asof_p")
+    quotes.createOrReplaceTempView("asof_q")
+    spark.sql("""
+      SELECT p.pid, q.qt
+      FROM asof_p p
+      LEFT JOIN (
+        SELECT p2.pid AS pid2, MAX(q2.qt) AS best
+        FROM asof_p p2 JOIN asof_q q2 ON p2.k = q2.k2 AND q2.qt <= p2.pt
+        GROUP BY p2.pid) b ON p.pid = b.pid2
+      LEFT JOIN asof_q q ON q.k2 = p.k AND q.qt = b.best
+      ORDER BY p.pid""")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+  }
+
+  test("asofJoin matches the correlated-max SQL formulation") {
+    val got = AsOfJoinOps.asofJoin(probes, quotes, Seq.empty, "pt", "qt")
+    // keyless as-of is legal but joins everything; here use keyed form
+    val keyed = AsOfJoinOps.asofJoin(probes.withColumnRenamed("k", "kk"),
+      quotes.withColumnRenamed("k2", "kk"), Seq("kk"), "pt", "qt")
+      .select(col("pid"), col("qt"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(keyed === viaSql())
+    assert(got.columns.toSeq ===
+      Seq("pid", "k", "pt", "k2", "qt", "qv")) // schema: left ++ right, right nullable
+  }
+
+  test("empty right side yields all-null matches; plan shows AsOfJoinExec") {
+    val empty = quotes.filter(lit(false))
+    val out = AsOfJoinOps.asofJoin(probes, empty, Seq.empty, "pt", "qt")
+    assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val rows = out.collect()
+    assert(rows.length === probes.count())
+    assert(rows.forall(_.isNullAt(4)))
+  }
+
+  test("inclusive match: probe at exactly a quote's time takes that quote") {
+    val keyed = AsOfJoinOps.asofJoin(probes.withColumnRenamed("k", "kk"),
+      quotes.withColumnRenamed("k2", "kk"), Seq("kk"), "pt", "qt")
+    val p7 = keyed.filter(col("pid") === 7L).select("qt").collect()
+    assert(p7.head.getLong(0) === 200L)
+  }
+
+  test("survives a repartition/sort already in place and larger data") {
+    import spark.implicits._
+    // 10k probes / 1k quotes over 20 keys — checks the merge across
+    // partition-internal key boundaries
+    val ps = (1 to 10000).map(i => (i.toLong, (i % 20).toString, (i * 7L) % 5000))
+      .toDF("pid", "kk", "pt")
+    val qs = (1 to 1000).map(i => ((i % 20).toString, (i * 31L) % 5000, i.toDouble))
+      .toDF("kk", "qt", "qv")
+    val viaOp = AsOfJoinOps.asofJoin(ps, qs.groupBy("kk", "qt").agg(max("qv").as("qv")),
+        Seq("kk"), "pt", "qt")
+      .select(col("pid"), col("qt"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    ps.createOrReplaceTempView("asof_p2")
+    qs.createOrReplaceTempView("asof_q2")
+    val viaSql2 = spark.sql("""
+      SELECT p.pid, MAX(q.qt) AS best
+      FROM asof_p2 p LEFT JOIN asof_q2 q ON p.kk = q.kk AND q.qt <= p.pt
+      GROUP BY p.pid""")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(viaOp === viaSql2)
+  }
+}
