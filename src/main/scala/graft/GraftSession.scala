@@ -22,6 +22,8 @@ object GraftSession {
     Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     GraftFunctions.register(spark)
+    graft.plans.BinnedRangeJoinRule.install(spark)   // inert until binWidth conf set
+    graft.plans.AsOfJoinOps.install(spark)
     spark
   }
 
