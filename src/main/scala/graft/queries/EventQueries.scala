@@ -448,6 +448,71 @@ object EventQueries extends QueryModule {
         FROM probes p ASOF LEFT JOIN quotes q
           ON p.user_id = q.user_id AND p.ts_us >= q.q_ts
         ORDER BY p.event_id"""),
-      doc = "backward as-of join via custom AsOfJoinExec vs DuckDB native ASOF (§5(c))")
+      doc = "backward as-of join via custom AsOfJoinExec vs DuckDB native ASOF (§5(c))"),
+
+    // ---------------------------------------------------------------- q96
+    // Ordered funnel (view → click → purchase): each stage's timestamp
+    // is the user's first qualifying event AT OR AFTER the previous
+    // stage — three keyed min-aggregates chained by user-keyed joins
+    // (each stage's frame shrinks, never grows; no window over the full
+    // event stream, no per-user collect). The sequential-pattern shape
+    // every product-analytics engine ships.
+    "q96_funnel" -> NamedQuery(
+      fn = (s, d) => {
+        val e = Tables.events(s, d).select("user_id", "ts_us", "event_type")
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_us")).as("view_ts"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id")).filter(col("ts_us") >= col("view_ts"))
+          .groupBy("user_id").agg(min(col("ts_us")).as("click_ts"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id")).filter(col("ts_us") >= col("click_ts"))
+          .groupBy("user_id").agg(min(col("ts_us")).as("purchase_ts"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .select(col("user_id"), col("view_ts"), col("click_ts"), col("purchase_ts"),
+            (col("purchase_ts") - col("view_ts")).as("us_view_to_purchase"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        s1 AS (SELECT user_id, MIN(ts_us) AS view_ts FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, MIN(ts_us) AS click_ts FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND ts_us >= view_ts GROUP BY 1),
+        s3 AS (SELECT e.user_id, MIN(ts_us) AS purchase_ts FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND ts_us >= click_ts GROUP BY 1)
+        SELECT user_id, view_ts, click_ts, purchase_ts,
+               purchase_ts - view_ts AS us_view_to_purchase
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        ORDER BY user_id"""),
+      doc = "view->click->purchase ordered funnel via chained keyed minima"),
+
+    // ---------------------------------------------------------------- q97
+    // Retention cohorts: users grouped by first-event week, activity
+    // counted per week offset — the (cohort, offset) matrix behind every
+    // retention curve. Day/week arithmetic stays all-integer on ts_us
+    // (identical div semantics both engines); two keyed shuffles (first
+    // event per user, then the distinct-user count per cell).
+    "q97_retention" -> NamedQuery(
+      fn = (s, d) => {
+        val dayUs = 86400000000L
+        val e = Tables.events(s, d)
+          .select(col("user_id"), expr(s"(ts_us div $dayUs) div 7").as("week"))
+        val cohort = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+        e.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS week FROM events),
+        cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1)
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM e JOIN cohort USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      doc = "first-week cohort x week-offset retention matrix")
   )
 }
