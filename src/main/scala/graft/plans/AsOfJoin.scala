@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.LongType
 
 /** Backward as-of join as a first-class operator — the full §5(c)
@@ -72,6 +73,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -82,6 +86,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val keyTypes = leftKeys.map(_.dataType)
     val outAttrs = output
     val rWidth = rOut.length
+    val numOutputRows = longMetric("numOutputRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -144,6 +149,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               joined(l, nullRight)
             }
           }
+          numOutputRows += 1
           resultProj(joined)
         }
       }

@@ -335,13 +335,16 @@ object CorpusQueries extends QueryModule {
     // per-source size/intersection tables are #sources²-small.
     "q93_source_overlap" -> NamedQuery(
       fn = (s, d) => {
+        // the distinct gram set feeds three consumers (sizes + both join
+        // sides) — persist so the corpus is tokenized once, not thrice
+        // (same pattern as q34's shingle set)
         val grams = Tables.documents(s, d)
           .select(col("source"), split(trim(col("text")), "\\s+").as("arr"))
           .filter(size(col("arr")) >= 5)
           .select(col("source"), explode(expr(
             "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))"))
             .as("gram"))
-          .distinct()
+          .distinct().persist()
         val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
         val inter = grams.as("a")
           .join(grams.as("b"), Seq("gram"))

@@ -281,6 +281,38 @@ object PretrainQueries extends QueryModule {
         FROM toks JOIN vocab USING (tok) CROSS JOIN tot
         GROUP BY doc_id
         ORDER BY doc_id"""),
-      doc = "unigram-LM mean log-prob quality score per doc (north-star)")
+      doc = "unigram-LM mean log-prob quality score per doc (north-star)"),
+
+    // ---------------------------------------------------------------- q98
+    // One BPE-style merge step: corpus-wide adjacent-pair frequencies,
+    // top 20 with a full deterministic tiebreak (count desc, pair asc)
+    // — the aggregate a tokenizer trainer computes once per merge
+    // round. One pair-keyed shuffle with map-side partial counts; the
+    // top-k is a 20-row TakeOrdered, never a global sort of the pair
+    // vocabulary.
+    "q98_bpe_merge_step" -> NamedQuery(
+      fn = (s, d) => {
+        tokenArrays(s, d)
+          .filter(size(col("arr")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(arr) - 1), i -> concat_ws(' ', slice(arr, i, 2)))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH arrs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents),
+        bg AS (
+          SELECT unnest(list_transform(range(1, len(arr)),
+                 i -> array_to_string(list_slice(arr, i, i + 1), ' '))) AS pair
+          FROM arrs WHERE len(arr) >= 2)
+        SELECT pair, COUNT(*) AS n
+        FROM bg GROUP BY pair
+        ORDER BY n DESC, pair ASC
+        LIMIT 20"""),
+      doc = "BPE merge-step candidate: corpus top-20 adjacent pairs (north-star)")
   )
 }
