@@ -81,6 +81,44 @@ object CoverageGapQueries extends QueryModule {
         ORDER BY user_id, event_id"""),
       doc = "E4 first-frame-per-group filter (Tutorial.R:194-195)"),
 
+    // ---------------------------------------------------------------- q29
+    // Latest-state compaction (the read-side complement of q91's
+    // upsert): one row per customer = their most recent order, pinned
+    // deterministically by (o_orderdate desc, o_orderkey desc) via
+    // max_by on a packed date+key long — the "current state from a
+    // change log" op every CDC consumer runs. One keyed aggregate, no
+    // window sort; at 100 TB this is a map-side-combining groupBy, not
+    // a row_number over the full history.
+    "q29_latest_state" -> NamedQuery(
+      fn = (s, d) => {
+        // epoch_day * 10^10 + orderkey: unique, monotone in (date, key)
+        val ord = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long") *
+          lit(10000000000L) + col("o_orderkey")
+        Tables.orders(s, d)
+          .withColumn("__ord", ord)
+          .groupBy("o_custkey")
+          .agg(
+            max_by(col("o_orderkey"), col("__ord")).as("last_orderkey"),
+            max_by(col("o_orderstatus"), col("__ord")).as("last_status"),
+            max_by(col("o_totalprice"), col("__ord")).as("last_price"),
+            max(col("o_orderdate")).as("last_orderdate"))
+          .orderBy("o_custkey")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT *, CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+                    * 10000000000 + o_orderkey AS ord
+          FROM orders)
+        SELECT o_custkey,
+               arg_max(o_orderkey, ord) AS last_orderkey,
+               arg_max(o_orderstatus, ord) AS last_status,
+               arg_max(o_totalprice, ord) AS last_price,
+               MAX(o_orderdate) AS last_orderdate
+        FROM o
+        GROUP BY o_custkey
+        ORDER BY o_custkey"""),
+      doc = "CDC latest-state compaction via max_by on packed (date, key)"),
+
     // ---------------------------------------------------------------- q41
     // K5 (all coverages.R:358-371): the per-class density ridge as its
     // data layer — fixed-width binned histogram per group (the plot sink
