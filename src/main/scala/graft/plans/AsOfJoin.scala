@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.LongType
 
-/** Backward as-of join as a first-class operator — the full §5(c)
+/** Backward as-of join as a first-class operator — the full §7.3(c)
   * extension ladder (logical node → strategy → physical exec), for the
   * one shape where composing built-ins has the right ANSWER but the
   * wrong PLAN: the two-table "attach the latest quote at or before each

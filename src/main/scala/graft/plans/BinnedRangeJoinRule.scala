@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.LongType
 
 /** Catalyst optimizer rule: rewrite a pure range θ-join into a binned
   * equi-join — the whole-plan form of q84's hand-written rewrite, and
-  * the (c)-tier extension point of SURVEY.md §5 (a `Rule[LogicalPlan]`
+  * the (c)-tier extension point of SURVEY.md §7.3 (a `Rule[LogicalPlan]`
   * where composing built-ins can't fix the PLAN even though it can fix
   * the ANSWER).
   *
@@ -95,8 +95,14 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
     val (pointChild, boundsChild) = if (pointIsLeft) (j.left, j.right) else (j.right, j.left)
     val binP = Alias(div(a, w), "__graft_bin_p")()
     val newPoint = Project(pointChild.output :+ binP, pointChild)
-    val seqExpr = new Sequence(div(lo, w), div(hi, w), Literal(1L))
+    // guard inverted/NULL intervals: the naïve join matches nothing
+    // there, but sequence(lo, hi, 1) with lo > hi THROWS — emit an
+    // empty bin array instead (If on a NULL predicate takes the else
+    // branch, so NULL bounds also fall through to no rows)
+    val rawSeq = new Sequence(div(lo, w), div(hi, w), Literal(1L))
       .withTimeZone(SQLConf.get.sessionLocalTimeZone)
+    val seqExpr = If(LessThanOrEqual(lo, hi), rawSeq,
+      Literal.create(Array.empty[Long], org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
     val binB = AttributeReference("__graft_bin_b", LongType, nullable = false)()
     val newBounds = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(binB), child = boundsChild)

@@ -408,12 +408,12 @@ object EventQueries extends QueryModule {
         FROM e JOIN w ON ts_us BETWEEN lo AND hi
         GROUP BY w_user
         ORDER BY w_user"""),
-      doc = "range theta-join auto-rewritten by BinnedRangeJoinRule (§5 Rule[LogicalPlan])"),
+      doc = "range theta-join auto-rewritten by BinnedRangeJoinRule (§7.3(c) Rule[LogicalPlan])"),
 
     // ---------------------------------------------------------------- q95
     // The custom PHYSICAL operator through the gate: two-table backward
     // as-of join via plans/AsOfJoinExec (logical node → strategy →
-    // streaming two-pointer merge exec; §5(c) — q44 is the composed
+    // streaming two-pointer merge exec; §7.3(c) — q44 is the composed
     // single-table form). Probes = non-signup events, quotes = signups
     // pre-aggregated to unique (user, ts) so the backward match is
     // deterministic. Checked against DuckDB's NATIVE ASOF LEFT JOIN —
@@ -448,7 +448,7 @@ object EventQueries extends QueryModule {
         FROM probes p ASOF LEFT JOIN quotes q
           ON p.user_id = q.user_id AND p.ts_us >= q.q_ts
         ORDER BY p.event_id"""),
-      doc = "backward as-of join via custom AsOfJoinExec vs DuckDB native ASOF (§5(c))"),
+      doc = "backward as-of join via custom AsOfJoinExec vs DuckDB native ASOF (§7.3(c))"),
 
     // ---------------------------------------------------------------- q96
     // Ordered funnel (view → click → purchase): each stage's timestamp

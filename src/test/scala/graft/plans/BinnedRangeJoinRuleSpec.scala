@@ -48,6 +48,35 @@ class BinnedRangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized: exact vs naive join, incl. inverted and zero-width intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val points = Seq.fill(300)((rnd.nextLong() % 1000, rnd.nextInt())).zipWithIndex
+      .map { case ((x, _), i) => (i.toLong, x) }.toDF("pid", "x")
+    val intervals = Seq.fill(40) {
+      val lo = rnd.nextLong() % 1000
+      // mix: proper, zero-width, and INVERTED (lo > hi) intervals —
+      // inverted must yield zero matches, not a sequence() error
+      val hi = rnd.nextInt(4) match {
+        case 0 => lo
+        case 1 => lo - 1 - rnd.nextInt(100)
+        case _ => lo + rnd.nextInt(300)
+      }
+      (lo, hi)
+    }.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("iid", "lo", "hi")
+    val cond = col("x") >= col("lo") && col("x") <= col("hi")
+    val expected = points.join(intervals, cond)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(7L, 64L, 1000L)) {
+      val got = withRule(w) {
+        points.join(intervals, cond).select("pid", "iid")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(got === expected, s"binWidth=$w")
+    }
+  }
+
   test("rule is inert without the conf, and on joins with an equi-key") {
     val (points, intervals) = fixtures
     val cond = col("x") >= col("lo") && col("x") <= col("hi")
