@@ -513,6 +513,69 @@ object EventQueries extends QueryModule {
         FROM e JOIN cohort USING (user_id)
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
-      doc = "first-week cohort x week-offset retention matrix")
+      doc = "first-week cohort x week-offset retention matrix"),
+
+    // ---------------------------------------------------------------- q99
+    // Sweep-line concurrency: peak simultaneous sessions per hour. The
+    // 30-min-gap sessions (q21's shape) become ±1 endpoint deltas, a
+    // running sum over the GLOBAL time order is the live-session count,
+    // and the hourly max is the concurrency curve — the classic
+    // interval-stabbing answer without any interval join at all. The
+    // global-order window is the one intentionally non-keyed step: the
+    // endpoint stream is |sessions|×2 rows (already aggregated), orders
+    // of magnitude smaller than events; at larger scale the same sweep
+    // runs per shard key (e.g. per tenant/day) exactly like this.
+    "q99_concurrency" -> NamedQuery(
+      fn = (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val sessions = Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+        val deltas = sessions.select(col("t0").as("ts"), lit(1L).as("delta"))
+          .unionByName(sessions.select((col("t1") + 1L).as("ts"), lit(-1L).as("delta")))
+          .groupBy("ts").agg(sum(col("delta")).as("d"))
+        val sweep = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+        deltas
+          .withColumn("live", sum(col("d")).over(sweep))
+          .withColumn("hour_bucket", expr(s"ts div ${HourUs}L"))
+          .groupBy("hour_bucket")
+          .agg(max(col("live")).as("peak_concurrent"))
+          .orderBy("hour_bucket")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+          FROM events),
+        m AS (
+          SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > ${30L * 60 * 1000 * 1000} THEN 1 ELSE 0 END AS new_session
+          FROM t),
+        sid AS (
+          SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM m),
+        sessions AS (
+          SELECT user_id, session_id, MIN(ts_us) AS t0, MAX(ts_us) AS t1
+          FROM sid GROUP BY 1, 2),
+        deltas AS (
+          SELECT ts, CAST(SUM(delta) AS BIGINT) AS d FROM (
+            SELECT t0 AS ts, 1 AS delta FROM sessions
+            UNION ALL
+            SELECT t1 + 1 AS ts, -1 AS delta FROM sessions)
+          GROUP BY ts),
+        sweep AS (
+          SELECT ts, CAST(SUM(d) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live
+          FROM deltas)
+        SELECT ts // ${HourUs} AS hour_bucket, MAX(live) AS peak_concurrent
+        FROM sweep
+        GROUP BY 1
+        ORDER BY 1"""),
+      doc = "sweep-line peak concurrent sessions per hour (interval stabbing, no join)")
   )
 }
