@@ -25,8 +25,8 @@ import org.apache.spark.sql.types.LongType
   *
   * Semantics: LEFT OUTER, inclusive — each left row pairs with the
   * right row of equal keys having the greatest time <= left time, or
-  * nulls. Left rows with NULL time and right rows with NULL time never
-  * match. Ties on (keys, time) on the right resolve to the last row in
+  * nulls. NULL never equals NULL (SQL equi-join semantics): rows with a
+  * NULL time OR a NULL key component on either side never match. Ties on (keys, time) on the right resolve to the last row in
   * sort order (callers wanting determinism should pre-aggregate to
   * unique (keys, time), as q95 does).
   */
@@ -108,9 +108,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           while (rHead == null && rIter.hasNext) {
             val r = rIter.next()
             val t = rTimeExpr.eval(r)
-            if (t != null) {                        // null-time quotes never match
+            val k = rKeyProj(r)
+            // SQL equi-join semantics: NULL times AND NULL keys never
+            // match (NULL = NULL is not true) — discard on consume
+            if (t != null && !k.anyNull) {
               rHead = r.copy()
-              rHeadKey = rKeyProj(rHead).copy()
+              rHeadKey = k.copy()
               rHeadTime = t.asInstanceOf[Long]
             }
           }
@@ -123,8 +126,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lt = lTimeExpr.eval(l)
-          if (lt == null) {
-            joined(l, nullRight)                    // null probe time: no match
+          if (lt == null || lKey.anyNull) {
+            joined(l, nullRight)                    // null probe time/key: no match
           } else {
             val ltime = lt.asInstanceOf[Long]
             var advancing = true
@@ -185,7 +188,17 @@ object AsOfJoinOps {
     val rt = attr(rPlan, rightTimeCol)
     require(lt.dataType == LongType && rt.dataType == LongType,
       s"as-of time columns must be LongType, got ${lt.dataType}/${rt.dataType}")
-    GraftBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)), lt, rt))
+    val lKeys = keys.map(attr(lPlan, _))
+    val rKeys = keys.map(attr(rPlan, _))
+    lKeys.zip(rKeys).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"as-of key '${lk.name}' type mismatch: ${lk.dataType} (left) vs " +
+          s"${rk.dataType} (right) — the merge compares and hash-partitions " +
+          "by value, so types must match exactly (cast one side first)")
+    }
+    require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "as-of join sides share attributes (self-join without re-aliasing); " +
+        "alias the right side's columns (df.select(col(\"x\").as(\"x2\"), ...)) first")
+    GraftBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lt, rt))
   }
 }

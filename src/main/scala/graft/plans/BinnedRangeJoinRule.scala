@@ -31,6 +31,15 @@ import org.apache.spark.sql.types.LongType
   * data. NULL bounds produce a NULL sequence → the Generate emits no
   * row, matching the original join's null semantics.
   *
+  * Bin-count caveat: each bounds row explodes into
+  * (hi - lo) / binWidth + 1 bins, so binWidth must be chosen near the
+  * TYPICAL interval width (≤ a few bins per row). A pathological row
+  * whose interval spans millions of bin widths fans out accordingly
+  * (Spark's Sequence expression hard-fails past ~2^31 elements) —
+  * pre-filter corrupt intervals or raise binWidth; the naïve plan,
+  * while never faster, degrades smoothly where this rewrite amplifies
+  * outlier rows.
+  *
   * Matching is deliberately strict — Inner join, condition of exactly
   * two conjuncts forming one lower and one upper bound on the same
   * LongType point expression, point/bounds referencing opposite sides,
@@ -53,8 +62,20 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
   private def binWidth: Option[Long] =
     try {
       val v = SQLConf.get.getConfString(BinWidthKey, "")
-      if (v.isEmpty) None else Option(v.toLong).filter(_ > 0)
-    } catch { case _: NumberFormatException => None }
+      if (v.isEmpty) None
+      else {
+        val w = v.toLong
+        if (w <= 0) {
+          logWarning(s"$BinWidthKey=$v is not positive; range-join rewrite disabled")
+          None
+        } else Some(w)
+      }
+    } catch {
+      case _: NumberFormatException =>
+        logWarning(s"$BinWidthKey is not a valid long; range-join rewrite disabled " +
+          "(the range join will plan as a nested loop)")
+        None
+    }
 
   /** (point a, lower lo, upper hi) when `cond` is exactly a two-sided
     * range of a point expression from `pointPlan` bounded by

@@ -74,6 +74,66 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(p7.head.getLong(0) === 200L)
   }
 
+  test("NULL keys never match (SQL equi-join semantics), either side") {
+    import spark.implicits._
+    val ps = Seq((1L, Some("a"), 100L), (2L, None, 100L), (3L, Some("b"), 100L))
+      .toDF("pid", "kk", "pt")
+    val qs = Seq((Some("a"), 50L, 1.0), (None, 50L, 2.0))
+      .toDF("kk", "qt", "qv")
+    val got = AsOfJoinOps.asofJoin(ps,
+      qs.withColumnRenamed("kk", "k2"), Seq.empty, "pt", "qt") // keyless sanity below
+    val keyed = AsOfJoinOps.asofJoin(ps, qs.toDF("kk", "qt", "qv"), Seq("kk"), "pt", "qt")
+      .select("pid", "qv").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // pid 1 matches the 'a' quote; pid 2 (NULL key) matches NOTHING even
+    // though a NULL-keyed quote exists; pid 3 has no 'b' quote
+    assert(keyed === Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+    assert(got.count() === 3) // keyless form planned + ran
+  }
+
+  test("keyless as-of: every probe takes the globally latest quote at or before it") {
+    import spark.implicits._
+    val ps = Seq((1L, 5L), (2L, 100L), (3L, 250L)).toDF("pid", "pt")
+    val qs = Seq((10L, "x"), (90L, "y"), (200L, "z")).toDF("qt", "qn")
+    val got = AsOfJoinOps.asofJoin(ps, qs, Seq.empty, "pt", "qt")
+      .select("pid", "qn").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(got === Map(1L -> None, 2L -> Some("y"), 3L -> Some("z")))
+  }
+
+  test("multi-column keys merge correctly across key boundaries") {
+    import spark.implicits._
+    val ps = (1 to 500).map { i =>
+      (i.toLong, (i % 5).toLong, s"g${i % 3}", (i * 11L) % 400)
+    }.toDF("pid", "k1", "k2", "pt")
+    val qs = (1 to 100).map { i =>
+      ((i % 5).toLong, s"g${i % 3}", (i * 17L) % 400, i.toLong)
+    }.toDF("k1", "k2", "qt", "qid")
+    val viaOp = AsOfJoinOps.asofJoin(ps,
+        qs.groupBy("k1", "k2", "qt").agg(max("qid").as("qid")), Seq("k1", "k2"), "pt", "qt")
+      .select(col("pid"), col("qt")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    ps.createOrReplaceTempView("asof_mp")
+    qs.createOrReplaceTempView("asof_mq")
+    val viaSql = spark.sql("""
+      SELECT p.pid, MAX(q.qt) AS best
+      FROM asof_mp p LEFT JOIN asof_mq q
+        ON p.k1 = q.k1 AND p.k2 = q.k2 AND q.qt <= p.pt
+      GROUP BY p.pid""").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(viaOp === viaSql)
+  }
+
+  test("mismatched key types are rejected with a clear error") {
+    import spark.implicits._
+    val ps = Seq((1, 10L)).toDF("kk", "pt")               // kk: Int
+    val qs = Seq((1L, 5L)).toDF("kk", "qt")               // kk: Long
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asofJoin(ps, qs, Seq("kk"), "pt", "qt")
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   test("survives a repartition/sort already in place and larger data") {
     import spark.implicits._
     // 10k probes / 1k quotes over 20 keys — checks the merge across
