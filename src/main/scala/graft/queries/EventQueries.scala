@@ -576,6 +576,59 @@ object EventQueries extends QueryModule {
         FROM sweep
         GROUP BY 1
         ORDER BY 1"""),
-      doc = "sweep-line peak concurrent sessions per hour (interval stabbing, no join)")
+      doc = "sweep-line peak concurrent sessions per hour (interval stabbing, no join)"),
+
+    // ---------------------------------------------------------------- q100
+    // Winsorization (robust feature scaling, the ML-prep op between raw
+    // values and a trainer): per event_type, clamp `value` into its
+    // exact [p05, p95] order-statistic band (q85's all-integer rank
+    // arithmetic — no interpolation, engine-exact) and report how much
+    // mass moved. The quantile table is #groups-sized → broadcast back
+    // onto the stream; one keyed window sort + one map-side clamp.
+    "q100_winsorize" -> NamedQuery(
+      fn = (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)
+        val bands = Tables.events(s, d)
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(
+            max(when(col("rn") === expr("(n - 1) div 20") + 1L, col("value"))).as("lo"),
+            max(when(col("rn") === expr("((n - 1) * 19) div 20") + 1L, col("value"))).as("hi"))
+        Tables.events(s, d)
+          .join(broadcast(bands), Seq("event_type"))
+          .withColumn("clamped", least(greatest(col("value"), col("lo")), col("hi")))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+            sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+            max(col("lo")).as("p05"), max(col("hi")).as("p95"),
+            sum(round(col("clamped"), 2).cast(DecimalType(18, 2))).cast("double").as("sum_clamped"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT event_type, value,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value ASC, event_id ASC) AS BIGINT) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events),
+        bands AS (
+          SELECT event_type,
+                 MAX(CASE WHEN rn = (n - 1) // 20 + 1 THEN value END) AS lo,
+                 MAX(CASE WHEN rn = ((n - 1) * 19) // 20 + 1 THEN value END) AS hi
+          FROM r GROUP BY event_type)
+        SELECT e.event_type, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+               CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+               MAX(lo) AS p05, MAX(hi) AS p95,
+               CAST(SUM(CAST(round(least(greatest(value, lo), hi), 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_clamped
+        FROM events e JOIN bands USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type"""),
+      doc = "per-group winsorization at exact [p05,p95] order statistics (ML feature prep)")
   )
 }
