@@ -99,5 +99,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => GraftFunctions.topKBuilder(exprs)))
     // conf-gated (spark.graft.rangeJoin.binWidth) range-join rewrite
     e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+    // physical planning for AsOfJoinPlan (graft.plans.AsOfJoinOps)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
