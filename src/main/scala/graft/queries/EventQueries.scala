@@ -32,7 +32,7 @@ object EventQueries extends QueryModule {
           .groupBy("event_type")
           .agg(
             count(lit(1)).as("n_events"),
-            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+            dsum(col("value")).as("sum_value"))
           .withColumn("avg_value", col("sum_value") / col("n_events"))
           .orderBy("event_type")
       },
@@ -119,7 +119,7 @@ object EventQueries extends QueryModule {
           .agg(
             count(lit(1)).as("n_events"),
             countDistinct(col("user_id")).as("n_users"),
-            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+            dsum(col("value")).as("sum_value"))
           .orderBy("hour_bucket")
       },
       oracle = Some(s"""
@@ -336,9 +336,7 @@ object EventQueries extends QueryModule {
           .select(col("user_id"), expr(s"ts_us div $hourUs").as("h"), col("value"))
         val stratum = e.filter(col("user_id") % 30 === 0)
         val hourly = stratum.groupBy("user_id", "h")
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-              .cast("double").as("sv"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
         val hours = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
           .select(explode(expr("sequence(h0, h1)")).as("h"))
         val users = stratum.select("user_id").distinct()
@@ -386,6 +384,11 @@ object EventQueries extends QueryModule {
     "q94_range_join_rule" -> NamedQuery(
       fn = (s, d) => {
         graft.plans.BinnedRangeJoinRule.install(s)
+        // session-wide on purpose: planning happens lazily at write time,
+        // so the conf must stay set. Safe because the rule only fires on
+        // pure two-conjunct LongType range joins (none of the other
+        // registered queries have one — pinned in PlanAuditSpec) and the
+        // rewrite is exact wherever it does fire.
         s.conf.set(graft.plans.BinnedRangeJoinRule.BinWidthKey, "3600000000")
         val e = Tables.events(s, d).select(col("user_id"), col("ts_us"))
         val windows = e.filter(col("user_id") % 20 === 0)
@@ -427,9 +430,15 @@ object EventQueries extends QueryModule {
           .groupBy(col("user_id").as("q_user"), col("ts_us").as("q_ts"))
           .agg(max(col("value")).as("signup_value"))
           .withColumnRenamed("q_user", "user_id")
-        graft.plans.AsOfJoinOps.asofJoin(
+        val joined = graft.plans.AsOfJoinOps.asofJoin(
           probes, quotes, Seq("user_id"), "ts_us", "q_ts")
-          // output = left ++ right; re-label the right key to disambiguate
+        // positional re-label of the duplicate right key — guard the
+        // assumed left++right column order so an operator/projection
+        // reorder fails loudly here, not as an opaque oracle mismatch
+        require(joined.columns.toSeq ==
+          Seq("event_id", "user_id", "ts_us", "user_id", "q_ts", "signup_value"),
+          s"unexpected as-of output order: " + joined.columns.mkString(","))
+        joined
           .toDF("event_id", "user_id", "ts_us", "q_user", "q_ts", "signup_value")
           .select(col("event_id"), col("user_id"), col("signup_value"),
             (col("ts_us") - col("q_ts")).as("us_since_signup"))
@@ -520,11 +529,16 @@ object EventQueries extends QueryModule {
     // 30-min-gap sessions (q21's shape) become ±1 endpoint deltas, a
     // running sum over the GLOBAL time order is the live-session count,
     // and the hourly max is the concurrency curve — the classic
-    // interval-stabbing answer without any interval join at all. The
+    // interval-stabbing answer without any interval join at all.
+    // Zero-delta MARKER rows at every hour boundary in the corpus range
+    // make the curve honest: an hour with no session endpoints still
+    // reports the carried-in live count (a long session spanning quiet
+    // hours shows concurrency 1 there, not a missing row), and an hour
+    // that only ends sessions reports the pre-decrement carry. The
     // global-order window is the one intentionally non-keyed step: the
-    // endpoint stream is |sessions|×2 rows (already aggregated), orders
-    // of magnitude smaller than events; at larger scale the same sweep
-    // runs per shard key (e.g. per tenant/day) exactly like this.
+    // endpoint+marker stream is |sessions|×2 + |hours| rows (already
+    // aggregated), orders of magnitude smaller than events; at larger
+    // scale the same sweep runs per shard key (e.g. per tenant/day).
     "q99_concurrency" -> NamedQuery(
       fn = (s, d) => {
         val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -537,8 +551,14 @@ object EventQueries extends QueryModule {
             sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy("user_id", "session_id")
           .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+        val markers = sessions
+          .agg(min(expr(s"t0 div ${HourUs}L")).as("h0"),
+            max(expr(s"t1 div ${HourUs}L")).as("h1"))
+          .select(explode(expr("sequence(h0, h1)")).as("h"))
+          .select((col("h") * HourUs).as("ts"), lit(0L).as("delta"))
         val deltas = sessions.select(col("t0").as("ts"), lit(1L).as("delta"))
           .unionByName(sessions.select((col("t1") + 1L).as("ts"), lit(-1L).as("delta")))
+          .unionByName(markers)
           .groupBy("ts").agg(sum(col("delta")).as("d"))
         val sweep = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
         deltas
@@ -563,11 +583,17 @@ object EventQueries extends QueryModule {
         sessions AS (
           SELECT user_id, session_id, MIN(ts_us) AS t0, MAX(ts_us) AS t1
           FROM sid GROUP BY 1, 2),
+        hrange AS (
+          SELECT MIN(t0 // ${HourUs}) AS h0, MAX(t1 // ${HourUs}) AS h1 FROM sessions),
+        markers AS (
+          SELECT unnest(range(h0, h1 + 1)) * ${HourUs} AS ts, 0 AS delta FROM hrange),
         deltas AS (
           SELECT ts, CAST(SUM(delta) AS BIGINT) AS d FROM (
             SELECT t0 AS ts, 1 AS delta FROM sessions
             UNION ALL
-            SELECT t1 + 1 AS ts, -1 AS delta FROM sessions)
+            SELECT t1 + 1 AS ts, -1 AS delta FROM sessions
+            UNION ALL
+            SELECT ts, delta FROM markers)
           GROUP BY ts),
         sweep AS (
           SELECT ts, CAST(SUM(d) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live
@@ -576,7 +602,7 @@ object EventQueries extends QueryModule {
         FROM sweep
         GROUP BY 1
         ORDER BY 1"""),
-      doc = "sweep-line peak concurrent sessions per hour (interval stabbing, no join)"),
+      doc = "sweep-line peak concurrent sessions per hour, hour-carry markers (no join)"),
 
     // ---------------------------------------------------------------- q100
     // Winsorization (robust feature scaling, the ML-prep op between raw
@@ -606,7 +632,7 @@ object EventQueries extends QueryModule {
             sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
             sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
             max(col("lo")).as("p05"), max(col("hi")).as("p95"),
-            sum(round(col("clamped"), 2).cast(DecimalType(18, 2))).cast("double").as("sum_clamped"))
+            sum(dec(round(col("clamped"), 2))).cast("double").as("sum_clamped"))
           .orderBy("event_type")
       },
       oracle = Some("""

@@ -23,4 +23,16 @@ final case class NamedQuery(
 
 trait QueryModule {
   def queries: Seq[(String, NamedQuery)]
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.sum
+  import org.apache.spark.sql.types.DecimalType
+
+  /** The exact-decimal sum idiom from the parity rules above, shared so
+    * the recipe has ONE spelling: DECIMAL(18,2) per-term cast (exact,
+    * order-independent across any partitioning), decimal SUM, back to
+    * DOUBLE. DuckDB mirror: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+    */
+  protected def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  protected def dsum(c: Column): Column = sum(dec(c)).cast("double")
 }

@@ -13,8 +13,6 @@ import graft.ops.{RelationalOps, SkewOps}
   */
 object RelationalQueries extends QueryModule {
 
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
   def queries: Seq[(String, NamedQuery)] = Seq(
 
@@ -610,7 +608,10 @@ object RelationalQueries extends QueryModule {
     // unpartitioned oracle.
     "q88_partitioned_prune" -> NamedQuery(
       fn = (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("q88_docs")
+        // fixed path + overwrite: re-runs replace the copy instead of
+        // leaking one temp dir per invocation (fn runs on every plan
+        // dump / bench / verify pass)
+        val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_q88_docs")
         Tables.documents(s, d).write.mode("overwrite")
           .partitionBy("lang").parquet(out.toString)
         s.read.parquet(out.toString)
@@ -642,7 +643,10 @@ object RelationalQueries extends QueryModule {
     // the SMJ path a real cluster would take (no broadcast shortcut).
     "q89_bucketed_join" -> NamedQuery(
       fn = (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("q89_bkt")
+        // fixed path + overwrite (see q88): DROP TABLE on an external
+        // table removes only metadata, so per-call temp dirs would leak
+        // a full bucketed copy of both tables every invocation
+        val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_q89_bkt")
         s.sql("DROP TABLE IF EXISTS q89_orders")
         s.sql("DROP TABLE IF EXISTS q89_customer")
         Tables.orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -710,7 +714,10 @@ object RelationalQueries extends QueryModule {
           .select(col("o_orderkey"), lit("U").as("c_status"),
             (col("o_totalprice") + 10).as("c_price"))
         val ins = base.filter(col("o_orderkey") % 13 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          // negated keys: base keys are positive, so inserts can never
+          // collide with an existing key at ANY scale factor (a fixed
+          // +offset would collide once base keys exceed it)
+          .select((col("o_orderkey") * -1L).as("o_orderkey"),
             lit("I").as("c_status"), col("o_totalprice").as("c_price"))
         val changes = upd.unionByName(ins)
         base.join(changes, Seq("o_orderkey"), "full_outer")
@@ -728,7 +735,7 @@ object RelationalQueries extends QueryModule {
           SELECT o_orderkey, 'U' AS c_status, o_totalprice + 10 AS c_price
           FROM base WHERE o_orderkey % 7 = 0),
         ins AS (
-          SELECT o_orderkey + 10000000 AS o_orderkey, 'I' AS c_status, o_totalprice AS c_price
+          SELECT -o_orderkey AS o_orderkey, 'I' AS c_status, o_totalprice AS c_price
           FROM base WHERE o_orderkey % 13 = 0),
         chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
         merged AS (

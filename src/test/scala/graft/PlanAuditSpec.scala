@@ -175,6 +175,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"))  // not the union+window encoding
   }
 
+  test("q94's armed binWidth conf does not leak the rewrite into other joins") {
+    plan("q94_range_join_rule") // arms spark.graft.rangeJoin.binWidth session-wide
+    // q84 (manual bin rewrite, has an equi conjunct) and q02 (plain
+    // equi star joins) must plan identically with the rule armed
+    assert(!plan("q84_range_join_binned").contains("__graft_bin"))
+    assert(!plan("q02_region_revenue").contains("__graft_bin"))
+  }
+
   test("q61 multimodal decode path shuffles once on the media key") {
     val p = plan("q61_media_features")
     // repartition(media_id) + the groupBy(kind) partial/final agg
