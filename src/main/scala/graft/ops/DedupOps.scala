@@ -167,6 +167,13 @@ object DedupOps {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[duplicateClusters] round=$round changed(last)=$changed t=${System.nanoTime() / 1e9}")
     }
+    if (!converged)
+      // labels are WRONG for any component whose diameter exceeds the
+      // round budget (one component splits into several clusters) —
+      // say so loudly instead of letting the caller chase a silent
+      // mismatch downstream
+      System.err.println(s"[duplicateClusters] WARNING: not converged after $round rounds; " +
+        "components wider than the budget are split — raise maxIter")
     val isolated = allDocs.select("doc_id")
       .join(pairedDocs, Seq("doc_id"), "left_anti")
       .withColumn("cluster", col("doc_id"))

@@ -37,9 +37,17 @@ object SkewOps {
     * stay stable), the dim side is replicated once per salt value, and
     * the join runs on (key, salt) — the hot key's rows now spread over
     * `saltBuckets` tasks. Row-identical to the unsalted equi-join.
+    *
+    * `saltCols` must VARY within the hot key: if a hot key's rows are
+    * exact duplicates on the salt columns, every row hashes to the same
+    * salt and the key still funnels one task (while still paying the
+    * dim replication). Pick row-distinguishing columns (line numbers,
+    * ids, timestamps), or fall back to per-partition salts.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
                  saltBuckets: Int, saltCols: Seq[String]): DataFrame = {
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename it on the input first")
     val saltedFact = fact.withColumn("__salt", pmod(hash(saltCols.map(col): _*), lit(saltBuckets)))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

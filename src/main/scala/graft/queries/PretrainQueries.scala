@@ -31,13 +31,16 @@ object PretrainQueries extends QueryModule {
     // grams — the shape that survives a 100 TB training side.
     "q66_decontam" -> NamedQuery(
       fn = (s, d) => {
+        // persist: the gram set (a full tokenize + distinct shuffle)
+        // feeds BOTH the broadcast eval-gram build job and the probe
+        // side — without it the corpus pipeline runs twice (q93 pattern)
         val grams = tokenArrays(s, d)
           .filter(size(col("arr")) >= 5)
           .select(col("doc_id"),
             explode(expr(
               "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))"))
               .as("gram"))
-          .distinct()
+          .distinct().persist()
         val evalGrams = grams.filter(col("doc_id") % 97 === 0)
           .select("gram").distinct()
         grams.filter(col("doc_id") % 97 =!= 0)
@@ -203,17 +206,22 @@ object PretrainQueries extends QueryModule {
     // hashed per doc, document frequency counted across the corpus, and
     // any segment appearing in ≥2 docs dropped from every doc's kept
     // token budget. Two keyed shuffles (segment hash, then doc_id); the
-    // df side is corpus-vocabulary-sized, so it stays a keyed JOIN —
-    // never a broadcast — which is the 100 TB shape (a production run
-    // would pre-filter df≥k into a semi-join side the same way).
+    // df side is corpus-vocabulary-sized, so at corpus scale it stays
+    // a keyed JOIN (AQE may legitimately broadcast the small aggregated
+    // freq side at TEST scale — the plan adapts to the actual size,
+    // which is the point; a production run would pre-filter df≥k into a
+    // semi-join side the same way).
     "q86_boilerplate_segments" -> NamedQuery(
       fn = (s, d) => {
+        // persist: segs feeds the df aggregate AND the final join —
+        // without it every segment is re-tokenized and re-md5'd twice
         val segs = tokenArrays(s, d)
           .select(col("doc_id"), col("arr"),
             explode(expr("sequence(1, size(arr), 10)")).as("start"))
           .select(col("doc_id"),
             md5(concat_ws(" ", expr("slice(arr, start, 10)"))).as("seg_hash"),
             size(expr("slice(arr, start, 10)")).cast("long").as("seg_toks"))
+          .persist()
         val freq = segs.groupBy("seg_hash")
           .agg(countDistinct(col("doc_id")).as("df"))
         segs.join(freq, Seq("seg_hash"))
@@ -255,9 +263,13 @@ object PretrainQueries extends QueryModule {
     // parallelism.
     "q70_unigram_logprob" -> NamedQuery(
       fn = (s, d) => {
+        // persist both: toks feeds the vocab aggregate AND the probe
+        // join (2 corpus scans otherwise); vocab feeds its own broadcast
+        // AND the total aggregate (the vocab shuffle would run twice)
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .persist()
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).persist()
         val total = vocab.agg(sum(col("cnt")).as("total"))
         toks.join(broadcast(vocab), Seq("tok"))
           .crossJoin(broadcast(total))
