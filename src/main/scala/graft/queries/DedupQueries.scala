@@ -157,12 +157,19 @@ object DedupQueries extends QueryModule {
     // set (bit i set iff Σ_tokens ±1 ≥ 0, +1 when hex nibble i ≥ 8).
     "q36_simhash" -> NamedQuery(
       fn = (s, d) => {
+        // same long-arithmetic vote extraction as q71 (one conv parse of
+        // the first 16 nibbles split 11/5, then shift+mask per bit)
+        // instead of 16 substring/isin string compares per token
         val toks = docTokens(s, d).withColumn("h", md5(col("tok")))
-        val aggs = (0 until 16).map { i =>
-          sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-            .otherwise(-1)).as(s"s$i")
-        }
-        val bits = (0 until 16).map(i => when(col(s"s$i") >= 0, "1").otherwise("0"))
+          .withColumn("c0", conv(substring(col("h"), 1, 11), 16, 10).cast("long"))
+          .withColumn("c1", conv(substring(col("h"), 12, 5), 16, 10).cast("long"))
+        def voteBit(i: Int) =
+          if (i < 11) shiftright(col("c0"), 4 * (10 - i) + 3).bitwiseAND(lit(1L))
+          else shiftright(col("c1"), 4 * (15 - i) + 3).bitwiseAND(lit(1L))
+        val aggs = (0 until 16).map(i => sum(voteBit(i)).as(s"c$i")) :+
+          count(lit(1)).as("n_tok")
+        val bits = (0 until 16).map(i =>
+          when(col(s"c$i") * 2L >= col("n_tok"), "1").otherwise("0"))
         toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
           .withColumn("simhash", concat(bits: _*))
           .select("doc_id", "simhash")
@@ -201,19 +208,36 @@ object DedupQueries extends QueryModule {
     "q71_simhash_neardup" -> NamedQuery(
       fn = (s, d) => {
         val nBits = 32
+        // Per-token bit votes as LONG ARITHMETIC, not string compares:
+        // nibble i of the md5 is >= 8 iff its high bit is set, so parse
+        // the 32 hex chars into three longs once per token (conv fits
+        // 11/11/10 nibbles = 44/44/40 bits under the signed-long limit)
+        // and read vote bits with shift+mask — 3 parses + 32 shift/ands
+        // per token instead of 32 substring allocations × 8-way isin
+        // string comparisons (the r3 bench hotspot).
         val toks = Tables.documents(s, d)
           .select(col("lang"), col("source"), col("doc_id"),
             explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
           .withColumn("h", md5(col("tok")))
-        val aggs = (0 until nBits).map { i =>
-          sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-            .otherwise(-1)).as(s"s$i")
+          .withColumn("c0", conv(substring(col("h"), 1, 11), 16, 10).cast("long"))
+          .withColumn("c1", conv(substring(col("h"), 12, 11), 16, 10).cast("long"))
+          .withColumn("c2", conv(substring(col("h"), 23, 10), 16, 10).cast("long"))
+        // high bit of nibble i (0-based from the left within its chunk
+        // of length len): bit 4*(len-1-i)+3 of the parsed long
+        def voteBit(i: Int) = {
+          val (chunk, len, local) =
+            if (i < 11) ("c0", 11, i) else if (i < 22) ("c1", 11, i - 11) else ("c2", 10, i - 22)
+          shiftright(col(chunk), 4 * (len - 1 - local) + 3).bitwiseAND(lit(1L))
         }
+        // count of set votes per bit; the ±1 sum is s_i = 2*cnt_i − n,
+        // so s_i >= 0  ⟺  2*cnt_i >= n (no per-token ±1 branch needed)
+        val aggs = (0 until nBits).map(i => sum(voteBit(i)).as(s"c$i")) :+
+          count(lit(1)).as("n_tok")
         // pack the fingerprint into ONE long: Hamming becomes
         // bit_count(xor) — a single instruction instead of 32 string
         // compares, and candidate shuffle rows carry 8 bytes, not 32
         val packed = (0 until nBits).map(i =>
-          when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+          when(col(s"c$i") * 2L >= col("n_tok"), lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
         val sh = toks.groupBy("lang", "source", "doc_id").agg(aggs.head, aggs.tail: _*)
           .withColumn("simhash", packed)
           .select("lang", "source", "doc_id", "simhash")

@@ -68,24 +68,30 @@ object PretrainQueries extends QueryModule {
     // ---------------------------------------------------------------- q67
     // Repetition quality metrics (Gopher-style): duplicate-token
     // fraction and most-frequent-bigram fraction per document, plus the
-    // keep/drop verdict. Bigram counting shuffles on (doc_id, bigram) —
-    // O(doc length) rows per doc, keyed, no global state.
+    // keep/drop verdict. The top-bigram count is computed per row with
+    // NO shuffle: the bigram multiset's mode count equals the longest
+    // run of equal adjacent elements in the SORTED bigram array, so one
+    // array_sort + single-pass fold inside whole-stage codegen replaces
+    // the exploded (doc_id, bigram) double aggregation — at 100 TB the
+    // whole query is map-only except the final ORDER BY.
     "q67_repetition" -> NamedQuery(
       fn = (s, d) => {
-        val base = tokenArrays(s, d)
+        val topBigramRun = expr("""
+          aggregate(
+            array_sort(transform(sequence(1, size(arr) - 1),
+              i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))),
+            named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+            (acc, x) -> named_struct(
+              'prev', x,
+              'run',  CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END,
+              'best', greatest(acc.best,
+                        CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END)),
+            acc -> acc.best)""")
+        tokenArrays(s, d)
           .withColumn("n_toks", size(col("arr")).cast("long"))
           .withColumn("n_distinct", size(array_distinct(col("arr"))).cast("long"))
           .filter(col("n_toks") >= 2)
-        val top = base
-          .select(col("doc_id"), col("n_toks"), col("n_distinct"),
-            explode(expr(
-              "transform(sequence(1, size(arr) - 1), i -> concat_ws(' ', slice(arr, i, 2)))"))
-              .as("bg"))
-          .groupBy("doc_id", "n_toks", "n_distinct", "bg")
-          .agg(count(lit(1)).as("c"))
-          .groupBy("doc_id", "n_toks", "n_distinct")
-          .agg(max(col("c")).as("top_bigram_n"))
-        top
+          .withColumn("top_bigram_n", topBigramRun)
           .withColumn("dup_token_frac",
             round(lit(1.0) - col("n_distinct").cast("double") / col("n_toks"), 6))
           .withColumn("top_bigram_frac",
@@ -263,12 +269,13 @@ object PretrainQueries extends QueryModule {
     // parallelism.
     "q70_unigram_logprob" -> NamedQuery(
       fn = (s, d) => {
-        // persist both: toks feeds the vocab aggregate AND the probe
-        // join (2 corpus scans otherwise); vocab feeds its own broadcast
-        // AND the total aggregate (the vocab shuffle would run twice)
+        // persist ONLY the O(vocab) aggregate (it feeds its own broadcast
+        // AND the total aggregate). The exploded token corpus is NOT
+        // cached: at 100 TB an O(corpus tokens) cache is not viable, so
+        // the probe side deliberately re-tokenizes — one extra columnar
+        // scan beats materializing the corpus into executor storage.
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-          .persist()
         val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).persist()
         val total = vocab.agg(sum(col("cnt")).as("total"))
         toks.join(broadcast(vocab), Seq("tok"))
