@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.execution.metric.SQLMetrics
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Backward as-of join as a first-class operator — the full §7.3(c)
   * extension ladder (logical node → strategy → physical exec), for the
@@ -23,16 +23,24 @@ import org.apache.spark.sql.types.LongType
   * per-partition two-pointer merge: O(|L| + |R|), constant memory (one
   * retained match row), no per-row search.
   *
-  * Semantics: LEFT OUTER, inclusive — each left row pairs with the
-  * right row of equal keys having the greatest time <= left time, or
-  * nulls. NULL never equals NULL (SQL equi-join semantics): rows with a
-  * NULL time OR a NULL key component on either side never match. Ties on (keys, time) on the right resolve to the last row in
-  * sort order (callers wanting determinism should pre-aggregate to
-  * unique (keys, time), as q95 does).
+  * Semantics: LEFT OUTER, backward — each left row pairs with the
+  * right row of equal keys having the greatest time <= left time
+  * (< when `strict`), or nulls; with `toleranceUs` set, a backward
+  * match further than the tolerance yields nulls (pandas
+  * merge_asof-style). NULL never equals NULL (SQL equi-join
+  * semantics): rows with a NULL time OR a NULL key component on
+  * either side never match. Ties on (keys, time) on the right resolve
+  * to the last row in sort order (callers wanting determinism should
+  * pre-aggregate to unique (keys, time), as q95 does).
+  *
+  * Time columns may be LongType (any integer clock) or TimestampType
+  * (compared on its epoch-micros internal representation, so
+  * `toleranceUs` is microseconds there).
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    strict: Boolean = false, toleranceUs: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override lazy val resolved: Boolean = childrenResolved &&
@@ -44,15 +52,16 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tol) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    strict: Boolean, toleranceUs: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -87,6 +96,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val outAttrs = output
     val rWidth = rOut.length
     val numOutputRows = longMetric("numOutputRows")
+    val inclusive = !strict
+    val hasTol = toleranceUs.isDefined
+    val tol = toleranceUs.getOrElse(0L)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -102,6 +114,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var rHeadTime: Long = _
         private var lastMatch: InternalRow = _      // latest consumed right row
         private var lastMatchKey: UnsafeRow = _
+        private var lastMatchTime: Long = _
 
         private def advanceRight(): Unit = {
           rHead = null
@@ -135,18 +148,22 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               val cmp = keyOrd.compare(rHeadKey, lKey)
               if (cmp < 0) {
                 advanceRight()                      // stale key: discard
-              } else if (cmp == 0 && rHeadTime <= ltime) {
+              } else if (cmp == 0 &&
+                  (rHeadTime < ltime || (inclusive && rHeadTime == ltime))) {
                 lastMatch = rHead                   // candidate; later ones win
                 lastMatchKey = rHeadKey
+                lastMatchTime = rHeadTime
                 advanceRight()
               } else {
                 advancing = false                   // future key or future time
               }
             }
-            // lastMatch's time <= some earlier probe time <= ltime for the
-            // same key (probe times ascend within a key), so only the key
-            // must be re-checked
-            if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0) {
+            // lastMatch's time <=(<) some earlier probe time <= ltime for
+            // the same key (probe times ascend within a key), so only the
+            // key — and, when bounded, the tolerance against THIS probe's
+            // time — must be re-checked
+            if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
+                (!hasTol || ltime - lastMatchTime <= tol)) {
               joined(l, lastMatch)
             } else {
               joined(l, nullRight)
@@ -168,15 +185,20 @@ object AsOfJoinOps {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
 
-  /** Backward inclusive as-of join: each `left` row joined to the
-    * `right` row with equal `keys` and the greatest `rightTimeCol` <=
-    * `leftTimeCol` (LEFT OUTER; both time columns must be LongType —
-    * e.g. epoch micros). Column names must be disjoint apart from the
-    * shared key names; right key/time columns keep their names in the
-    * output.
+  /** Backward as-of join: each `left` row joined to the `right` row
+    * with equal `keys` and the greatest `rightTimeCol` <= `leftTimeCol`
+    * (< when `strict = true`; LEFT OUTER). With `toleranceUs` set, a
+    * backward match older than the tolerance yields nulls instead
+    * (pandas merge_asof-style bounded search). Both time columns must
+    * share one type: LongType (any integer clock — then `toleranceUs`
+    * is in those units) or TimestampType (compared on epoch micros, so
+    * the tolerance is microseconds). Column names must be disjoint
+    * apart from the shared key names; right key/time columns keep
+    * their names in the output.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTimeCol: String, rightTimeCol: String): DataFrame = {
+               leftTimeCol: String, rightTimeCol: String,
+               strict: Boolean = false, toleranceUs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -186,8 +208,10 @@ object AsOfJoinOps {
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
     val lt = attr(lPlan, leftTimeCol)
     val rt = attr(rPlan, rightTimeCol)
-    require(lt.dataType == LongType && rt.dataType == LongType,
-      s"as-of time columns must be LongType, got ${lt.dataType}/${rt.dataType}")
+    require(Seq(LongType, TimestampType).contains(lt.dataType) && rt.dataType == lt.dataType,
+      s"as-of time columns must both be LongType or both TimestampType, " +
+        s"got ${lt.dataType}/${rt.dataType}")
+    require(toleranceUs.forall(_ >= 0), "as-of tolerance must be >= 0")
     val lKeys = keys.map(attr(lPlan, _))
     val rKeys = keys.map(attr(rPlan, _))
     lKeys.zip(rKeys).foreach { case (lk, rk) =>
@@ -199,6 +223,6 @@ object AsOfJoinOps {
     require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
       "as-of join sides share attributes (self-join without re-aliasing); " +
         "alias the right side's columns (df.select(col(\"x\").as(\"x2\"), ...)) first")
-    GraftBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lt, rt))
+    GraftBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lt, rt, strict, toleranceUs))
   }
 }

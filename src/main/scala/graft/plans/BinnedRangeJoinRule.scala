@@ -40,14 +40,21 @@ import org.apache.spark.sql.types.LongType
   * while never faster, degrades smoothly where this rewrite amplifies
   * outlier rows.
   *
-  * Matching is deliberately strict — Inner join, condition of exactly
-  * two conjuncts forming one lower and one upper bound on the same
-  * LongType point expression, point/bounds referencing opposite sides,
-  * everything deterministic — and the rewritten join carries a third
-  * (equality) conjunct, so the rule never re-fires on its own output.
-  * The rule is inert unless the conf is set (> 0).
+  * Matching: Inner join whose condition's conjuncts contain one lower
+  * and one upper bound (inclusive or strict) on the same LongType
+  * point expression, point/bounds referencing opposite sides, both
+  * deterministic. Any OTHER conjuncts — equi-keys ("same user AND ts
+  * BETWEEN lo AND hi", the commonest real shape; cf. the reference's
+  * per-frame scoped self-join, Field Control.R:226-241), extra
+  * predicates — ride along untouched: the rewrite only ADDS the bin
+  * equality, and ExtractEquiJoinKeys then plans BOTH the user's
+  * equi-keys and the bin as join keys, so a skewed coarse key gains
+  * the bin as a finer co-key. The rule never re-fires on its own
+  * output (the rewritten condition references the `__graft_bin_*`
+  * attributes, which the matcher rejects). Inert unless the conf is
+  * set (> 0).
   */
-object BinnedRangeJoinRule extends Rule[LogicalPlan] {
+object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
 
   /** Imperative activation for an existing session (the deployment path
@@ -58,6 +65,20 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
     }
+
+  /** Per-QUERY activation: eagerly rewrite the range joins in `df`'s
+    * analyzed plan at width `w` and return a frame built on the
+    * rewritten plan. Unlike arming [[BinWidthKey]] session-wide, this
+    * cannot leak into later queries — and unlike a set/restore window
+    * around planning, it survives downstream wrapping: `count()`,
+    * `coalesce().write`, etc. each build a NEW QueryExecution from the
+    * logical plan, which here already carries the rewrite.
+    */
+  def binned(df: org.apache.spark.sql.DataFrame, w: Long): org.apache.spark.sql.DataFrame = {
+    require(w > 0, s"bin width must be positive, got $w")
+    org.apache.spark.sql.GraftBridge.ofRows(
+      df.sparkSession, rewriteAll(df.queryExecution.analyzed, w))
+  }
 
   private def binWidth: Option[Long] =
     try {
@@ -77,9 +98,13 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
         None
     }
 
-  /** (point a, lower lo, upper hi) when `cond` is exactly a two-sided
-    * range of a point expression from `pointPlan` bounded by
-    * expressions from `boundsPlan`.
+  /** (point a, lower lo, upper hi) when `cond`'s conjuncts include a
+    * two-sided range of a point expression from `pointPlan` bounded by
+    * expressions from `boundsPlan`. Other conjuncts are ignored here —
+    * the caller keeps the WHOLE original condition as the residual, so
+    * they stay exact. Strict bounds (`<`/`>`) also match: bin(a) still
+    * lands inside [bin(lo), bin(hi)] by monotonicity, the candidates
+    * stay a superset, and the strict residual restores exactness.
     */
   private def matchRange(cond: Expression, pointPlan: LogicalPlan,
                          boundsPlan: LogicalPlan): Option[(Expression, Expression, Expression)] = {
@@ -93,19 +118,18 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
       case GreaterThanOrEqual(x, y) if fromBounds(x) && fromPoint(y) => Some((y, x, false))
       case LessThanOrEqual(x, y) if fromPoint(x) && fromBounds(y) => Some((x, y, false))
       case LessThanOrEqual(x, y) if fromBounds(x) && fromPoint(y) => Some((y, x, true))
+      case GreaterThan(x, y) if fromPoint(x) && fromBounds(y) => Some((x, y, true))
+      case GreaterThan(x, y) if fromBounds(x) && fromPoint(y) => Some((y, x, false))
+      case LessThan(x, y) if fromPoint(x) && fromBounds(y) => Some((x, y, false))
+      case LessThan(x, y) if fromBounds(x) && fromPoint(y) => Some((y, x, true))
       case _ => None
     }
-    cond match {
-      case And(c1, c2) =>
-        (norm(c1), norm(c2)) match {
-          case (Some((a1, lo, true)), Some((a2, hi, false))) if a1.semanticEquals(a2) =>
-            Some((a1, lo, hi))
-          case (Some((a1, hi, false)), Some((a2, lo, true))) if a1.semanticEquals(a2) =>
-            Some((a1, lo, hi))
-          case _ => None
-        }
-      case _ => None
-    }
+    val bounds = splitConjunctivePredicates(cond).flatMap(norm)
+    val lowers = bounds.collect { case (a, b, true) => (a, b) }
+    val uppers = bounds.collect { case (a, b, false) => (a, b) }
+    lowers.iterator.flatMap { case (al, lo) =>
+      uppers.collectFirst { case (au, hi) if al.semanticEquals(au) => (al, lo, hi) }
+    }.nextOption()
   }
 
   private def div(e: Expression, w: Long): Expression =
@@ -134,16 +158,25 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = binWidth match {
     case None => plan
-    case Some(w) =>
-      plan.transformUp {
-        case j @ Join(left, right, Inner, Some(cond), _) =>
-          matchRange(cond, left, right) match {
-            case Some((a, lo, hi)) => rewrite(j, pointIsLeft = true, a, lo, hi, w)
-            case None => matchRange(cond, right, left) match {
-              case Some((a, lo, hi)) => rewrite(j, pointIsLeft = false, a, lo, hi, w)
-              case None => j
-            }
-          }
-      }
+    case Some(w) => rewriteAll(plan, w)
   }
+
+  /** The rewrite itself, conf-free (shared by the optimizer-rule path
+    * and the eager [[binned]] path).
+    */
+  def rewriteAll(plan: LogicalPlan, w: Long): LogicalPlan =
+    plan.transformUp {
+      // the rewritten join's condition references __graft_bin_* — the
+      // guard keeps the rule fixed-point-stable now that N-conjunct
+      // conditions (which its own output is) can match
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if !cond.references.exists(_.name.startsWith("__graft_bin")) =>
+        matchRange(cond, left, right) match {
+          case Some((a, lo, hi)) => rewrite(j, pointIsLeft = true, a, lo, hi, w)
+          case None => matchRange(cond, right, left) match {
+            case Some((a, lo, hi)) => rewrite(j, pointIsLeft = false, a, lo, hi, w)
+            case None => j
+          }
+        }
+    }
 }

@@ -375,31 +375,31 @@ object EventQueries extends QueryModule {
     // rewrite written by hand): the query is the NAÏVE range θ-join —
     // every event against each sampled user's first-hour window, no
     // equi-key — which Spark alone plans as a nested-loop/cartesian.
-    // With plans/BinnedRangeJoinRule installed and
-    // spark.graft.rangeJoin.binWidth set to the window width, Catalyst
-    // rewrites it to a bin equi-join + exact residual automatically;
-    // the user keeps the declarative BETWEEN form. Plan-pinned: no
+    // BinnedRangeJoinRule rewrites it to a bin equi-join + exact
+    // residual; the user keeps the declarative BETWEEN form and opts in
+    // per query via .binned(df, w) (or session-wide via the installed
+    // rule + spark.graft.rangeJoin.binWidth). Plan-pinned: no
     // BroadcastNestedLoopJoin/CartesianProduct, __graft_bin keys +
     // Generate explode present.
     "q94_range_join_rule" -> NamedQuery(
       fn = (s, d) => {
-        graft.plans.BinnedRangeJoinRule.install(s)
-        // session-wide on purpose: planning happens lazily at write time,
-        // so the conf must stay set. Safe because the rule only fires on
-        // pure two-conjunct LongType range joins (none of the other
-        // registered queries have one — pinned in PlanAuditSpec) and the
-        // rewrite is exact wherever it does fire.
-        s.conf.set(graft.plans.BinnedRangeJoinRule.BinWidthKey, "3600000000")
         val e = Tables.events(s, d).select(col("user_id"), col("ts_us"))
         val windows = e.filter(col("user_id") % 20 === 0)
           .groupBy(col("user_id").as("w_user"))
           .agg(min(col("ts_us")).as("lo"))
           .select(col("w_user"), col("lo"), (col("lo") + 3600000000L).as("hi"))
-        e.join(windows, col("ts_us") >= col("lo") && col("ts_us") <= col("hi"))
+        val joined = e
+          .join(windows, col("ts_us") >= col("lo") && col("ts_us") <= col("hi"))
           .groupBy("w_user")
           .agg(count(lit(1)).as("n_events"),
             countDistinct(col("user_id")).as("n_users"))
           .orderBy("w_user")
+        // per-query activation (no session conf to arm or leak): the
+        // returned frame's LOGICAL plan already carries the rewrite, so
+        // the driver's later count()/write() re-planning keeps it — a
+        // set-conf/restore window around planning would not (those
+        // actions build fresh QueryExecutions after the restore)
+        graft.plans.BinnedRangeJoinRule.binned(joined, HourUs)
       },
       oracle = Some("""
         WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
@@ -655,6 +655,128 @@ object EventQueries extends QueryModule {
         FROM events e JOIN bands USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type"""),
-      doc = "per-group winsorization at exact [p05,p95] order statistics (ML feature prep)")
+      doc = "per-group winsorization at exact [p05,p95] order statistics (ML feature prep)"),
+
+    // --------------------------------------------------------------- q101
+    // The COMMONEST real range-join shape — equi-key + time window
+    // ("this user's events inside this user's window"; the reference's
+    // per-frame scoped self-join, all coverages.R:226-241, is the same
+    // pattern) — through the GENERALIZED BinnedRangeJoinRule: the rule
+    // now extracts the (lo, hi) pair from an N-conjunct condition, keeps
+    // every other conjunct in the residual, and the planner picks up
+    // BOTH the user's equi-key and the bin as join keys. At scale that
+    // matters when the coarse key is few/skewed: the bin becomes the
+    // finer co-key that spreads one hot key's rows over many tasks.
+    "q101_range_equikey_rule" -> NamedQuery(
+      fn = (s, d) => {
+        val e = Tables.events(s, d).select(col("user_id"), col("ts_us"))
+        val windows = e.groupBy(col("user_id").as("w_user"))
+          .agg(min(col("ts_us")).as("lo"))
+          .select(col("w_user"), col("lo"), (col("lo") + HourUs).as("hi"))
+        val joined = e.join(windows,
+            col("user_id") === col("w_user") &&
+              col("ts_us") >= col("lo") && col("ts_us") <= col("hi"))
+          .groupBy("w_user")
+          .agg(count(lit(1)).as("n_first_hour"))
+          .orderBy("w_user")
+        graft.plans.BinnedRangeJoinRule.binned(joined, HourUs)
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        w AS (SELECT user_id AS w_user, MIN(ts_us) AS lo, MIN(ts_us) + 3600000000 AS hi
+              FROM e GROUP BY 1)
+        SELECT w_user, COUNT(*) AS n_first_hour
+        FROM e JOIN w ON user_id = w_user AND ts_us BETWEEN lo AND hi
+        GROUP BY w_user
+        ORDER BY w_user"""),
+      doc = "equi-key + range window via generalized BinnedRangeJoinRule (bin joins as finer co-key)"),
+
+    // --------------------------------------------------------------- q102
+    // AsOfJoinExec on native TimestampType with a bounded search: the
+    // operator compares timestamps on their epoch-micros representation
+    // (no pre-derived long column needed) and nulls out backward matches
+    // older than the tolerance — pandas merge_asof semantics. The DuckDB
+    // oracle is its native ASOF with the tolerance applied to the single
+    // backward match (equivalent: the bounded match, if any, IS the
+    // unbounded backward match).
+    "q102_asof_tolerance" -> NamedQuery(
+      fn = (s, d) => {
+        val dayUs = 86400000000L
+        val e = Tables.events(s, d)
+        val probes = e.filter(col("event_type") =!= "signup")
+          .select(col("event_id"), col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+        val quotes = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id").as("q_user"), timestamp_micros(col("ts_us")).as("q_ts"))
+          .agg(max(col("value")).as("signup_value"))
+          .withColumnRenamed("q_user", "user_id")
+        val joined = graft.plans.AsOfJoinOps.asofJoin(
+          probes, quotes, Seq("user_id"), "ts", "q_ts", toleranceUs = Some(dayUs))
+        require(joined.columns.toSeq ==
+          Seq("event_id", "user_id", "ts", "user_id", "q_ts", "signup_value"),
+          "unexpected as-of output order: " + joined.columns.mkString(","))
+        joined
+          .toDF("event_id", "user_id", "ts", "q_user", "q_ts", "signup_value")
+          .select(col("event_id"), col("user_id"), col("signup_value"),
+            (unix_micros(col("ts")) - unix_micros(col("q_ts"))).as("us_since_signup"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        probes AS (
+          SELECT event_id, user_id, ts_us FROM e WHERE event_type <> 'signup'),
+        quotes AS (
+          SELECT user_id, ts_us AS q_ts, MAX(value) AS signup_value
+          FROM e WHERE event_type = 'signup' GROUP BY 1, 2)
+        SELECT p.event_id, p.user_id,
+               CASE WHEN p.ts_us - q.q_ts <= 86400000000 THEN q.signup_value END AS signup_value,
+               CASE WHEN p.ts_us - q.q_ts <= 86400000000 THEN p.ts_us - q.q_ts END AS us_since_signup
+        FROM probes p ASOF LEFT JOIN quotes q
+          ON p.user_id = q.user_id AND p.ts_us >= q.q_ts
+        ORDER BY p.event_id"""),
+      doc = "TimestampType as-of join with 1-day tolerance vs DuckDB native ASOF (§7.3(c))"),
+
+    // --------------------------------------------------------------- q103
+    // Strict (<) as-of on an HOUR-resolution clock — coarse enough that
+    // probe/quote ties are common, so strictness is genuinely exercised
+    // (at μs resolution strict and inclusive agree on this data): a
+    // signup in the probe's own hour must NOT match, only strictly
+    // earlier hours. DuckDB's ASOF supports the strict comparator
+    // natively, giving an independent implementation to agree with.
+    "q103_asof_strict" -> NamedQuery(
+      fn = (s, d) => {
+        val e = Tables.events(s, d).withColumn("h", expr(s"ts_us div ${HourUs}L"))
+        val probes = e.filter(col("event_type") =!= "signup")
+          .select(col("event_id"), col("user_id"), col("h"))
+        val quotes = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id").as("q_user"), col("h").as("q_h"))
+          .agg(max(col("value")).as("signup_value"))
+          .withColumnRenamed("q_user", "user_id")
+        val joined = graft.plans.AsOfJoinOps.asofJoin(
+          probes, quotes, Seq("user_id"), "h", "q_h", strict = true)
+        require(joined.columns.toSeq ==
+          Seq("event_id", "user_id", "h", "user_id", "q_h", "signup_value"),
+          "unexpected as-of output order: " + joined.columns.mkString(","))
+        joined
+          .toDF("event_id", "user_id", "h", "q_user", "q_h", "signup_value")
+          .select(col("event_id"), col("user_id"), col("signup_value"),
+            (col("h") - col("q_h")).as("hours_since_signup"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) // 3600000000 AS h, event_type, value
+          FROM events),
+        probes AS (
+          SELECT event_id, user_id, h FROM e WHERE event_type <> 'signup'),
+        quotes AS (
+          SELECT user_id, h AS q_h, MAX(value) AS signup_value
+          FROM e WHERE event_type = 'signup' GROUP BY 1, 2)
+        SELECT p.event_id, p.user_id, q.signup_value,
+               p.h - q.q_h AS hours_since_signup
+        FROM probes p ASOF LEFT JOIN quotes q
+          ON p.user_id = q.user_id AND p.h > q.q_h
+        ORDER BY p.event_id"""),
+      doc = "strict (<) as-of join on hour-resolution clock vs DuckDB ASOF with strict comparator")
   )
 }

@@ -175,12 +175,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"))  // not the union+window encoding
   }
 
-  test("q94's armed binWidth conf does not leak the rewrite into other joins") {
-    plan("q94_range_join_rule") // arms spark.graft.rangeJoin.binWidth session-wide
-    // q84 (manual bin rewrite, has an equi conjunct) and q02 (plain
-    // equi star joins) must plan identically with the rule armed
+  test("q94/q101 activation leaves no session conf behind and touches no other join") {
+    plan("q94_range_join_rule")    // eager binned() path — conf never set
+    plan("q101_range_equikey_rule")
+    assert(spark.conf.getOption(graft.plans.BinnedRangeJoinRule.BinWidthKey).isEmpty,
+      "per-query activation must not arm the session-wide bin width")
+    // q84 (manual bin rewrite, range + equi conjunct — the generalized
+    // matcher WOULD now take it if armed) and q02 (plain equi star
+    // joins) must plan untouched after the gate queries ran
     assert(!plan("q84_range_join_binned").contains("__graft_bin"))
     assert(!plan("q02_region_revenue").contains("__graft_bin"))
+  }
+
+  test("q101 equi-key + range plans as a keyed join on (user, bin), no nested loop") {
+    val p = plan("q101_range_equikey_rule")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("__graft_bin"))
+    assert(p.contains("Generate explode"))
+    // the user's key and the rule's bin ride the SAME join key list
+    assert("\\[__graft_bin_p#\\d+L, user_id#\\d+L\\]|\\[user_id#\\d+L, __graft_bin_p#\\d+L\\]".r
+      .findFirstIn(p).isDefined, s"user_id not co-keyed with the bin:\n$p")
+  }
+
+  test("q102/q103 plan the custom AsOfJoinExec (tolerance/strict variants)") {
+    assert(plan("q102_asof_tolerance").contains("AsOfJoin"))
+    assert(plan("q103_asof_strict").contains("AsOfJoin"))
   }
 
   test("q61 multimodal decode path shuffles once on the media key") {

@@ -124,6 +124,70 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(viaOp === viaSql)
   }
 
+  test("strict variant skips quotes at exactly the probe time") {
+    val keyed = AsOfJoinOps.asofJoin(probes.withColumnRenamed("k", "kk"),
+      quotes.withColumnRenamed("k2", "kk"), Seq("kk"), "pt", "qt", strict = true)
+      .select(col("pid"), col("qt")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // probe 7 (pt=200) must now take the 90 quote, NOT the tied 200 one;
+    // probe 2 (pt=205) still takes 200 (strictly earlier)
+    assert(keyed(7L) === Some(90L))
+    assert(keyed(2L) === Some(200L))
+    assert(keyed(4L) === None)    // b@50: only quote is b@60, in the future
+    assert(keyed(6L) === None)
+  }
+
+  test("tolerance nulls matches older than the bound, per probe") {
+    val keyed = AsOfJoinOps.asofJoin(probes.withColumnRenamed("k", "kk"),
+      quotes.withColumnRenamed("k2", "kk"), Seq("kk"), "pt", "qt",
+      toleranceUs = Some(10L))
+      .select(col("pid"), col("qt")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // pid 1 (pt=100, best=90, gap 10) within; pid 2 (pt=205, best=200,
+    // gap 5) within; pid 3 (pt=300, best=290, gap 10) within; pid 5
+    // (pt=500, best=60, gap 440) nulled; pid 7 (pt=200, gap 0) within
+    assert(keyed === Map(1L -> Some(90L), 2L -> Some(200L), 3L -> Some(290L),
+      4L -> None, 5L -> None, 6L -> None, 7L -> Some(200L)))
+    // the tolerance is re-checked per probe: the SAME retained match can
+    // be within bound for one probe and out of bound for a later one
+    val tight = AsOfJoinOps.asofJoin(probes.withColumnRenamed("k", "kk"),
+      quotes.withColumnRenamed("k2", "kk"), Seq("kk"), "pt", "qt",
+      toleranceUs = Some(5L))
+      .select(col("pid"), col("qt")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(tight(1L) === None)    // gap 10 > 5
+    assert(tight(2L) === Some(200L))
+  }
+
+  test("TimestampType time columns join on epoch micros; tolerance is in micros") {
+    import spark.implicits._
+    val ps = Seq((1L, "a", 1000000L), (2L, "a", 5000000L)).toDF("pid", "kk", "ptu")
+      .withColumn("pt", timestamp_micros(col("ptu"))).drop("ptu")
+    val qs = Seq(("a", 900000L, 1.0), ("a", 1500000L, 2.0)).toDF("kk", "qtu", "qv")
+      .withColumn("qt", timestamp_micros(col("qtu"))).drop("qtu")
+      .select("kk", "qt", "qv")
+    val got = AsOfJoinOps.asofJoin(ps, qs, Seq("kk"), "pt", "qt")
+      .select("pid", "qv").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 1.0, 2L -> 2.0))
+    val bounded = AsOfJoinOps.asofJoin(ps, qs, Seq("kk"), "pt", "qt",
+      toleranceUs = Some(200000L))                  // 0.2s: probe 2 is 3.5s late
+      .select("pid", "qv").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(bounded === Map(1L -> Some(1.0), 2L -> None))
+  }
+
+  test("mixed Long/Timestamp time columns are rejected") {
+    import spark.implicits._
+    val ps = Seq((1L, 10L)).toDF("pid", "pt")
+    val qs = Seq((5L, 1.0)).toDF("qtu", "qv")
+      .withColumn("qt", timestamp_micros(col("qtu"))).drop("qtu")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asofJoin(ps, qs, Seq.empty, "pt", "qt")
+    }
+    assert(e.getMessage.contains("LongType or both TimestampType"))
+  }
+
   test("mismatched key types are rejected with a clear error") {
     import spark.implicits._
     val ps = Seq((1, 10L)).toDF("kk", "pt")               // kk: Int

@@ -77,19 +77,88 @@ class BinnedRangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
-  test("rule is inert without the conf, and on joins with an equi-key") {
+  test("rule is inert without the conf, and on joins with no range pair") {
     val (points, intervals) = fixtures
     val cond = col("x") >= col("lo") && col("x") <= col("hi")
     BinnedRangeJoinRule.install(spark)
     // conf unset -> naive plan untouched
     val p0 = points.join(intervals, cond).queryExecution.executedPlan.toString
     assert(!p0.contains("__graft_bin"))
-    // extra equality conjunct -> strict matcher declines (already keyed)
+    // pure equi-join (no lower+upper pair) -> matcher declines
     val keyed = withRule(10L) {
       points.withColumn("k", col("x") % 3)
         .join(intervals.withColumn("k", col("iid") % 3), Seq("k"))
         .queryExecution.executedPlan.toString
     }
     assert(!keyed.contains("__graft_bin"))
+  }
+
+  test("N-conjunct: equi-key + range rewrites, keeps BOTH as join keys, stays exact") {
+    val (points, intervals) = fixtures
+    val p2 = points.withColumn("k", pmod(col("x"), lit(3)))
+    val i2 = intervals.withColumn("k2", pmod(col("iid"), lit(3)))
+    val cond = col("k") === col("k2") &&
+      col("x") >= col("lo") && col("x") <= col("hi")
+    val expected = p2.join(i2, cond)
+      .select("iid", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(1L, 13L, 100L)) {
+      val got = withRule(w) {
+        val df = p2.join(i2, cond).select("iid", "x")
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("__graft_bin"), s"rule did not fire at binWidth=$w")
+        // the user's equi-key AND the bin both reach the join keys — the
+        // planner's key list carries them together on one side
+        assert("\\[k#\\d+L?, __graft_bin_p#\\d+L\\]".r.findFirstIn(plan).isDefined ||
+          "\\[__graft_bin_p#\\d+L, k#\\d+L?\\]".r.findFirstIn(plan).isDefined,
+          s"equi-key not joined with the bin at binWidth=$w:\n$plan")
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(got === expected, s"binWidth=$w")
+    }
+  }
+
+  test("strict bounds (< / >) also rewrite, and the strict residual stays exact") {
+    val (points, intervals) = fixtures
+    val cond = col("x") > col("lo") && col("x") < col("hi")
+    val expected = points.join(intervals, cond)
+      .select("iid", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = withRule(50L) {
+      val df = points.join(intervals, cond).select("iid", "x")
+      assert(df.queryExecution.executedPlan.toString.contains("__graft_bin"))
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got === expected)
+    // boundary rows excluded: no (iid, x) pair with x == lo or x == hi
+    val boundary = points.join(intervals,
+      col("x") === col("lo") || col("x") === col("hi"))
+      .select("iid", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(boundary.intersect(got).isEmpty)
+  }
+
+  test("eager binned() rewrites with no session conf, and survives re-planning") {
+    val (points, intervals) = fixtures
+    val cond = col("x") >= col("lo") && col("x") <= col("hi")
+    val expected = points.join(intervals, cond)
+      .select("iid", "x").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spark.conf.getOption(BinnedRangeJoinRule.BinWidthKey).isEmpty)
+    val df = BinnedRangeJoinRule.binned(points.join(intervals, cond).select("iid", "x"), 100L)
+    assert(spark.conf.getOption(BinnedRangeJoinRule.BinWidthKey).isEmpty)
+    assert(df.queryExecution.executedPlan.toString.contains("__graft_bin"))
+    // downstream wrapping re-plans from the logical plan: the rewrite
+    // must still be there (this is why binned() exists — a set/restore
+    // conf window around planning would lose it here)
+    val wrapped = df.coalesce(1)
+    assert(wrapped.queryExecution.executedPlan.toString.contains("__graft_bin"))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+  }
+
+  test("fixed-point stable: the rule does not re-fire on its own output") {
+    val (points, intervals) = fixtures
+    val cond = col("x") >= col("lo") && col("x") <= col("hi")
+    val once = BinnedRangeJoinRule.rewriteAll(
+      points.join(intervals, cond).queryExecution.analyzed, 100L)
+    val twice = BinnedRangeJoinRule.rewriteAll(once, 100L)
+    assert(twice === once)
   }
 }
