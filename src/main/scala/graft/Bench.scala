@@ -60,7 +60,13 @@ object Bench {
       s"\"" + k + "\":" + q(m)
     }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures a TAIL of stdout, which can truncate the
+    // per-query map on a 100+-query run — also write the full line to a
+    // file so round-over-round comparisons can cover every query
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench_full.json"), line + "\n")
+    catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

@@ -45,8 +45,11 @@ object TrackingOps {
   /** §1.1's grouped-sub-frame escape hatch, used where it is genuinely
     * warranted: longest consecutive run of strictly-increasing speed per
     * player-play — an inherently sequential scan a window can't express
-    * cleanly. `Dataset.flatMapGroups` keeps it one shuffle on the group
-    * key with a streamed (never materialized) group iterator; every
+    * cleanly. Implemented as a SECONDARY SORT (hash-repartition on the
+    * group key, sortWithinPartitions on (key, frameId) — Spark's sort
+    * spills to disk) followed by a streaming boundary scan with O(1)
+    * state: unlike `flatMapGroups` + an in-memory per-group sort, an
+    * unbounded timeline can never materialize in one task's heap. Every
     * other operator in the engine stays relational (the preferred
     * rewrite, SURVEY.md §2.L).
     */
@@ -54,20 +57,29 @@ object TrackingOps {
     import spark.implicits._
     tracking
       .select(col("gameId"), col("playId"), col("nflId"), col("frameId"), col("s"))
+      .repartition(col("gameId"), col("playId"), col("nflId"))
+      .sortWithinPartitions("gameId", "playId", "nflId", "frameId")
       .as[(Long, Long, Long, Int, Double)]
-      .groupByKey { case (g, p, n, _, _) => (g, p, n) }
-      .flatMapGroups { (key: (Long, Long, Long), rows: Iterator[(Long, Long, Long, Int, Double)]) =>
-        val (g, p, n) = key
-        val sorted = rows.toSeq.sortBy(_._4)
-        var best = if (sorted.isEmpty) 0 else 1
-        var cur = best
-        sorted.sliding(2).foreach {
-          case Seq(a, b) =>
-            cur = if (b._5 > a._5) cur + 1 else 1
-            if (cur > best) best = cur
-          case _ =>
+      .mapPartitions { it =>
+        // rows arrive grouped and frame-ordered; each next() consumes
+        // exactly one group off the shared buffered iterator
+        val in = it.buffered
+        new Iterator[(Long, Long, Long, Int)] {
+          override def hasNext: Boolean = in.hasNext
+          override def next(): (Long, Long, Long, Int) = {
+            val (g, p, n, _, s0) = in.next()
+            var prevS = s0
+            var run = 1
+            var best = 1
+            while (in.hasNext && { val h = in.head; h._1 == g && h._2 == p && h._3 == n }) {
+              val sv = in.next()._5
+              run = if (sv > prevS) run + 1 else 1
+              if (run > best) best = run
+              prevS = sv
+            }
+            (g, p, n, best)
+          }
         }
-        Iterator.single((g, p, n, best))
       }
       .toDF("gameId", "playId", "nflId", "longest_accel_streak")
   }

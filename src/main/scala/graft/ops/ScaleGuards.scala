@@ -27,6 +27,9 @@ object ScaleGuards {
     val bound = df.sparkSession.conf
       .getOption("spark.graft.allPairs.maxRows")
       .map(_.toLong).getOrElse(DefaultMaxAllPairsRows)
+    require(bound >= 0 && bound < Int.MaxValue,
+      s"spark.graft.allPairs.maxRows=$bound out of range [0, ${Int.MaxValue - 1}] " +
+        "(limit() takes an Int; a larger bound would overflow the probe)")
     val n = df.limit((bound + 1).toInt).count()
     require(n <= bound,
       s"$what is an O(n²) all-pairs correctness baseline; input exceeds " +

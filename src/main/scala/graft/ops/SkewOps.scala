@@ -19,6 +19,8 @@ object SkewOps {
     * own partial aggregation anyway).
     */
   def saltedAgg(keys: Seq[String], saltBuckets: Int, aggs: Map[String, Column])(df: DataFrame): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets " +
+      "(pmod by 0 yields NULL salts and silently drops every row)")
     val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
@@ -46,6 +48,8 @@ object SkewOps {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
                  saltBuckets: Int, saltCols: Seq[String]): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets " +
+      "(pmod by 0 yields NULL salts: the inner join would return EMPTY, not fail)")
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "saltedJoin reserves the __salt column name; rename it on the input first")
     val saltedFact = fact.withColumn("__salt", pmod(hash(saltCols.map(col): _*), lit(saltBuckets)))

@@ -56,11 +56,9 @@ object PipelineQueries extends QueryModule {
       fn = (s, d) => {
         // the parquet file source lists a DIRECTORY — stage the single
         // events file into one (what a production stream's watched
-        // landing dir is; at 100 TB this is the object-store prefix)
-        val dir = java.nio.file.Files.createTempDirectory("q60_events")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          dir.resolve("events.parquet"))
+        // landing dir is; at 100 TB this is the object-store prefix).
+        // Session-scoped + overwrite: no per-invocation dir leak.
+        val dir = TempPaths.stageFile(s, "q60_events", s"$d/events.parquet", "events.parquet").toPath
         val schema = Tables.load(s, d, "events").schema // ts as nanos long
         val stream = s.readStream.schema(schema).parquet(dir.toString)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -317,10 +315,7 @@ object PipelineQueries extends QueryModule {
         import graft.streaming.EventWindows
         implicit val sp = s
         import s.implicits._
-        val dir = java.nio.file.Files.createTempDirectory("q74_events")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          dir.resolve("events.parquet"))
+        val dir = TempPaths.stageFile(s, "q74_events", s"$d/events.parquet", "events.parquet").toPath
         val raw = Tables.load(s, d, "events") // ts as nanos long
         val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
         val sentinelNs = maxNs + 2L * 3600 * 1000000000L
@@ -416,10 +411,7 @@ object PipelineQueries extends QueryModule {
     "q78_stream_attribution" -> NamedQuery(
       fn = (s, d) => {
         import graft.streaming.EventWindows
-        val dir = java.nio.file.Files.createTempDirectory("q78_events")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          dir.resolve("events.parquet"))
+        val dir = TempPaths.stageFile(s, "q78_events", s"$d/events.parquet", "events.parquet").toPath
         val schema = Tables.load(s, d, "events").schema // ts as nanos long
         val stream = s.readStream.schema(schema).parquet(dir.toString)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -456,10 +448,7 @@ object PipelineQueries extends QueryModule {
     // no-data batch advancing the watermark.
     "q80_stream_sliding" -> NamedQuery(
       fn = (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("q80_events")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          dir.resolve("events.parquet"))
+        val dir = TempPaths.stageFile(s, "q80_events", s"$d/events.parquet", "events.parquet").toPath
         val schema = Tables.load(s, d, "events").schema // ts as nanos long
         val stream = s.readStream.schema(schema).parquet(dir.toString)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -500,10 +489,7 @@ object PipelineQueries extends QueryModule {
     "q81_stream_dedup" -> NamedQuery(
       fn = (s, d) => {
         import graft.streaming.EventWindows
-        val dir = java.nio.file.Files.createTempDirectory("q81_events")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          dir.resolve("events.parquet"))
+        val dir = TempPaths.stageFile(s, "q81_events", s"$d/events.parquet", "events.parquet").toPath
         val schema = Tables.load(s, d, "events").schema
         val stream = s.readStream.schema(schema).parquet(dir.toString)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))

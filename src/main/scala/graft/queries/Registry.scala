@@ -21,6 +21,43 @@ final case class NamedQuery(
     oracle: Option[String],
     doc: String = "")
 
+/** Session-scoped temp dirs for queries that stage files on local disk
+  * (partitioned/bucketed write round-trips, streaming source dirs).
+  * Fixed per-(query, application) path + overwrite semantics: re-runs
+  * within a session REPLACE the copy instead of leaking one dir per
+  * invocation (fn runs on every verify/bench/plan-dump pass), the
+  * applicationId suffix keeps concurrent drivers from cross-writing
+  * each other's copies, and a JVM shutdown hook removes this session's
+  * dirs so re-runs of the app don't accumulate either.
+  */
+object TempPaths {
+  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def dir(s: SparkSession, name: String): java.io.File = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${name}_${s.sparkContext.applicationId}")
+    f.mkdirs()
+    if (registered.add(f.getAbsolutePath))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delete(f)))
+    f
+  }
+
+  /** Stage the single file `src` into session dir `name` (overwriting);
+    * returns the dir path — e.g. a streaming file source's watched dir.
+    */
+  def stageFile(s: SparkSession, name: String, src: String, fileName: String): java.io.File = {
+    val d = dir(s, name)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src), d.toPath.resolve(fileName),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    d
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(delete))
+    f.delete(): Unit
+  }
+}
+
 trait QueryModule {
   def queries: Seq[(String, NamedQuery)]
 

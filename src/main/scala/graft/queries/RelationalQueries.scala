@@ -608,10 +608,9 @@ object RelationalQueries extends QueryModule {
     // unpartitioned oracle.
     "q88_partitioned_prune" -> NamedQuery(
       fn = (s, d) => {
-        // fixed path + overwrite: re-runs replace the copy instead of
-        // leaking one temp dir per invocation (fn runs on every plan
-        // dump / bench / verify pass)
-        val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_q88_docs")
+        // session-scoped fixed path + overwrite (TempPaths): no leak
+        // across re-runs, no cross-writes between concurrent drivers
+        val out = TempPaths.dir(s, "q88_docs")
         Tables.documents(s, d).write.mode("overwrite")
           .partitionBy("lang").parquet(out.toString)
         s.read.parquet(out.toString)
@@ -643,10 +642,10 @@ object RelationalQueries extends QueryModule {
     // the SMJ path a real cluster would take (no broadcast shortcut).
     "q89_bucketed_join" -> NamedQuery(
       fn = (s, d) => {
-        // fixed path + overwrite (see q88): DROP TABLE on an external
-        // table removes only metadata, so per-call temp dirs would leak
-        // a full bucketed copy of both tables every invocation
-        val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_q89_bkt")
+        // session-scoped fixed path + overwrite (see q88): DROP TABLE on
+        // an external table removes only metadata, so per-call temp dirs
+        // would leak a full bucketed copy of both tables every invocation
+        val out = TempPaths.dir(s, "q89_bkt")
         s.sql("DROP TABLE IF EXISTS q89_orders")
         s.sql("DROP TABLE IF EXISTS q89_customer")
         Tables.orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")

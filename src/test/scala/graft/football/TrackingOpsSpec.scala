@@ -37,7 +37,7 @@ class TrackingOpsSpec extends AnyFunSuite {
     assert(up.select(sum(col("xi"))).head().getDouble(0) === 12.0)
   }
 
-  test("longestAccelStreak finds the sequential run a window can't (flatMapGroups)") {
+  test("longestAccelStreak finds the sequential run a window can't (secondary sort)") {
     import spark.implicits._
     implicit val s = spark
     // speeds: 1,2,3,1,2 → longest increasing run = 3
@@ -53,6 +53,33 @@ class TrackingOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(2) -> r.getInt(3)).toMap
     assert(streaks(7L) === 3)
     assert(streaks(8L) === 1)
+  }
+
+  test("longestAccelStreak on large shuffled timelines matches the direct scan") {
+    import spark.implicits._
+    implicit val s = spark
+    // 50k-frame timelines (far beyond any real play) in SHUFFLED input
+    // order across many partitions: the secondary sort must restore the
+    // frame order per group without materializing a timeline in memory
+    val rnd = new scala.util.Random(7)
+    val raw = (1 to 3).flatMap { player =>
+      (1 to 50000).map { f => (1L, 1L, player.toLong, "P", f, 0.0, 0.0, rnd.nextDouble()) }
+    }
+    val expected = raw.groupBy(_._3).map { case (n, rows) =>
+      val speeds = rows.sortBy(_._5).map(_._8)
+      var best = 1; var run = 1
+      speeds.sliding(2).foreach {
+        case Seq(a, b) => run = if (b > a) run + 1 else 1; if (run > best) best = run
+        case _ =>
+      }
+      n -> best
+    }
+    val df = rnd.shuffle(raw)
+      .toDF("gameId", "playId", "nflId", "displayName", "frameId", "x", "y", "s")
+      .repartition(16) // scatter each timeline over many input partitions
+    val got = TrackingOps.longestAccelStreak(df)
+      .collect().map(r => r.getLong(2) -> r.getInt(3)).toMap
+    assert(got === expected)
   }
 
   test("derivedSpeed recovers constant velocity from positions") {

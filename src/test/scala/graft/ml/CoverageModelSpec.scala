@@ -51,6 +51,33 @@ class CoverageModelSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("q46 confusion matrix is seed-deterministic and matches the committed snapshot") {
+    // q46 is the only rows-only gate query with nontrivial logic; the
+    // driver can't hash-check it (model-dependent), so the exact counts
+    // at sf0.001 / seed 123 / 10 trees are pinned HERE — silent drift
+    // in the ML path (indexer order, RF seeding, feature assembly) now
+    // fails a spec instead of passing rows-only forever.
+    def run(): Seq[(String, String, Long)] =
+      graft.SparkEntry.queries("q46_rf_confusion")(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val first = run()
+    assert(first === run(), "same-session refit changed the confusion matrix")
+    val snapshot = Seq(
+      ("1-URGENT", "1-URGENT", 23L), ("1-URGENT", "2-HIGH", 4L),
+      ("1-URGENT", "3-MEDIUM", 1L), ("1-URGENT", "5-LOW", 3L),
+      ("2-HIGH", "1-URGENT", 4L), ("2-HIGH", "2-HIGH", 29L),
+      ("2-HIGH", "3-MEDIUM", 1L), ("2-HIGH", "4-NOT SPECIFIED", 1L),
+      ("2-HIGH", "5-LOW", 2L), ("3-MEDIUM", "1-URGENT", 6L),
+      ("3-MEDIUM", "2-HIGH", 1L), ("3-MEDIUM", "3-MEDIUM", 21L),
+      ("3-MEDIUM", "4-NOT SPECIFIED", 2L), ("3-MEDIUM", "5-LOW", 1L),
+      ("4-NOT SPECIFIED", "1-URGENT", 4L), ("4-NOT SPECIFIED", "2-HIGH", 3L),
+      ("4-NOT SPECIFIED", "3-MEDIUM", 2L), ("4-NOT SPECIFIED", "4-NOT SPECIFIED", 16L),
+      ("4-NOT SPECIFIED", "5-LOW", 1L), ("5-LOW", "1-URGENT", 1L),
+      ("5-LOW", "2-HIGH", 3L), ("5-LOW", "3-MEDIUM", 2L),
+      ("5-LOW", "5-LOW", 19L))
+    assert(first === snapshot, s"confusion matrix drifted; got:\n${first.mkString("\n")}")
+  }
+
   test("confusion matrix rows sum to class counts (K3)") {
     val fitted = CoverageModel.fit(labeled, numTrees = 10)
     val scored = fitted.predict(labeled)
