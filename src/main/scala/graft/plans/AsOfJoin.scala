@@ -23,14 +23,16 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * per-partition two-pointer merge: O(|L| + |R|), constant memory (one
   * retained match row), no per-row search.
   *
-  * Semantics: LEFT OUTER, backward — each left row pairs with the
-  * right row of equal keys having the greatest time <= left time
-  * (< when `strict`), or nulls; with `toleranceUs` set, a backward
-  * match further than the tolerance yields nulls (pandas
-  * merge_asof-style). NULL never equals NULL (SQL equi-join
-  * semantics): rows with a NULL time OR a NULL key component on
-  * either side never match. Ties on (keys, time) on the right resolve
-  * to the last row in sort order (callers wanting determinism should
+  * Semantics: LEFT OUTER; backward by default — each left row pairs
+  * with the right row of equal keys having the greatest time <= left
+  * time (< when `strict`), or nulls; with `forward = true`, the
+  * SMALLEST time >= left time (> when `strict`) instead. With
+  * `toleranceUs` set, a match further than the tolerance (in either
+  * direction) yields nulls (pandas merge_asof-style). NULL never
+  * equals NULL (SQL equi-join semantics): rows with a NULL time OR a
+  * NULL key component on either side never match. Ties on (keys,
+  * time) on the right resolve to the last row in sort order backward
+  * and the first row forward (callers wanting determinism should
   * pre-aggregate to unique (keys, time), as q95 does).
   *
   * Time columns may be LongType (any integer clock) or TimestampType
@@ -40,7 +42,8 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    strict: Boolean = false, toleranceUs: Option[Long] = None) extends BinaryNode {
+    strict: Boolean = false, toleranceUs: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override lazy val resolved: Boolean = childrenResolved &&
@@ -52,8 +55,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tol) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -61,7 +64,8 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    strict: Boolean, toleranceUs: Option[Long]) extends BinaryExecNode {
+    strict: Boolean, toleranceUs: Option[Long],
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -96,9 +100,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val outAttrs = output
     val rWidth = rOut.length
     val numOutputRows = longMetric("numOutputRows")
-    val inclusive = !strict
     val hasTol = toleranceUs.isDefined
     val tol = toleranceUs.getOrElse(0L)
+    val fwd = forward
+    // whether a right row with time == probe time is consumed past (vs
+    // stopping the scan): backward consumes it as a candidate iff
+    // inclusive; forward discards it iff strict (an equal-time row can
+    // still match this probe when inclusive)
+    val consumeEq = if (fwd) strict else !strict
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -149,21 +158,35 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               if (cmp < 0) {
                 advanceRight()                      // stale key: discard
               } else if (cmp == 0 &&
-                  (rHeadTime < ltime || (inclusive && rHeadTime == ltime))) {
-                lastMatch = rHead                   // candidate; later ones win
-                lastMatchKey = rHeadKey
-                lastMatchTime = rHeadTime
+                  (rHeadTime < ltime || (consumeEq && rHeadTime == ltime))) {
+                // backward: candidate — later ones win. forward: too early
+                // for this probe, and probe times only ascend within a
+                // key, so it can't match any later probe either — discard.
+                if (!fwd) {
+                  lastMatch = rHead
+                  lastMatchKey = rHeadKey
+                  lastMatchTime = rHeadTime
+                }
                 advanceRight()
               } else {
                 advancing = false                   // future key or future time
               }
             }
-            // lastMatch's time <=(<) some earlier probe time <= ltime for
-            // the same key (probe times ascend within a key), so only the
-            // key — and, when bounded, the tolerance against THIS probe's
-            // time — must be re-checked
-            if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
+            if (fwd) {
+              // forward match is rHead itself (smallest time >=(>) ltime
+              // for this key) — NOT consumed: it may match later probes
+              if (rHead != null && keyOrd.compare(rHeadKey, lKey) == 0 &&
+                  (!hasTol || rHeadTime - ltime <= tol)) {
+                joined(l, rHead)
+              } else {
+                joined(l, nullRight)
+              }
+            } else if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
                 (!hasTol || ltime - lastMatchTime <= tol)) {
+              // lastMatch's time <=(<) some earlier probe time <= ltime for
+              // the same key (probe times ascend within a key), so only the
+              // key — and, when bounded, the tolerance against THIS probe's
+              // time — must be re-checked
               joined(l, lastMatch)
             } else {
               joined(l, nullRight)
@@ -185,11 +208,13 @@ object AsOfJoinOps {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
 
-  /** Backward as-of join: each `left` row joined to the `right` row
-    * with equal `keys` and the greatest `rightTimeCol` <= `leftTimeCol`
-    * (< when `strict = true`; LEFT OUTER). With `toleranceUs` set, a
-    * backward match older than the tolerance yields nulls instead
-    * (pandas merge_asof-style bounded search). Both time columns must
+  /** As-of join: each `left` row joined to the `right` row with equal
+    * `keys` and the greatest `rightTimeCol` <= `leftTimeCol` (< when
+    * `strict = true`; LEFT OUTER) — or, with `forward = true`, the
+    * SMALLEST `rightTimeCol` >= `leftTimeCol` (> when strict). With
+    * `toleranceUs` set, a match further away than the tolerance yields
+    * nulls instead (pandas merge_asof-style bounded search, applied in
+    * the join's direction). Both time columns must
     * share one type: LongType (any integer clock — then `toleranceUs`
     * is in those units) or TimestampType (compared on epoch micros, so
     * the tolerance is microseconds). Column names must be disjoint
@@ -198,7 +223,8 @@ object AsOfJoinOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTimeCol: String, rightTimeCol: String,
-               strict: Boolean = false, toleranceUs: Option[Long] = None): DataFrame = {
+               strict: Boolean = false, toleranceUs: Option[Long] = None,
+               forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -223,6 +249,7 @@ object AsOfJoinOps {
     require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
       "as-of join sides share attributes (self-join without re-aliasing); " +
         "alias the right side's columns (df.select(col(\"x\").as(\"x2\"), ...)) first")
-    GraftBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lt, rt, strict, toleranceUs))
+    GraftBridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lt, rt, strict, toleranceUs, forward))
   }
 }

@@ -777,6 +777,137 @@ object EventQueries extends QueryModule {
         FROM probes p ASOF LEFT JOIN quotes q
           ON p.user_id = q.user_id AND p.h > q.q_h
         ORDER BY p.event_id"""),
-      doc = "strict (<) as-of join on hour-resolution clock vs DuckDB ASOF with strict comparator")
+      doc = "strict (<) as-of join on hour-resolution clock vs DuckDB ASOF with strict comparator"),
+
+    // --------------------------------------------------------------- q104
+    // SCD Type-2 history build — the classic warehouse shape: an event
+    // log becomes versioned effective-dated state rows. Per user, treat
+    // event_type as the tracked state; consecutive duplicates collapse
+    // (only CHANGES open a new version), effective_to comes from the
+    // next change (NULL = current). All three windows (lag to detect the
+    // change, row_number to version, lead to close the interval) share
+    // one (user_id)(ts, id) partitioning+ordering, so the plan pays ONE
+    // keyed shuffle + ONE sort — the shape that holds when the log is
+    // 100 TB and a user's history must never sit in driver memory.
+    "q104_scd2_intervals" -> NamedQuery(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("version", row_number().over(w).cast("long"))
+          .withColumn("effective_to_us", lead(col("ts_us"), 1).over(w))
+          .select(col("user_id"), col("version"), col("event_type").as("state"),
+            col("ts_us").as("effective_from_us"), col("effective_to_us"))
+          .orderBy("user_id", "version")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+          FROM events),
+        ch AS (
+          SELECT user_id, ts_us, event_id, event_type,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version,
+                 lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS effective_to_us
+          FROM e WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id, version, event_type AS state,
+               ts_us AS effective_from_us, effective_to_us
+        FROM ch
+        ORDER BY user_id, version"""),
+      doc = "SCD Type-2 effective-dated versions from an event log (one shuffle, three shared windows)"),
+
+    // --------------------------------------------------------------- q107
+    // Z-order (Morton curve) data layout — the clustered-write op big
+    // tables need: interleaving the bits of two dimension keys gives a
+    // 1-D sort key whose fixed-width tiles have TIGHT 2-D bounding
+    // boxes, so a reader filtering on either dimension can skip most
+    // files on min/max stats. zvalue is a pure per-row bit expression
+    // (map-only, codegen'd); tile stats are one keyed agg. At scale the
+    // write path is repartitionByRange(zvalue) + sortWithinPartitions —
+    // the q88 partitioned-write machinery — this query computes the
+    // layout and proves tightness: every 4096-cell tile's bbox is at
+    // most 64x64 of the 1024x1024 key space.
+    "q107_zorder_layout" -> NamedQuery(
+      fn = (s, d) => {
+        val zTerms = (0 until 10).flatMap(i => Seq(
+          s"(shiftright(xb, $i) & 1) * ${1L << (2 * i)}L",
+          s"(shiftright(yb, $i) & 1) * ${1L << (2 * i + 1)}L")).mkString(" + ")
+        Tables.events(s, d)
+          .select(
+            pmod(col("user_id"), lit(1024L)).as("xb"),
+            pmod(expr(s"ts_us div ${HourUs}L"), lit(1024L)).as("yb"))
+          .withColumn("zvalue", expr(zTerms))
+          .withColumn("tile", expr("zvalue div 4096"))
+          .groupBy("tile")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("xb")).as("min_x"), max(col("xb")).as("max_x"),
+            min(col("yb")).as("min_y"), max(col("yb")).as("max_y"))
+          .orderBy("tile")
+      },
+      oracle = Some {
+        val zTerms = (0 until 10).flatMap(i => Seq(
+          s"((xb >> $i) & 1) * ${1L << (2 * i)}",
+          s"((yb >> $i) & 1) * ${1L << (2 * i + 1)}")).mkString(" + ")
+        s"""
+        WITH b AS (
+          SELECT user_id % 1024 AS xb,
+                 (epoch_us(ts) // ${HourUs}) % 1024 AS yb
+          FROM events),
+        z AS (SELECT xb, yb, $zTerms AS zvalue FROM b)
+        SELECT zvalue // 4096 AS tile, COUNT(*) AS n_rows,
+               MIN(xb) AS min_x, MAX(xb) AS max_x,
+               MIN(yb) AS min_y, MAX(yb) AS max_y
+        FROM z
+        GROUP BY 1
+        ORDER BY tile"""
+      },
+      doc = "Z-order curve layout: bit-interleaved sort key + per-tile bbox stats (file-skipping clustering)"),
+
+    // --------------------------------------------------------------- q108
+    // FORWARD as-of ("next signup at or after each event") through the
+    // same AsOfJoinExec — direction only flips which side of the
+    // two-pointer scan is retained, the plan (hash-partition on key,
+    // sort (key, time), streamed merge) is identical. Hour-resolution
+    // clock so probe/quote ties are common and the inclusive (>=)
+    // comparator is genuinely exercised against DuckDB's native
+    // ASOF ... ON p.h <= q.h.
+    "q108_asof_forward" -> NamedQuery(
+      fn = (s, d) => {
+        val e = Tables.events(s, d).withColumn("h", expr(s"ts_us div ${HourUs}L"))
+        val probes = e.filter(col("event_type") =!= "signup")
+          .select(col("event_id"), col("user_id"), col("h"))
+        val quotes = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id").as("q_user"), col("h").as("q_h"))
+          .agg(max(col("value")).as("signup_value"))
+          .withColumnRenamed("q_user", "user_id")
+        val joined = graft.plans.AsOfJoinOps.asofJoin(
+          probes, quotes, Seq("user_id"), "h", "q_h", forward = true)
+        require(joined.columns.toSeq ==
+          Seq("event_id", "user_id", "h", "user_id", "q_h", "signup_value"),
+          "unexpected as-of output order: " + joined.columns.mkString(","))
+        joined
+          .toDF("event_id", "user_id", "h", "q_user", "q_h", "signup_value")
+          .select(col("event_id"), col("user_id"), col("signup_value"),
+            (col("q_h") - col("h")).as("hours_until_signup"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) // 3600000000 AS h, event_type, value
+          FROM events),
+        probes AS (
+          SELECT event_id, user_id, h FROM e WHERE event_type <> 'signup'),
+        quotes AS (
+          SELECT user_id, h AS q_h, MAX(value) AS signup_value
+          FROM e WHERE event_type = 'signup' GROUP BY 1, 2)
+        SELECT p.event_id, p.user_id, q.signup_value,
+               q.q_h - p.h AS hours_until_signup
+        FROM probes p ASOF LEFT JOIN quotes q
+          ON p.user_id = q.user_id AND p.h <= q.q_h
+        ORDER BY p.event_id"""),
+      doc = "forward (next-at-or-after) as-of join vs DuckDB native ASOF with <= comparator")
   )
 }

@@ -332,6 +332,57 @@ object PretrainQueries extends QueryModule {
         FROM bg GROUP BY pair
         ORDER BY n DESC, pair ASC
         LIMIT 20"""),
-      doc = "BPE merge-step candidate: corpus top-20 adjacent pairs (north-star)")
+      doc = "BPE merge-step candidate: corpus top-20 adjacent pairs (north-star)"),
+
+    // --------------------------------------------------------------- q106
+    // Per-document contamination RATE — q66's decontamination audit at
+    // keep/drop granularity: for every training doc, the fraction of its
+    // distinct 5-grams that appear in the eval set (docs absent from the
+    // overlap join score 0.0 via the left join, so the output covers the
+    // WHOLE training corpus, not just contaminated docs). Same keyed
+    // shapes as q66 — one tokenize+distinct shuffle feeding both sides,
+    // eval grams broadcast — so the plan scales identically; the extra
+    // left join is doc_id-keyed.
+    "q106_contamination_rate" -> NamedQuery(
+      fn = (s, d) => {
+        val grams = tokenArrays(s, d)
+          .filter(size(col("arr")) >= 5)
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))"))
+              .as("gram"))
+          .distinct().persist()
+        val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+          .select("gram").distinct()
+        val train = grams.filter(col("doc_id") % 97 =!= 0)
+        val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val shared = train.join(broadcast(evalGrams), Seq("gram"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        totals.join(shared, Seq("doc_id"), "left")
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+          .withColumn("contamination_rate",
+            round(col("n_shared").cast("double") / col("n_grams"), 6))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH arrs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(arr) - 3),
+                 i -> array_to_string(list_slice(arr, i, i + 4), ' '))) AS gram
+          FROM arrs WHERE len(arr) >= 5),
+        eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        train AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+        totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id),
+        shared AS (
+          SELECT doc_id, COUNT(*) AS n_shared
+          FROM train JOIN eval_grams USING (gram)
+          GROUP BY doc_id)
+        SELECT t.doc_id, t.n_grams, COALESCE(s.n_shared, 0) AS n_shared,
+               round(COALESCE(s.n_shared, 0) / t.n_grams, 6) AS contamination_rate
+        FROM totals t LEFT JOIN shared s USING (doc_id)
+        ORDER BY t.doc_id"""),
+      doc = "per-doc eval-contamination fraction over 5-grams, full-corpus coverage (north-star)")
   )
 }

@@ -451,20 +451,21 @@ object RelationalQueries extends QueryModule {
 
     // ---------------------------------------------------------------- q54
     // Typed Dataset API (SURVEY.md §1.3: case-class Encoders where type
-    // safety helps): groupByKey + typed agg over Dataset[LineSlim].
-    // Aggregates chosen exact (count + long sum) so the oracle holds at
-    // any parallelism.
+    // safety helps): groupByKey + typed Aggregator over Dataset[LineSlim]
+    // (the supported replacement for the deprecated scalalang.typed
+    // helpers — same partial-aggregate physical shape). Aggregates
+    // chosen exact (count + long sum) so the oracle holds at any
+    // parallelism.
     "q54_typed_agg" -> NamedQuery(
       fn = (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.scalalang.typed
         val ds = Tables.lineitem(s, d)
           .select(col("l_returnflag"), col("l_linenumber").cast("long").as("l_linenumber"))
           .as[LineSlim]
         ds.groupByKey(_.l_returnflag)
           .agg(
-            typed.count[LineSlim](_.l_linenumber).name("n_lines"),
-            typed.sumLong[LineSlim](_.l_linenumber).name("sum_linenumber"))
+            TypedAggs.countLines.name("n_lines"),
+            TypedAggs.sumLineNumber.name("sum_linenumber"))
           .toDF("l_returnflag", "n_lines", "sum_linenumber")
           .orderBy("l_returnflag")
       },
@@ -778,8 +779,71 @@ object RelationalQueries extends QueryModule {
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY gid, status, priority"""),
-      doc = "hand-picked grouping-sets lattice via native API (§2.D closure)")
+      doc = "hand-picked grouping-sets lattice via native API (§2.D closure)"),
+
+    // --------------------------------------------------------------- q105
+    // Deterministic stratified sampling: exactly n rows per stratum,
+    // chosen by md5-hash rank — replayable on any cluster size (unlike
+    // rand()-based sampling, the pick is a pure function of the data),
+    // and oracle-checkable because DuckDB computes the identical hash.
+    // One keyed shuffle on the stratum column; with few large strata
+    // the per-stratum sort dominates — at 100 TB pre-filter by the same
+    // hash (md5 < threshold with a safety margin) to bound rows entering
+    // the window, falling back to the full sort only if a stratum
+    // undershoots n; the hash-rank semantics make the two plans agree.
+    "q105_stratified_sample" -> NamedQuery(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+            dec(col("o_totalprice")).cast("double").as("o_totalprice"))
+          .orderBy("o_orderpriority", "rk")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, rk, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS BIGINT) AS rk
+          FROM orders)
+        WHERE rk <= 20
+        ORDER BY o_orderpriority, rk"""),
+      doc = "deterministic hash-ranked stratified sample: exact n per stratum, replayable (F3 scale path)")
   )
 
   final case class LineSlim(l_returnflag: String, l_linenumber: Long)
+
+  /** Typed [[org.apache.spark.sql.expressions.Aggregator]]s for q54 —
+    * merge-associative (count / long sum), so results are exact at any
+    * parallelism; Catalyst plans them as ordinary partial aggregates
+    * (map-side combine + one keyed shuffle), same as the untyped path.
+    */
+  object TypedAggs {
+    import org.apache.spark.sql.{Encoder, Encoders, TypedColumn}
+    import org.apache.spark.sql.expressions.Aggregator
+
+    val countLines: TypedColumn[LineSlim, Long] = new Aggregator[LineSlim, Long, Long] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: LineSlim): Long = b + 1L
+      def merge(b1: Long, b2: Long): Long = b1 + b2
+      def finish(r: Long): Long = r
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }.toColumn
+
+    val sumLineNumber: TypedColumn[LineSlim, Long] = new Aggregator[LineSlim, Long, Long] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: LineSlim): Long = b + a.l_linenumber
+      def merge(b1: Long, b2: Long): Long = b1 + b2
+      def finish(r: Long): Long = r
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }.toColumn
+  }
 }

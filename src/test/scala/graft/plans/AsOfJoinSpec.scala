@@ -198,6 +198,63 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("type mismatch"))
   }
 
+  test("forward variant takes the earliest quote at or after each probe") {
+    val keyed = AsOfJoinOps.asofJoin(probes.withColumnRenamed("k", "kk"),
+      quotes.withColumnRenamed("k2", "kk"), Seq("kk"), "pt", "qt", forward = true)
+      .select(col("pid"), col("qt")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // pid 1 (pt=100) -> a@200; pid 2 (pt=205) -> a@290; pid 3 (pt=300) ->
+    // nothing ahead; pid 4 (b@50) -> b@60 (the backward-null case flips);
+    // pid 5 (b@500) -> none; pid 7 (pt=200) -> the tied a@200 (inclusive)
+    assert(keyed === Map(1L -> Some(200L), 2L -> Some(290L), 3L -> None,
+      4L -> Some(60L), 5L -> None, 6L -> None, 7L -> Some(200L)))
+  }
+
+  test("forward strict skips the tied quote; forward tolerance bounds the wait") {
+    val strictFwd = AsOfJoinOps.asofJoin(probes.withColumnRenamed("k", "kk"),
+      quotes.withColumnRenamed("k2", "kk"), Seq("kk"), "pt", "qt",
+      strict = true, forward = true)
+      .select(col("pid"), col("qt")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // probe 7 (pt=200) must skip the tied 200 quote and take 290
+    assert(strictFwd(7L) === Some(290L))
+    assert(strictFwd(1L) === Some(200L))
+    val bounded = AsOfJoinOps.asofJoin(probes.withColumnRenamed("k", "kk"),
+      quotes.withColumnRenamed("k2", "kk"), Seq("kk"), "pt", "qt",
+      toleranceUs = Some(10L), forward = true)
+      .select(col("pid"), col("qt")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // pid 4 (b@50 -> b@60, gap 10) within; pid 1 (a@100 -> a@200, gap
+    // 100) nulled; pid 7 (gap 0) within
+    assert(bounded === Map(1L -> None, 2L -> None, 3L -> None,
+      4L -> Some(60L), 5L -> None, 6L -> None, 7L -> Some(200L)))
+  }
+
+  test("forward agrees with the correlated-min SQL on randomized larger data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813)
+    val ps = (1 to 8000).map(i => (i.toLong, (rnd.nextInt(15)).toString, rnd.nextInt(4000).toLong))
+      .toDF("pid", "kk", "pt")
+    val qs = (1 to 900).map(i => ((rnd.nextInt(15)).toString, rnd.nextInt(4000).toLong, i.toDouble))
+      .toDF("kk", "qt", "qv")
+    val uq = qs.groupBy("kk", "qt").agg(max("qv").as("qv"))
+    for (strict <- Seq(false, true)) {
+      val viaOp = AsOfJoinOps.asofJoin(ps, uq, Seq("kk"), "pt", "qt",
+          strict = strict, forward = true)
+        .select(col("pid"), col("qt")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      ps.createOrReplaceTempView("asof_fp")
+      uq.createOrReplaceTempView("asof_fq")
+      val cmp = if (strict) ">" else ">="
+      val viaSql = spark.sql(s"""
+        SELECT p.pid, MIN(q.qt) AS best
+        FROM asof_fp p LEFT JOIN asof_fq q ON p.kk = q.kk AND q.qt $cmp p.pt
+        GROUP BY p.pid""").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(viaOp === viaSql, s"strict=$strict")
+    }
+  }
+
   test("survives a repartition/sort already in place and larger data") {
     import spark.implicits._
     // 10k probes / 1k quotes over 20 keys — checks the merge across
