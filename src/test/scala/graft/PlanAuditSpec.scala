@@ -202,6 +202,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q103_asof_strict").contains("AsOfJoin"))
   }
 
+  test("q104 SCD2 pays ONE keyed shuffle: all three windows share the (user) sort") {
+    val p = plan("q104_scd2_intervals")
+    // lag, row_number, and lead all ride the same hashpartitioning(user_id)
+    // exchange + (user, ts, id) sort; the only other exchange is the
+    // final presentation-order range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
+    // exactly one partition-local (user, ts, id) sort feeds both Window
+    // nodes; the only other Sort is the global presentation order
+    assert("Sort \\[user_id#\\d+L ASC NULLS FIRST, ts_us".r.findAllIn(p).length === 1)
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"))
+  }
+
+  test("q107 z-order layout is map-only bit math + one keyed agg exchange") {
+    val p = plan("q107_zorder_layout")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
+    assert(p.contains("partial_min") && p.contains("partial_max"))
+    assert(p.contains("shiftright"))
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"))
+  }
+
+  test("q108 plans AsOfJoinExec with the forward flag set") {
+    val p = plan("q108_asof_forward")
+    assert(p.contains("AsOfJoin"))
+    assert(!p.contains("Window"))
+    // node args end (strict=false, forward=true): ", false, true"
+    assert(p.contains(", false, true"), s"forward flag not visible in:\n$p")
+  }
+
+  test("q105 stratified sample prunes the scan and sorts only within strata") {
+    val p = plan("q105_stratified_sample")
+    // one hash exchange for the per-stratum window; rank filter applied
+    // above the window, no extra shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
+    assert(p.contains("row_number"))
+    assert(p.contains("md5"))
+  }
+
   test("q61 multimodal decode path shuffles once on the media key") {
     val p = plan("q61_media_features")
     // repartition(media_id) + the groupBy(kind) partial/final agg
