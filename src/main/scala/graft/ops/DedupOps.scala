@@ -4,11 +4,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Reusable MinHash/LSH machinery (north-star dedup). Hash primitive is
-  * md5 string-min — identical in Spark and DuckDB, so every derived
-  * query stays oracle-checkable. All stages key on doc_id (+ optional
-  * scope columns): keyed shuffles only, no all-pairs anywhere.
+  * the first 60 bits of md5 as a LONG (`conv(substr(md5, 1, 15), 16, 10)`;
+  * DuckDB mirrors it as `CAST('0x' || substr(md5, 1, 15) AS BIGINT)`) —
+  * identical in Spark and DuckDB, so every derived query stays
+  * oracle-checkable, and NUMERIC so the signature aggregation keeps
+  * fixed-width mutable buffers: Catalyst plans it as HashAggregate
+  * (string mins fall back to SortAggregate — a per-partition sort of the
+  * exploded token table, the dominant cost at corpus scale). All stages
+  * key on doc_id (+ optional scope columns): keyed shuffles only, no
+  * all-pairs anywhere.
   */
 object DedupOps {
+
+  /** First 60 bits of md5(s) as a non-negative long — the hash-aggregable
+    * minhash primitive (15 hex digits < 2^60, so the cast is exact).
+    */
+  private def md5Long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Distinct (scope…, doc_id, tok) unigrams of a text column. doc_id is
     * unique, so the per-row `array_distinct` before the explode IS the
@@ -19,19 +31,24 @@ object DedupOps {
     docs.select((scopeCols :+ "doc_id").map(col) :+
       explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"): _*)
 
-  /** k string-min md5 signatures per doc: min(md5(tok || '#' || seed)). */
+  /** k numeric-min signatures per doc: min(md5Long(tok || '#' || seed)). */
   def minhashSignatures(toks: DataFrame, k: Int, scopeCols: Seq[String])(implicit s: SparkSession): DataFrame = {
     val seeds = s.range(k.toLong).select(col("id").as("seed"))
     toks.crossJoin(broadcast(seeds))
       .groupBy((scopeCols ++ Seq("doc_id", "seed")).map(col): _*)
-      .agg(min(md5(concat(col("tok"), lit("#"), col("seed")))).as("mh"))
+      .agg(min(md5Long(concat(col("tok"), lit("#"), col("seed")))).as("mh"))
   }
 
-  /** LSH bands of `rowsPerBand` signatures → one band_hash per (doc, band). */
+  /** LSH bands of `rowsPerBand` signatures → one band_hash per (doc, band).
+    * The decimal renderings are '#'-separated (variable width, unlike the
+    * old fixed-width hex concat) so distinct (min, max) pairs can't
+    * collide on concatenation.
+    */
   def lshBands(sig: DataFrame, rowsPerBand: Int, scopeCols: Seq[String]): DataFrame =
     sig.withColumn("band", expr(s"seed div $rowsPerBand"))
       .groupBy((scopeCols ++ Seq("doc_id", "band")).map(col): _*)
-      .agg(md5(concat(min(col("mh")), max(col("mh")))).as("band_hash"))
+      .agg(md5(concat(min(col("mh")).cast("string"), lit("#"),
+        max(col("mh")).cast("string"))).as("band_hash"))
 
   /** Fused [[minhashSignatures]]+[[lshBands]]: all k signature mins as
     * agg columns of ONE groupBy (map-side partial combine, no k× row
@@ -45,13 +62,14 @@ object DedupOps {
   def bandHashes(toks: DataFrame, k: Int, rowsPerBand: Int, scopeCols: Seq[String]): DataFrame = {
     require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
     val mins = (0 until k).map(seed =>
-      min(md5(concat(col("tok"), lit(s"#$seed")))).as(s"mh$seed"))
+      min(md5Long(concat(col("tok"), lit(s"#$seed")))).as(s"mh$seed"))
     val sig = toks.groupBy((scopeCols :+ "doc_id").map(col): _*).agg(mins.head, mins.tail: _*)
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val cs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(b.toLong).as("band"),
-        md5(concat(least(cs: _*), greatest(cs: _*))).as("band_hash"))
+        md5(concat(least(cs: _*).cast("string"), lit("#"),
+          greatest(cs: _*).cast("string"))).as("band_hash"))
     }
     sig.select((scopeCols :+ "doc_id").map(col) :+
       explode(array(bandStructs: _*)).as("bb"): _*)

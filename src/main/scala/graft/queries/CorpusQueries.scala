@@ -128,12 +128,13 @@ object CorpusQueries extends QueryModule {
                  unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
           FROM documents),
         sig AS (
-          SELECT doc_id, lang, source, seed, min(md5(tok || '#' || seed)) AS mh
+          SELECT doc_id, lang, source, seed,
+                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
           FROM toks CROSS JOIN generate_series(0, 7) s(seed)
           GROUP BY 1, 2, 3, 4),
         bands AS (
           SELECT doc_id, lang, source, seed // 2 AS band,
-                 md5(min(mh) || max(mh)) AS band_hash
+                 md5(CAST(min(mh) AS VARCHAR) || '#' || CAST(max(mh) AS VARCHAR)) AS band_hash
           FROM sig
           GROUP BY doc_id, lang, source, seed // 2),
         candidates AS (
@@ -186,12 +187,13 @@ object CorpusQueries extends QueryModule {
                  unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
           FROM documents),
         sig AS (
-          SELECT doc_id, lang, source, seed, min(md5(tok || '#' || seed)) AS mh
+          SELECT doc_id, lang, source, seed,
+                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
           FROM toks CROSS JOIN generate_series(0, 7) s(seed)
           GROUP BY 1, 2, 3, 4),
         bands AS (
           SELECT doc_id, lang, source, seed // 2 AS band,
-                 md5(min(mh) || max(mh)) AS band_hash
+                 md5(CAST(min(mh) AS VARCHAR) || '#' || CAST(max(mh) AS VARCHAR)) AS band_hash
           FROM sig
           GROUP BY doc_id, lang, source, seed // 2),
         candidates AS (
@@ -285,12 +287,13 @@ object CorpusQueries extends QueryModule {
                  unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
           FROM documents),
         sig AS (
-          SELECT doc_id, lang, source, seed, min(md5(tok || '#' || seed)) AS mh
+          SELECT doc_id, lang, source, seed,
+                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
           FROM toks CROSS JOIN generate_series(0, 7) s(seed)
           GROUP BY 1, 2, 3, 4),
         bands AS (
           SELECT doc_id, lang, source, seed // 2 AS band,
-                 md5(min(mh) || max(mh)) AS band_hash
+                 md5(CAST(min(mh) AS VARCHAR) || '#' || CAST(max(mh) AS VARCHAR)) AS band_hash
           FROM sig
           GROUP BY doc_id, lang, source, seed // 2),
         candidates AS (

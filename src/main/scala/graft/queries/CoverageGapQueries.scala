@@ -88,7 +88,12 @@ object CoverageGapQueries extends QueryModule {
     // max_by on a packed date+key long — the "current state from a
     // change log" op every CDC consumer runs. One keyed aggregate, no
     // window sort; at 100 TB this is a map-side-combining groupBy, not
-    // a row_number over the full history.
+    // a row_number over the full history. The single-char status rides
+    // through max_by as its ascii CODE (chr() restores it after the
+    // agg): every max_by buffer stays fixed-width numeric, so Catalyst
+    // plans HashAggregate — a string-valued max_by buffer would demote
+    // the whole aggregate to SortAggregate (per-partition sort of the
+    // change log).
     "q29_latest_state" -> NamedQuery(
       fn = (s, d) => {
         // epoch_day * 10^10 + orderkey: unique, monotone in (date, key)
@@ -99,9 +104,11 @@ object CoverageGapQueries extends QueryModule {
           .groupBy("o_custkey")
           .agg(
             max_by(col("o_orderkey"), col("__ord")).as("last_orderkey"),
-            max_by(col("o_orderstatus"), col("__ord")).as("last_status"),
+            max_by(ascii(col("o_orderstatus")), col("__ord")).as("__status_code"),
             max_by(col("o_totalprice"), col("__ord")).as("last_price"),
             max(col("o_orderdate")).as("last_orderdate"))
+          .withColumn("last_status", chr(col("__status_code")))
+          .select("o_custkey", "last_orderkey", "last_status", "last_price", "last_orderdate")
           .orderBy("o_custkey")
       },
       oracle = Some("""
@@ -111,7 +118,7 @@ object CoverageGapQueries extends QueryModule {
           FROM orders)
         SELECT o_custkey,
                arg_max(o_orderkey, ord) AS last_orderkey,
-               arg_max(o_orderstatus, ord) AS last_status,
+               chr(arg_max(ascii(o_orderstatus), ord)) AS last_status,
                arg_max(o_totalprice, ord) AS last_price,
                MAX(o_orderdate) AS last_orderdate
         FROM o

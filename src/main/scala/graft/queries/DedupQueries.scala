@@ -134,11 +134,13 @@ object DedupQueries extends QueryModule {
           SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
           FROM documents),
         sig AS (
-          SELECT doc_id, seed, min(md5(tok || '#' || seed)) AS mh
+          SELECT doc_id, seed,
+                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
           FROM toks CROSS JOIN generate_series(0, 7) s(seed)
           GROUP BY 1, 2),
         bands AS (
-          SELECT doc_id, seed // 2 AS band, md5(min(mh) || max(mh)) AS band_hash
+          SELECT doc_id, seed // 2 AS band,
+                 md5(CAST(min(mh) AS VARCHAR) || '#' || CAST(max(mh) AS VARCHAR)) AS band_hash
           FROM sig
           GROUP BY doc_id, seed // 2),
         buckets AS (

@@ -510,6 +510,45 @@ object PipelineQueries extends QueryModule {
                epoch_us(ts) AS ts_us
         FROM events
         ORDER BY fp, ts_us"""),
-      doc = "streaming exact dedup (watermark-bounded state) vs the batch oracle (§2.J)")
+      doc = "streaming exact dedup (watermark-bounded state) vs the batch oracle (§2.J)"),
+
+    // --------------------------------------------------------------- q109
+    // Stream-STATIC join through the gate — the enrichment shape every
+    // production stream runs (events joined to a dimension table on
+    // arrival). The static side is broadcast, so each micro-batch pays a
+    // map-side hash probe and NO stream-side shuffle for the join; state
+    // is only the Complete-mode aggregate. Closes the streaming surface:
+    // tumbling (q60), sessions (q74), stream-stream (q78), sliding
+    // (q80), dedup (q81), stream-static (here) — all six hash-matched to
+    // batch oracles.
+    "q109_stream_static_join" -> NamedQuery(
+      fn = (s, d) => {
+        val dir = TempPaths.stageFile(s, "q109_events", s"$d/events.parquet", "events.parquet").toPath
+        val schema = Tables.load(s, d, "events").schema
+        val stream = s.readStream.schema(schema).parquet(dir.toString)
+          .select(col("user_id"), col("event_type"), col("value"))
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        val joined = stream
+          .join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment", "event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try joined.writeStream.outputMode(OutputMode.Complete)
+            .format("memory").queryName("q109_stream_static_join").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.processAllAvailable() finally q.stop()
+        s.table("q109_stream_static_join").orderBy("c_mktsegment", "event_type")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      doc = "Structured Streaming stream-static broadcast enrichment vs the batch oracle (§2.J)")
   )
 }

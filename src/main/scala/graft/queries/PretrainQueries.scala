@@ -383,6 +383,67 @@ object PretrainQueries extends QueryModule {
                round(COALESCE(s.n_shared, 0) / t.n_grams, 6) AS contamination_rate
         FROM totals t LEFT JOIN shared s USING (doc_id)
         ORDER BY t.doc_id"""),
-      doc = "per-doc eval-contamination fraction over 5-grams, full-corpus coverage (north-star)")
+      doc = "per-doc eval-contamination fraction over 5-grams, full-corpus coverage (north-star)"),
+
+    // --------------------------------------------------------------- q110
+    // EXACT-budget mixture allocation — the complement of q68's
+    // rate-based sampler: a fixed total budget (200 docs) is split
+    // across sources proportionally to their char mass with the
+    // largest-remainder method (pure integer arithmetic: floor quotas +
+    // the k largest remainders get one extra — sums to the budget
+    // EXACTLY), then each source's quota is filled by md5-hash rank
+    // (replayable, no rand()). The quota table is O(#sources) and
+    // broadcast; the only big-data shuffles are the per-source char
+    // agg and the per-source window — both keyed on source.
+    "q110_budget_mixture" -> NamedQuery(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val w = docs.groupBy("source").agg(sum(col("n_chars")).as("chars"))
+        val tot = w.agg(sum(col("chars")).as("total"))
+        val alloc = w.crossJoin(broadcast(tot))
+          .withColumn("base", expr("(200 * chars) div total"))
+          .withColumn("rem", expr("(200 * chars) % total"))
+        val k = alloc.agg((lit(200L) - sum(col("base"))).as("k"))
+        // #sources rows: the single-partition window is deliberate
+        val quota = alloc
+          .withColumn("rr", row_number()
+            .over(Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+          .crossJoin(broadcast(k))
+          .withColumn("n_take",
+            col("base") + when(col("rr") <= col("k"), 1L).otherwise(0L))
+          .select("source", "n_take")
+        val picks = docs.select("doc_id", "source")
+          .withColumn("rk", row_number().over(Window.partitionBy("source")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+        picks.join(broadcast(quota), Seq("source"))
+          .filter(col("rk") <= col("n_take"))
+          .select("doc_id", "source", "rk")
+          .orderBy("source", "rk")
+      },
+      oracle = Some("""
+        WITH w AS (SELECT source, SUM(n_chars) AS chars FROM documents GROUP BY source),
+        t AS (SELECT SUM(chars) AS total FROM w),
+        alloc AS (
+          SELECT source, (200 * chars) // total AS base, (200 * chars) % total AS rem
+          FROM w, t),
+        ranked AS (
+          SELECT source, base,
+                 CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS BIGINT) AS rr
+          FROM alloc),
+        quota AS (
+          SELECT source,
+                 base + CASE WHEN rr <= (SELECT 200 - SUM(base) FROM alloc) THEN 1 ELSE 0 END AS n_take
+          FROM ranked),
+        picks AS (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+          FROM documents)
+        SELECT p.doc_id, p.source, p.rk
+        FROM picks p JOIN quota q USING (source)
+        WHERE p.rk <= q.n_take
+        ORDER BY p.source, p.rk"""),
+      doc = "exact-budget mixture: largest-remainder source quotas + hash-rank picks (north-star)")
   )
 }

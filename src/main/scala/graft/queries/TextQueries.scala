@@ -98,8 +98,11 @@ object TextQueries extends QueryModule {
     // Winnowing (rolling-hash fingerprinting, MOSS-style): hash every
     // 3-token shingle, slide a 4-shingle window per document, keep the
     // window minimum — the selected hashes are the document's
-    // fingerprints (robust to local edits, O(len) per doc). Output:
-    // per-doc fingerprint-set stats (bounded).
+    // fingerprints (robust to local edits, O(len) per doc). Fingerprints
+    // are the first 60 bits of md5 as a LONG (winnowing's natural
+    // integer-hash form, and the numeric min/max keep both the window
+    // and the final agg hash-aggregable — string mins demote to
+    // SortAggregate). Output: per-doc fingerprint-set stats (bounded).
     "q56_winnowing" -> NamedQuery(
       fn = (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -108,7 +111,8 @@ object TextQueries extends QueryModule {
           .filter(size(col("toks")) >= 6) // ≥ 3 shingles → ≥ 1 full-ish window
         val shingles = docs.select(col("doc_id"),
           posexplode(expr(
-            "transform(sequence(1, size(toks)-2), i -> md5(concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2))))"))
+            "transform(sequence(1, size(toks)-2), i -> " +
+              "cast(conv(substring(md5(concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2))), 1, 15), 16, 10) as bigint))"))
             .as(Seq("pos", "h")))
         val w = Window.partitionBy("doc_id").orderBy("pos")
           .rowsBetween(0, 3)
@@ -128,7 +132,8 @@ object TextQueries extends QueryModule {
           FROM documents
           WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 6),
         sh AS (
-          SELECT doc_id, i AS pos, md5(a[i] || ' ' || a[i+1] || ' ' || a[i+2]) AS h
+          SELECT doc_id, i AS pos,
+                 CAST('0x' || substr(md5(a[i] || ' ' || a[i+1] || ' ' || a[i+2]), 1, 15) AS BIGINT) AS h
           FROM docs CROSS JOIN LATERAL unnest(range(1, len(a) - 1)) AS t(i)),
         fps AS (
           SELECT DISTINCT doc_id,
