@@ -908,6 +908,107 @@ object EventQueries extends QueryModule {
         FROM probes p ASOF LEFT JOIN quotes q
           ON p.user_id = q.user_id AND p.h <= q.q_h
         ORDER BY p.event_id"""),
-      doc = "forward (next-at-or-after) as-of join vs DuckDB native ASOF with <= comparator")
+      doc = "forward (next-at-or-after) as-of join vs DuckDB native ASOF with <= comparator"),
+
+    // --------------------------------------------------------------- q111
+    // First-order event transition matrix (user journey / Markov-chain
+    // estimation): per-user lag pairs the consecutive events, one
+    // (prev, next) count agg, and the row-normalized probability comes
+    // from a window over the TINY transition frame (|event types|^2
+    // rows) — the heavy shuffle is the per-user lag window, same
+    // partitioning q21/q104 use.
+    "q111_transition_matrix" -> NamedQuery(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+          .withColumn("prev_event", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_event").isNotNull)
+          .groupBy("prev_event", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n") /
+            sum(col("n")).over(Window.partitionBy("prev_event")), 6))
+          .orderBy("prev_event", "event_type")
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev_event
+          FROM events),
+        tr AS (
+          SELECT prev_event, event_type, COUNT(*) AS n
+          FROM seq WHERE prev_event IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT prev_event, event_type, n,
+               round(n / SUM(n) OVER (PARTITION BY prev_event), 6) AS p
+        FROM tr
+        ORDER BY prev_event, event_type"""),
+      doc = "first-order event transition counts + row-normalized probabilities (user journeys)"),
+
+    // --------------------------------------------------------------- q112
+    // Robust outlier detection via median absolute deviation — the
+    // data-quality screen that survives the outliers it hunts (mean/
+    // stddev don't): two exact order-statistic passes (median, then
+    // median of |x - median|, both the q85 all-integer-rank shape), and
+    // the outlier test |x - med| > 3.5·MAD/0.6745 is pure IEEE
+    // arithmetic on exact values — no interpolation, both engines agree
+    // bit-for-bit. Cost: two keyed window sorts; the per-group medians
+    // broadcast back onto the rows.
+    "q112_robust_outliers" -> NamedQuery(
+      fn = (s, d) => {
+        val base = Tables.events(s, d).select(col("event_type"), col("value"), col("event_id"))
+        val nW = Window.partitionBy("event_type")
+        val w1 = nW.orderBy(col("value").asc, col("event_id").asc)
+        val med = base
+          .withColumn("rn", row_number().over(w1).cast("long"))
+          .withColumn("n", count(lit(1)).over(nW))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === expr("(n - 1) div 2") + 1L, col("value"))).as("med"))
+        val dev = base.join(broadcast(med), Seq("event_type"))
+          .withColumn("ad", abs(col("value") - col("med")))
+        val w2 = nW.orderBy(col("ad").asc, col("event_id").asc)
+        val mad = dev
+          .withColumn("rn2", row_number().over(w2).cast("long"))
+          .withColumn("n2", count(lit(1)).over(nW))
+          .groupBy("event_type")
+          .agg(max(when(col("rn2") === expr("(n2 - 1) div 2") + 1L, col("ad"))).as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            max(col("med")).as("median"),
+            max(col("mad")).as("mad"),
+            sum(when(col("ad") > lit(3.5) * col("mad") / lit(0.6745), 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT event_type, value, event_id,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value ASC, event_id ASC) AS BIGINT) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events),
+        med AS (
+          SELECT event_type, MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS med
+          FROM r GROUP BY 1),
+        dev AS (
+          SELECT e.event_type, e.event_id, abs(e.value - m.med) AS ad, m.med
+          FROM events e JOIN med m USING (event_type)),
+        r2 AS (
+          SELECT event_type, ad, med,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY ad ASC, event_id ASC) AS BIGINT) AS rn2,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n2
+          FROM dev),
+        mad AS (
+          SELECT event_type, MAX(CASE WHEN rn2 = (n2 - 1) // 2 + 1 THEN ad END) AS mad
+          FROM r2 GROUP BY 1)
+        SELECT d.event_type, COUNT(*) AS n_rows, MAX(d.med) AS median, MAX(m.mad) AS mad,
+               CAST(SUM(CASE WHEN d.ad > 3.5 * m.mad / 0.6745 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY 1
+        ORDER BY 1"""),
+      doc = "robust outlier screen: exact median + MAD, modified z threshold (data quality)")
   )
 }

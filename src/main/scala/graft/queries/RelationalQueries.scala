@@ -814,7 +814,41 @@ object RelationalQueries extends QueryModule {
           FROM orders)
         WHERE rk <= 20
         ORDER BY o_orderpriority, rk"""),
-      doc = "deterministic hash-ranked stratified sample: exact n per stratum, replayable (F3 scale path)")
+      doc = "deterministic hash-ranked stratified sample: exact n per stratum, replayable (F3 scale path)"),
+
+    // --------------------------------------------------------------- q113
+    // percent_rank + cume_dist (§2.E window closure): rank-position
+    // metrics over a per-stratum total order made UNIQUE by the
+    // (price, key) tie-break, so rank == row_number and both metrics
+    // are deterministic double divisions of identical integers on both
+    // engines (round-6 absorbs nothing here; it just follows the house
+    // rule for derived doubles). Window shuffles once per stratum; the
+    // % 97 probe filter runs above the window (the metrics are relative
+    // to the WHOLE stratum, so it cannot push below).
+    "q113_rank_metrics" -> NamedQuery(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .filter(col("o_orderkey") % 97 === 0)
+          .select("o_orderkey", "o_orderpriority", "pr", "cd")
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_orderpriority, pr, cd
+        FROM (
+          SELECT o_orderkey, o_orderpriority,
+                 round(percent_rank() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice ASC, o_orderkey ASC), 6) AS pr,
+                 round(cume_dist() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice ASC, o_orderkey ASC), 6) AS cd
+          FROM orders)
+        WHERE o_orderkey % 97 = 0
+        ORDER BY o_orderkey"""),
+      doc = "percent_rank + cume_dist over a unique per-stratum order (§2.E window closure)")
   )
 
   final case class LineSlim(l_returnflag: String, l_linenumber: Long)
