@@ -1009,6 +1009,49 @@ object EventQueries extends QueryModule {
         FROM dev d JOIN mad m USING (event_type)
         GROUP BY 1
         ORDER BY 1"""),
-      doc = "robust outlier screen: exact median + MAD, modified z threshold (data quality)")
+      doc = "robust outlier screen: exact median + MAD, modified z threshold (data quality)"),
+
+    // --------------------------------------------------------------- q114
+    // The z-order WRITE+PRUNE round trip (q107 computes the layout; this
+    // proves the payoff): events written partitioned by 4096-cell Morton
+    // tile, then a dimension-range query reads back ONLY the tiles whose
+    // x-range can overlap — the qualifying tile set is pure bit math on
+    // the query bounds (tile = 4+4-bit interleave of the high key bits;
+    // xb in [4,135] -> xb>>6 in {0,1,2} -> 48 of 256 tiles), computed
+    // with NO data access, exactly how a lakehouse reader prunes
+    // clustered files from min/max stats. The tile filter is a SUPERSET
+    // of the predicate (correctness never depends on it); the xb filter
+    // refines inside the surviving partitions. PlanAuditSpec pins the
+    // PartitionFilters pruning.
+    "q114_zorder_pruned_scan" -> NamedQuery(
+      fn = (s, d) => {
+        val zTerms = (0 until 10).flatMap(i => Seq(
+          s"(shiftright(xb, $i) & 1) * ${1L << (2 * i)}L",
+          s"(shiftright(yb, $i) & 1) * ${1L << (2 * i + 1)}L")).mkString(" + ")
+        val dir = TempPaths.dir(s, "q114_zorder").getAbsolutePath
+        Tables.events(s, d)
+          .select(
+            pmod(col("user_id"), lit(1024L)).as("xb"),
+            pmod(expr(s"ts_us div ${HourUs}L"), lit(1024L)).as("yb"),
+            col("value"))
+          .withColumn("tile", expr(s"($zTerms) div 4096"))
+          .write.mode("overwrite").partitionBy("tile").parquet(dir)
+        // qualifying tiles for xb in [4,135]: xb>>6 in {0,1,2}, any yb>>6
+        val tiles = for { xh <- Seq(0L, 1L, 2L); yh <- 0L until 16L } yield
+          (0 until 4).map(j => (((xh >> j) & 1L) << (2 * j)) | (((yh >> j) & 1L) << (2 * j + 1))).sum
+        s.read.parquet(dir)
+          .filter(col("tile").isin(tiles: _*) && col("xb").between(4, 135))
+          .groupBy("xb")
+          .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+          .orderBy("xb")
+      },
+      oracle = Some("""
+        SELECT user_id % 1024 AS xb, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE user_id % 1024 BETWEEN 4 AND 135
+        GROUP BY 1
+        ORDER BY xb"""),
+      doc = "z-order clustered write + bit-math partition pruning round trip (lakehouse layout)")
   )
 }

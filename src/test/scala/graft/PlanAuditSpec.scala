@@ -239,6 +239,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("md5"))
   }
 
+  test("q114 reads only the bit-math-qualified z-order tiles (partition pruning)") {
+    val p = plan("q114_zorder_pruned_scan")
+    assert(p.contains("PartitionFilters: ["), s"no partition filters in:\n$p")
+    assert(p.contains("tile#"))
+    // the xb refinement runs as a data filter inside surviving partitions
+    assert(p.contains("(xb#") && p.contains(">= 4)"))
+  }
+
   test("q61 multimodal decode path shuffles once on the media key") {
     val p = plan("q61_media_features")
     // repartition(media_id) + the groupBy(kind) partial/final agg
