@@ -848,7 +848,41 @@ object RelationalQueries extends QueryModule {
           FROM orders)
         WHERE o_orderkey % 97 = 0
         ORDER BY o_orderkey"""),
-      doc = "percent_rank + cume_dist over a unique per-stratum order (§2.E window closure)")
+      doc = "percent_rank + cume_dist over a unique per-stratum order (§2.E window closure)"),
+
+    // --------------------------------------------------------------- q115
+    // Deterministic k-fold assignment (ML prep): fold = md5 bucket of
+    // the row key — replayable on any cluster (the fold of a row is a
+    // pure function of its key, unlike randomSplit whose assignment
+    // depends on partitioning), leakage-free (a key is always in
+    // exactly one fold), and auditable: the output is the per-(fold,
+    // class) balance matrix a training job checks before trusting the
+    // split. Map-only assignment + one keyed agg.
+    "q115_kfold_balance" -> NamedQuery(
+      fn = (s, d) => {
+        val h = md5(col("o_orderkey").cast("string"))
+        val fold = (conv(substring(h, 1, 3), 16, 10).cast("long") % 5L).as("fold")
+        Tables.orders(s, d)
+          .select(fold, col("o_orderstatus"))
+          .groupBy("fold", "o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("frac_of_fold", round(col("n_rows") /
+            sum(col("n_rows")).over(org.apache.spark.sql.expressions.Window.partitionBy("fold")), 6))
+          .orderBy("fold", "o_orderstatus")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 3) AS BIGINT) % 5 AS fold,
+                 o_orderstatus
+          FROM orders),
+        m AS (
+          SELECT fold, o_orderstatus, COUNT(*) AS n_rows
+          FROM f GROUP BY 1, 2)
+        SELECT fold, o_orderstatus, n_rows,
+               round(n_rows / SUM(n_rows) OVER (PARTITION BY fold), 6) AS frac_of_fold
+        FROM m
+        ORDER BY fold, o_orderstatus"""),
+      doc = "deterministic md5 k-fold split with per-fold class balance audit (ML prep)")
   )
 
   final case class LineSlim(l_returnflag: String, l_linenumber: Long)

@@ -30,6 +30,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_returnflag:string>"))
   }
 
+  test("q04 top-k pushes a PARTIAL WindowGroupLimit below the shuffle") {
+    val p = plan("q04_topk_per_group")
+    // map-side k-row truncation per group BEFORE the exchange: the
+    // shuffle carries at most k rows per (group, input partition), not
+    // the full table — the difference between top-k and a global sort
+    // at 100 TB
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains(", 3, Partial"), s"no partial window-group-limit in:\n$p")
+  }
+
   test("q13 kinematics stays one fused projection chain (no shuffle before sort)") {
     val p = plan("q13_kinematics")
     assert(!p.contains("hashpartitioning"))
