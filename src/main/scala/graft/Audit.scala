@@ -22,12 +22,14 @@ object Audit {
   //  - q14/q65/q72/q40/q45: broadcast-grid / centroid fan-out crossJoins
   //    (the broadcast IS the scale plan)
   //  - q87: broadcast time-spine fan-out (gap fill); q110: broadcast
-  //    O(#sources) quota/total frames
+  //    O(#sources) quota/total frames; q116: cross of three 1-row
+  //    count aggregates
   private val expectedCross = Set(
     "q34_ngram_jaccard", "q37_cosine_topk", "q39_neardup_pairs",
     "q14_field_control", "q65_semantic_dedup", "q72_kmeans_step",
     "q40_ivf_ann", "q45_label_centroids", "q50_dedup_pipeline",
-    "q70_unigram_logprob", "q110_budget_mixture", "q87_gap_fill")
+    "q70_unigram_logprob", "q110_budget_mixture", "q87_gap_fill",
+    "q116_triangle_census")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,

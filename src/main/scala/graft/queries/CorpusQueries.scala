@@ -382,6 +382,90 @@ object CorpusQueries extends QueryModule {
         JOIN sizes z1 ON z1.source = s1
         JOIN sizes z2 ON z2.source = s2
         ORDER BY s1, s2"""),
-      doc = "pairwise source 5-gram Jaccard overlap matrix (north-star)")
+      doc = "pairwise source 5-gram Jaccard overlap matrix (north-star)"),
+
+    // --------------------------------------------------------------- q116
+    // Triangle census of the near-dup graph — with q55's components this
+    // completes the graph mini-family: triangles measure how CLIQUE-LIKE
+    // duplicate clusters are (a transitive corpus — A~B~C implies A~C —
+    // closes its wedges; low closure flags chains of borderline matches
+    // that a cluster-collapse would over-merge). Edges are the q50
+    // verified pairs (d1 < d2), so each wedge a<b<c and each triangle is
+    // counted exactly once via two vertex-keyed joins — the standard
+    // ordered-edge formulation that scales to any |E| (per-vertex degree
+    // d contributes d^2 wedge candidates; corpus near-dup degrees are
+    // clique-bounded and tiny — a general graph would cap/split hub
+    // degrees first).
+    "q116_triangle_census" -> NamedQuery(
+      fn = (s, d) => {
+        implicit val sp = s
+        val scope = Seq("lang", "source")
+        val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope).persist()
+        val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
+        val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
+        val e = graft.ops.DedupOps.jaccardExploded(toks, candidates)
+          .filter(col("jacc") >= 0.5)
+          .select(col("d1").as("a"), col("d2").as("b"))
+          .persist()
+        val wedges = e.select(col("a"), col("b"))
+          .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+          .select("a", "b", "c").persist()
+        val triangles = wedges
+          .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        val eAgg = e.agg(count(lit(1)).as("n_edges"))
+        val wAgg = wedges.agg(count(lit(1)).as("n_wedges"))
+        val tAgg = triangles.agg(count(lit(1)).as("n_triangles"))
+        eAgg.crossJoin(wAgg).crossJoin(tAgg)
+          .withColumn("closure_rate",
+            when(col("n_wedges") > 0,
+              round(col("n_triangles") / col("n_wedges"), 6)).otherwise(0.0))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, lang, source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, lang, source, seed,
+                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
+          FROM toks CROSS JOIN generate_series(0, 7) s(seed)
+          GROUP BY 1, 2, 3, 4),
+        bands AS (
+          SELECT doc_id, lang, source, seed // 2 AS band,
+                 md5(CAST(min(mh) AS VARCHAR) || '#' || CAST(max(mh) AS VARCHAR)) AS band_hash
+          FROM sig
+          GROUP BY doc_id, lang, source, seed // 2),
+        candidates AS (
+          SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+          FROM bands b1 JOIN bands b2
+            ON b1.lang = b2.lang AND b1.source = b2.source
+           AND b1.band = b2.band AND b1.band_hash = b2.band_hash
+           AND b1.doc_id < b2.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        inter AS (
+          SELECT c.d1, c.d2, COUNT(*) AS cnt
+          FROM candidates c
+          JOIN toks t1 ON t1.doc_id = c.d1
+          JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+          GROUP BY 1, 2),
+        e AS (
+          SELECT d1 AS a, d2 AS b
+          FROM inter
+          JOIN sizes n1 ON d1 = n1.doc_id
+          JOIN sizes n2 ON d2 = n2.doc_id
+          WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5),
+        w AS (
+          SELECT e1.a, e1.b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        t AS (
+          SELECT w.a, w.b, w.c
+          FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b)
+        SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT COUNT(*) FROM w) AS n_wedges,
+               (SELECT COUNT(*) FROM t) AS n_triangles,
+               CASE WHEN (SELECT COUNT(*) FROM w) > 0
+                    THEN round((SELECT COUNT(*) FROM t) / (SELECT COUNT(*) FROM w), 6)
+                    ELSE 0.0 END AS closure_rate"""),
+      doc = "triangle census + wedge closure of the near-dup graph (graph family with q55)")
   )
 }
