@@ -1035,6 +1035,10 @@ object EventQueries extends QueryModule {
             pmod(expr(s"ts_us div ${HourUs}L"), lit(1024L)).as("yb"),
             col("value"))
           .withColumn("tile", expr(s"($zTerms) div 4096"))
+          // cluster by the layout key before writing: one file per tile
+          // instead of (tiles x shuffle-partitions) fragments — the
+          // write-side pattern any clustered layout needs at scale
+          .repartition(col("tile"))
           .write.mode("overwrite").partitionBy("tile").parquet(dir)
         // qualifying tiles for xb in [4,135]: xb>>6 in {0,1,2}, any yb>>6
         val tiles = for { xh <- Seq(0L, 1L, 2L); yh <- 0L until 16L } yield
