@@ -466,6 +466,98 @@ object CorpusQueries extends QueryModule {
                CASE WHEN (SELECT COUNT(*) FROM w) > 0
                     THEN round((SELECT COUNT(*) FROM t) / (SELECT COUNT(*) FROM w), 6)
                     ELSE 0.0 END AS closure_rate"""),
-      doc = "triangle census + wedge closure of the near-dup graph (graph family with q55)")
+      doc = "triangle census + wedge closure of the near-dup graph (graph family with q55)"),
+
+    // --------------------------------------------------------------- q117
+    // The dedup COLLAPSE — the op the whole family builds toward: every
+    // duplicate cluster (q55's components) keeps ONE canonical document
+    // (longest text; smallest doc_id on ties) and reports what it
+    // absorbed. The keep-best pick is a packed-long max_by (q29's
+    // fixed-width-buffer idiom — HashAggregate, no per-cluster sort);
+    // singleton clusters are excluded so the output is the actionable
+    // drop list. At 100 TB: components + one keyed agg + the map-side
+    // pack — nothing beyond the q55 plan plus one aggregate.
+    "q117_dedup_collapse" -> NamedQuery(
+      fn = (s, d) => {
+        implicit val sp = s
+        val scope = Seq("lang", "source")
+        val docs = Tables.documents(s, d)
+        val toks = graft.ops.DedupOps.tokenSet(docs, "text", scope).persist()
+        val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
+        val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
+        val pairs = graft.ops.DedupOps.jaccardExploded(toks, candidates)
+          .filter(col("jacc") >= 0.5)
+          .select("d1", "d2")
+        val clusters = graft.ops.DedupOps.duplicateClusters(
+          pairs, docs.select("doc_id"), maxIter = 15)
+        // larger n_chars wins; ties resolve to the SMALLER doc_id
+        // (subtracting doc_id keeps the key monotone in both)
+        val pack = col("n_chars") * lit(10000000000L) - col("doc_id")
+        clusters.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+          .withColumn("__pack", pack)
+          .groupBy("cluster")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            max_by(col("doc_id"), col("__pack")).as("keep_doc"),
+            max(col("n_chars")).as("keep_chars"))
+          .filter(col("n_docs") > 1)
+          .withColumn("n_dropped", col("n_docs") - 1L)
+          .select("cluster", "n_docs", "keep_doc", "keep_chars", "n_dropped")
+          .orderBy("cluster")
+      },
+      oracle = Some("""
+        WITH RECURSIVE toks AS (
+          SELECT DISTINCT doc_id, lang, source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, lang, source, seed,
+                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
+          FROM toks CROSS JOIN generate_series(0, 7) s(seed)
+          GROUP BY 1, 2, 3, 4),
+        bands AS (
+          SELECT doc_id, lang, source, seed // 2 AS band,
+                 md5(CAST(min(mh) AS VARCHAR) || '#' || CAST(max(mh) AS VARCHAR)) AS band_hash
+          FROM sig
+          GROUP BY doc_id, lang, source, seed // 2),
+        candidates AS (
+          SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+          FROM bands b1 JOIN bands b2
+            ON b1.lang = b2.lang AND b1.source = b2.source
+           AND b1.band = b2.band AND b1.band_hash = b2.band_hash
+           AND b1.doc_id < b2.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        inter AS (
+          SELECT c.d1, c.d2, COUNT(*) AS cnt
+          FROM candidates c
+          JOIN toks t1 ON t1.doc_id = c.d1
+          JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT d1, d2
+          FROM inter
+          JOIN sizes n1 ON d1 = n1.doc_id
+          JOIN sizes n2 ON d2 = n2.doc_id
+          WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5),
+        edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL
+          SELECT d2, d1 FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT doc_id, doc_id AS lab FROM documents
+          UNION
+          SELECT e.dst AS doc_id, r.lab
+          FROM reach r JOIN edges e ON e.src = r.doc_id),
+        labels AS (
+          SELECT doc_id, MIN(lab) AS cluster FROM reach GROUP BY doc_id)
+        SELECT l.cluster, COUNT(*) AS n_docs,
+               arg_max(d.doc_id, d.n_chars * 10000000000 - d.doc_id) AS keep_doc,
+               MAX(d.n_chars) AS keep_chars,
+               COUNT(*) - 1 AS n_dropped
+        FROM labels l JOIN documents d USING (doc_id)
+        GROUP BY l.cluster
+        HAVING COUNT(*) > 1
+        ORDER BY l.cluster"""),
+      doc = "dedup collapse: canonical keeper per duplicate cluster + drop counts (north-star closer)")
   )
 }
