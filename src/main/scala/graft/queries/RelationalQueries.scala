@@ -882,7 +882,39 @@ object RelationalQueries extends QueryModule {
                round(n_rows / SUM(n_rows) OVER (PARTITION BY fold), 6) AS frac_of_fold
         FROM m
         ORDER BY fold, o_orderstatus"""),
-      doc = "deterministic md5 k-fold split with per-fold class balance audit (ML prep)")
+      doc = "deterministic md5 k-fold split with per-fold class balance audit (ML prep)"),
+
+    // --------------------------------------------------------------- q118
+    // JSON sink round trip (A6 text-sink closure, the q88/q89 pattern on
+    // a TEXT format): events projected to exact-roundtrip columns
+    // (longs + strings — JSON has no timestamp/float ambiguity to
+    // relitigate), written as JSON lines, read back with an EXPLICIT
+    // schema (schema inference is a full extra pass at scale — never on
+    // by default in a pipeline), and aggregated against the parquet
+    // oracle. Exercises the full text serialize/parse cycle, not just
+    // the parquet fast path.
+    "q118_json_roundtrip" -> NamedQuery(
+      fn = (s, d) => {
+        val out = TempPaths.dir(s, "q118_json")
+        val slim = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+        slim.write.mode("overwrite").json(out.toString)
+        s.read.schema(slim.schema).json(out.toString)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("user_id")).as("sum_users"),
+            max(col("ts_us")).as("max_ts_us"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(user_id) AS BIGINT) AS sum_users,
+               MAX(epoch_us(ts)) AS max_ts_us
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      doc = "JSON-lines sink + explicit-schema read round trip (A6 text-sink closure)")
   )
 
   final case class LineSlim(l_returnflag: String, l_linenumber: Long)
