@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, TimestampType}
 
 /** Catalyst optimizer rule: rewrite a pure range θ-join into a binned
   * equi-join — the whole-plan form of q84's hand-written rewrite, and
@@ -41,9 +41,10 @@ import org.apache.spark.sql.types.LongType
   * outlier rows.
   *
   * Matching: Inner join whose condition's conjuncts contain one lower
-  * and one upper bound (inclusive or strict) on the same LongType
-  * point expression, point/bounds referencing opposite sides, both
-  * deterministic. Any OTHER conjuncts — equi-keys ("same user AND ts
+  * and one upper bound (inclusive or strict) on the same point
+  * expression of an orderable integral-representable type — Long, Int,
+  * Timestamp (binned on epoch micros) or Date (epoch days) — with
+  * point/bounds referencing opposite sides, both deterministic. Any OTHER conjuncts — equi-keys ("same user AND ts
   * BETWEEN lo AND hi", the commonest real shape; cf. the reference's
   * per-frame scoped self-join, Field Control.R:226-241), extra
   * predicates — ride along untouched: the rewrite only ADDS the bin
@@ -109,9 +110,9 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def matchRange(cond: Expression, pointPlan: LogicalPlan,
                          boundsPlan: LogicalPlan): Option[(Expression, Expression, Expression)] = {
     def fromPoint(e: Expression) = e.references.subsetOf(pointPlan.outputSet) &&
-      e.references.nonEmpty && e.deterministic && e.dataType == LongType
+      e.references.nonEmpty && e.deterministic && supported(e.dataType)
     def fromBounds(e: Expression) = e.references.subsetOf(boundsPlan.outputSet) &&
-      e.references.nonEmpty && e.deterministic && e.dataType == LongType
+      e.references.nonEmpty && e.deterministic && supported(e.dataType)
     // normalize one conjunct to Some((a, bound, isLower)); a from point side
     def norm(c: Expression): Option[(Expression, Expression, Boolean)] = c match {
       case GreaterThanOrEqual(x, y) if fromPoint(x) && fromBounds(y) => Some((x, y, true))
@@ -132,8 +133,27 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }.nextOption()
   }
 
+  /** Orderable types the rule can bin. The binning only needs a MONOTONE
+    * map to Long (the original condition stays as the exact residual):
+    * Long as-is, Int widened, Timestamp via its epoch-micros internal
+    * value (binWidth = µs, matching the events convention), Date via
+    * epoch days (binWidth = days).
+    */
+  private def supported(t: DataType): Boolean = t match {
+    case LongType | IntegerType | TimestampType | DateType => true
+    case _ => false
+  }
+
+  private def toLong(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    case IntegerType => Cast(e, LongType)
+    case TimestampType => UnixMicros(e)
+    case DateType => Cast(UnixDate(e), LongType)
+    case t => throw new IllegalStateException(s"unbinnable type $t") // unreachable: matcher gated
+  }
+
   private def div(e: Expression, w: Long): Expression =
-    IntegralDivide(e, Literal(w))
+    IntegralDivide(toLong(e), Literal(w))
 
   private def rewrite(j: Join, pointIsLeft: Boolean,
                       a: Expression, lo: Expression, hi: Expression, w: Long): LogicalPlan = {

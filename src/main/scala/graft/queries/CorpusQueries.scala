@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -558,6 +559,59 @@ object CorpusQueries extends QueryModule {
         GROUP BY l.cluster
         HAVING COUNT(*) > 1
         ORDER BY l.cluster"""),
-      doc = "dedup collapse: canonical keeper per duplicate cluster + drop counts (north-star closer)")
+      doc = "dedup collapse: canonical keeper per duplicate cluster + drop counts (north-star closer)"),
+
+    // --------------------------------------------------------------- q121
+    // Source-concentration audit: Gini coefficient of per-document char
+    // budget within each (lang, source) — does a handful of giant docs
+    // dominate a source's token budget? (Mixture planning wants flat
+    // sources; q110's quotas assume the budget isn't owned by 3 docs.)
+    // Exact integer math until the final division: y = length(text) is
+    // BIGINT, rows ranked ascending per group (doc_id tie-break keeps
+    // the rank sum deterministic; Σ i·y_i is tie-order-invariant anyway
+    // since equal y share every permutation sum), then
+    //   G = (2·Σ(i·y_i) − (n+1)·Σy) / (n·Σy)
+    // rounded to 6 decimals. One shuffle (window + agg share the group
+    // key); at 100 TB the per-group sort is Spark's rangeless window
+    // sort within hash partitions — no global sort.
+    "q121_gini_source_budget" -> NamedQuery(
+      fn = (s, d) => {
+        val byGrp = Window.partitionBy("lang", "source")
+          .orderBy(col("y"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("lang"), col("source"), col("doc_id"),
+            length(col("text")).cast("long").as("y"))
+          .withColumn("i", row_number().over(byGrp).cast("long"))
+          .groupBy("lang", "source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("y")).as("sum_chars"),
+            sum(col("i") * col("y")).as("iy"))
+          .withColumn("gini",
+            when(col("sum_chars") > 0L,
+              round((lit(2L) * col("iy") - (col("n_docs") + 1L) * col("sum_chars"))
+                .cast("double") / (col("n_docs") * col("sum_chars")).cast("double"), 6)))
+          .select("lang", "source", "n_docs", "sum_chars", "gini")
+          .orderBy("lang", "source")
+      },
+      oracle = Some("""
+        WITH y AS (
+          SELECT lang, source, doc_id, CAST(length(text) AS BIGINT) AS y
+          FROM documents),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY lang, source ORDER BY y, doc_id) AS BIGINT) AS i
+          FROM y),
+        g AS (
+          SELECT lang, source, COUNT(*) AS n_docs,
+                 SUM(y) AS sum_chars, SUM(i * y) AS iy
+          FROM ranked GROUP BY lang, source)
+        SELECT lang, source, n_docs, CAST(sum_chars AS BIGINT) AS sum_chars,
+               CASE WHEN sum_chars > 0 THEN
+                 round(CAST(2 * iy - (n_docs + 1) * sum_chars AS DOUBLE)
+                       / CAST(n_docs * sum_chars AS DOUBLE), 6)
+               END AS gini
+        FROM g
+        ORDER BY lang, source"""),
+      doc = "Gini concentration of per-doc char budget by source (mixture-planning audit)")
   )
 }

@@ -1056,6 +1056,54 @@ object EventQueries extends QueryModule {
         WHERE user_id % 1024 BETWEEN 4 AND 135
         GROUP BY 1
         ORDER BY xb"""),
-      doc = "z-order clustered write + bit-math partition pruning round trip (lakehouse layout)")
+      doc = "z-order clustered write + bit-math partition pruning round trip (lakehouse layout)"),
+
+    // --------------------------------------------------------------- q120
+    // Native session-window sessionization — the built-in operator form
+    // of q21's lag+cumsum (§2.E) and the batch twin of q74's stateful
+    // streaming sessions (§2.J): `session_window(ts, gap)` merges events
+    // per user into [first_event, last_event + gap) windows in ONE
+    // shuffle on the grouping key (Spark merges overlapping windows
+    // within each hash partition — no second pass, state bounded per
+    // user). An event extends a session iff it lands strictly inside the
+    // current window, so a gap of exactly 30 min starts a NEW session —
+    // the oracle's `>=` mirrors that edge (the testdata's nanosecond
+    // timestamps make exact-boundary collisions practically impossible,
+    // but the semantics are pinned either way).
+    "q120_session_window" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.events(s, d)
+          .withColumn("ts_m", timestamp_micros(col("ts_us")))
+          .groupBy(col("user_id"), session_window(col("ts_m"), "30 minutes"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            dsum(col("value")).as("sum_value"))
+          .select(
+            col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n_events"),
+            col("sum_value"))
+          .orderBy("user_id", "start_us")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, value,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_ts
+          FROM events),
+        m AS (
+          SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >= ${SessionGapUs} THEN 1 ELSE 0 END AS new_session
+          FROM t),
+        sid AS (
+          SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM m)
+        SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) + ${SessionGapUs} AS end_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM sid
+        GROUP BY user_id, session_id
+        ORDER BY user_id, start_us"""),
+      doc = "native session_window batch sessionization (§2.J operator form of q21)")
   )
 }

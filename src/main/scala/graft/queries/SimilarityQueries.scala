@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -355,6 +356,68 @@ object SimilarityQueries extends QueryModule {
                md5(array_to_string(qv, ',')) AS q_md5
         FROM q
         ORDER BY vec_id"""),
-      doc = "int8 symmetric embedding quantization, engine-exact (north-star vector ingest)")
+      doc = "int8 symmetric embedding quantization, engine-exact (north-star vector ingest)"),
+
+    // --------------------------------------------------------------- q119
+    // Entity-resolution blocked fuzzy join (string-similarity sibling of
+    // the embedding queries above): best fuzzy match per part name.
+    // Candidates come from a UNION of two blocking passes — (first
+    // token, exact length) and (second token, exact length); the length
+    // component is the classic ER length filter (|len1 − len2| ≤ edit
+    // distance, so same-length blocking loses nothing at threshold 0 and
+    // is a deliberate recall/cost trade above it). Survivors get an
+    // exact `levenshtein` verify and a per-record best pick (min
+    // distance, id tie-break). Never all-pairs: every candidate lives
+    // inside a (token, length) block, so the self-join is keyed and the
+    // fan-out is Σ|block|² — at 100 TB the block key grows entropy
+    // (more tokens, char prefixes) and hot blocks salt (q79/q90's
+    // SkewOps), but this keyed-join → window-min plan IS the scale
+    // shape.
+    "q119_fuzzy_blocked_join" -> NamedQuery(
+      fn = (s, d) => {
+        val p = Tables.part(s, d).select(
+          col("p_partkey").as("k"), col("p_name").as("n"),
+          split(col("p_name"), " ").getItem(0).as("t1"),
+          split(col("p_name"), " ").getItem(1).as("t2"),
+          length(col("p_name")).as("len"))
+        def blocked(tok: String): DataFrame =
+          p.select(col("k").as("k1"), col("n").as("n1"), col(tok).as("b"), col("len"))
+            .join(
+              p.select(col("k").as("k2"), col("n").as("n2"), col(tok).as("b"), col("len")),
+              Seq("b", "len"))
+            .filter(col("k1") =!= col("k2"))
+            .select("k1", "n1", "k2", "n2")
+        val cands = blocked("t1").unionByName(blocked("t2")).distinct()
+        val scored = cands.withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+        val best = Window.partitionBy("k1").orderBy(col("dist"), col("k2"))
+        scored.withColumn("rn", row_number().over(best))
+          .filter(col("rn") === 1)
+          .select(
+            col("k1").as("p_partkey"),
+            col("k2").as("best_match"),
+            col("dist"))
+          .orderBy("p_partkey")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT p_partkey AS k, p_name AS n,
+                 split_part(p_name, ' ', 1) AS t1,
+                 split_part(p_name, ' ', 2) AS t2,
+                 length(p_name) AS len
+          FROM part),
+        cand AS (
+          SELECT a.k AS k1, a.n AS n1, b.k AS k2, b.n AS n2
+          FROM p a JOIN p b ON a.t1 = b.t1 AND a.len = b.len AND a.k <> b.k
+          UNION
+          SELECT a.k, a.n, b.k, b.n
+          FROM p a JOIN p b ON a.t2 = b.t2 AND a.len = b.len AND a.k <> b.k),
+        scored AS (
+          SELECT k1, k2, CAST(levenshtein(n1, n2) AS BIGINT) AS dist FROM cand)
+        SELECT k1 AS p_partkey, k2 AS best_match, dist
+        FROM (SELECT *, row_number() OVER (PARTITION BY k1 ORDER BY dist, k2) AS rn
+              FROM scored)
+        WHERE rn = 1
+        ORDER BY p_partkey"""),
+      doc = "ER blocked fuzzy join: union-of-blockings + levenshtein verify + best match per record")
   )
 }

@@ -153,6 +153,66 @@ class BinnedRangeJoinRuleSpec extends AnyFunSuite {
     assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
   }
 
+  test("TimestampType points bin on epoch micros and stay exact") {
+    import spark.implicits._
+    // events at 1-minute spacing; intervals of mixed width in minutes
+    val base = 1700000000000000L // µs
+    val points = (0L until 600L).map(m => (m, base + m * 60_000_000L))
+      .toDF("pid", "us").withColumn("t", timestamp_micros(col("us"))).drop("us")
+    val intervals = Seq((1L, 5L, 10L), (2L, 0L, 0L), (3L, 300L, 302L), (4L, 590L, 700L))
+      .toDF("iid", "lo_m", "hi_m")
+      .select(col("iid"),
+        timestamp_micros(lit(base) + col("lo_m") * 60_000_000L).as("lo"),
+        timestamp_micros(lit(base) + col("hi_m") * 60_000_000L).as("hi"))
+    val cond = col("t") >= col("lo") && col("t") <= col("hi")
+    val expected = points.join(intervals, cond)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    // binWidth is µs for timestamps: 7 minutes per bin
+    val got = withRule(7L * 60_000_000L) {
+      val df = points.join(intervals, cond).select("iid", "pid")
+      assert(df.queryExecution.executedPlan.toString.contains("__graft_bin"),
+        "rule did not fire on TimestampType points")
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got === expected)
+  }
+
+  test("DateType points bin on epoch days; IntegerType points widen to long") {
+    import spark.implicits._
+    val points = (0 until 200).map(i => (i.toLong, i)).toDF("pid", "d0")
+      .select(col("pid"), date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("d0")).as("dt"))
+    val intervals = Seq((1L, 3, 10), (2L, 60, 61), (3L, 180, 250))
+      .toDF("iid", "lo0", "hi0")
+      .select(col("iid"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("lo0")).as("lo"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("hi0")).as("hi"))
+    val cond = col("dt") >= col("lo") && col("dt") <= col("hi")
+    val expected = points.join(intervals, cond)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    val gotDate = withRule(30L) { // 30-day bins
+      val df = points.join(intervals, cond).select("iid", "pid")
+      assert(df.queryExecution.executedPlan.toString.contains("__graft_bin"),
+        "rule did not fire on DateType points")
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(gotDate === expected)
+    // IntegerType points
+    val ip = (-50 to 150).map(x => (x.toLong, x)).toDF("pid", "x")
+    val ii = Seq((1L, -30, -10), (2L, 0, 5), (3L, 120, 200)).toDF("iid", "lo", "hi")
+    val icond = col("x") >= col("lo") && col("x") <= col("hi")
+    val iexp = ip.join(ii, icond).select("iid", "pid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val igot = withRule(16L) {
+      val df = ip.join(ii, icond).select("iid", "pid")
+      assert(df.queryExecution.executedPlan.toString.contains("__graft_bin"),
+        "rule did not fire on IntegerType points")
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(igot === iexp)
+  }
+
   test("fixed-point stable: the rule does not re-fire on its own output") {
     val (points, intervals) = fixtures
     val cond = col("x") >= col("lo") && col("x") <= col("hi")
