@@ -408,13 +408,27 @@ object CorpusQueries extends QueryModule {
           .filter(col("jacc") >= 0.5)
           .select(col("d1").as("a"), col("d2").as("b"))
           .persist()
+        // Wedge COUNT needs no wedge enumeration: each ordered wedge
+        // a<b<c is one (in-edge, out-edge) pair meeting at its middle
+        // vertex, so n_wedges = Σ_v in(v)·out(v) over two degree
+        // aggregates — O(V) state instead of materializing Σd² rows.
+        // (Near-dup cliques make that materialization explode: an
+        // m-clique holds C(m,3) ordered wedges, and the first cut of
+        // this query persisted them all — 30 s at sf0.1. Counting from
+        // degrees is exact and clique-proof.)
+        val din = e.groupBy(col("b").as("v")).agg(count(lit(1)).as("din"))
+        val dout = e.groupBy(col("a").as("v")).agg(count(lit(1)).as("dout"))
+        val wAgg = din.join(dout, "v")
+          .agg(coalesce(sum(col("din") * col("dout")), lit(0L)).as("n_wedges"))
+        // Triangles DO need the wedge stream, but it is never stored:
+        // wedges pipe straight into a broadcast-hash probe against the
+        // (small) edge list — one pass, no shuffle of the wedge fan-out.
         val wedges = e.select(col("a"), col("b"))
           .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-          .select("a", "b", "c").persist()
+          .select("a", "b", "c")
         val triangles = wedges
-          .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+          .join(broadcast(e.select(col("a"), col("b").as("c"))), Seq("a", "c"))
         val eAgg = e.agg(count(lit(1)).as("n_edges"))
-        val wAgg = wedges.agg(count(lit(1)).as("n_wedges"))
         val tAgg = triangles.agg(count(lit(1)).as("n_triangles"))
         eAgg.crossJoin(wAgg).crossJoin(tAgg)
           .withColumn("closure_rate",
@@ -612,6 +626,129 @@ object CorpusQueries extends QueryModule {
                END AS gini
         FROM g
         ORDER BY lang, source"""),
-      doc = "Gini concentration of per-doc char budget by source (mixture-planning audit)")
+      doc = "Gini concentration of per-doc char budget by source (mixture-planning audit)"),
+
+    // --------------------------------------------------------------- q122
+    // Fixed-point PageRank over the near-dup graph (the same edges q55
+    // clusters and q116 censuses): 3 unrolled Pregel-style rounds of
+    //   r' = 0.15 + 0.85 * Σ_incoming(r / deg)
+    // in SCALED-INTEGER arithmetic — ranks carry 1e9 fixed-point BIGINTs
+    // and every division is a floor division, so Spark (`div`) and
+    // DuckDB (`//`) agree bit-for-bit with no float accumulation order
+    // anywhere. Each round is ONE keyed join (edges ⋈ ranks on src —
+    // the edge frame is persisted once and reused all rounds) + ONE
+    // keyed aggregate on dst: the iterative-graph pattern at scale,
+    // bounded rounds by construction (cf. duplicateClusters' budget).
+    // Overflow headroom: a node's in-sum is ≤ deg × 1e9 and 85× that
+    // must fit a long, so deg ≤ ~1e8 — near-dup degrees are
+    // clique-bounded far below that (a general web graph would cap or
+    // rescale first).
+    "q122_pagerank_neardup" -> NamedQuery(
+      fn = (s, d) => {
+        implicit val sp = s
+        val scope = Seq("lang", "source")
+        val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope).persist()
+        val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
+        val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
+        val pairs = graft.ops.DedupOps.jaccardExploded(toks, candidates)
+          .filter(col("jacc") >= 0.5)
+          .select("d1", "d2")
+        // undirected graph as symmetric directed edges; deg per source
+        val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+          .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+          .persist()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val docs = Tables.documents(s, d).select("doc_id")
+        var ranks = docs.withColumn("r", lit(1000000000L)) // 1.0 fixed-point
+        for (_ <- 1 to 3) {
+          val contrib = edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .select(col("dst"), expr("r div deg").as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+          ranks = docs.join(contrib, docs("doc_id") === contrib("dst"), "left")
+            .select(col("doc_id"),
+              expr("CAST(150000000 AS BIGINT) + (85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100").as("r"))
+        }
+        ranks.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("deg"), lit(0L)).as("deg"), col("r"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, lang, source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, lang, source, seed,
+                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
+          FROM toks CROSS JOIN generate_series(0, 7) s(seed)
+          GROUP BY 1, 2, 3, 4),
+        bands AS (
+          SELECT doc_id, lang, source, seed // 2 AS band,
+                 md5(CAST(min(mh) AS VARCHAR) || '#' || CAST(max(mh) AS VARCHAR)) AS band_hash
+          FROM sig
+          GROUP BY doc_id, lang, source, seed // 2),
+        candidates AS (
+          SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+          FROM bands b1 JOIN bands b2
+            ON b1.lang = b2.lang AND b1.source = b2.source
+           AND b1.band = b2.band AND b1.band_hash = b2.band_hash
+           AND b1.doc_id < b2.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        inter AS (
+          SELECT c.d1, c.d2, COUNT(*) AS cnt
+          FROM candidates c
+          JOIN toks t1 ON t1.doc_id = c.d1
+          JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT d1, d2
+          FROM inter
+          JOIN sizes n1 ON d1 = n1.doc_id
+          JOIN sizes n2 ON d2 = n2.doc_id
+          WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5),
+        edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL
+          SELECT d2, d1 FROM pairs),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS r FROM documents),
+        i1 AS (
+          SELECT d0.doc_id,
+                 CAST(150000000 + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS r
+          FROM documents d0
+          LEFT JOIN (
+            SELECT e.dst AS doc_id, CAST(SUM(p.r // g.deg) AS BIGINT) AS in_sum
+            FROM edges e
+            JOIN r0 p ON p.doc_id = e.src
+            JOIN deg g ON g.src = e.src
+            GROUP BY e.dst) s USING (doc_id)),
+        i2 AS (
+          SELECT d0.doc_id,
+                 CAST(150000000 + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS r
+          FROM documents d0
+          LEFT JOIN (
+            SELECT e.dst AS doc_id, CAST(SUM(p.r // g.deg) AS BIGINT) AS in_sum
+            FROM edges e
+            JOIN i1 p ON p.doc_id = e.src
+            JOIN deg g ON g.src = e.src
+            GROUP BY e.dst) s USING (doc_id)),
+        i3 AS (
+          SELECT d0.doc_id,
+                 CAST(150000000 + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS r
+          FROM documents d0
+          LEFT JOIN (
+            SELECT e.dst AS doc_id, CAST(SUM(p.r // g.deg) AS BIGINT) AS in_sum
+            FROM edges e
+            JOIN i2 p ON p.doc_id = e.src
+            JOIN deg g ON g.src = e.src
+            GROUP BY e.dst) s USING (doc_id))
+        SELECT d.doc_id, COALESCE(g.deg, 0) AS deg, i3.r
+        FROM documents d
+        LEFT JOIN deg g ON g.src = d.doc_id
+        JOIN i3 ON i3.doc_id = d.doc_id
+        ORDER BY d.doc_id"""),
+      doc = "fixed-point PageRank, 3 Pregel rounds over the near-dup graph, engine-exact (graph family)")
   )
 }

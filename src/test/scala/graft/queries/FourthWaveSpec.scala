@@ -15,16 +15,23 @@ class FourthWaveSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("q119: a part with an exactly-duplicated name always best-matches at distance 0") {
-    val out = SparkEntry.queries("q119_fuzzy_blocked_join")(spark, sf)
-    val dupKeys = Tables.part(spark, sf)
-      .groupBy("p_name").agg(collect_list("p_partkey").as("ks"), count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-      .select(explode(col("ks")).as("p_partkey"))
-    val nonZero = out.join(dupKeys, Seq("p_partkey")).filter(col("dist") =!= 0L).count()
-    assert(nonZero === 0L, "exact-dup part matched at nonzero distance")
-    // and each record appears at most once (best match is unique)
-    assert(out.count() === out.select("p_partkey").distinct().count())
+  test("q119: name-level fuzzy matches are unique, nonzero, symmetric-bounded, support-correct") {
+    val out = SparkEntry.queries("q119_fuzzy_blocked_join")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // one best match per distinct name; matches are other names (dist >= 1)
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.forall(_._3 >= 1L), "a distinct name matched itself at distance 0")
+    // blocking is symmetric, so if n1 best-matches n2 at d, n2's own best
+    // (when ranked) can never be worse than d — n1 is one of its candidates
+    val bestOf = out.map(r => r._1 -> r._3).toMap
+    out.foreach { case (n1, n2, d, _) =>
+      bestOf.get(n2).foreach(d2 => assert(d2 <= d, s"$n2 best $d2 > $d via $n1"))
+    }
+    // support counts are the true per-name record counts
+    val truth = Tables.part(spark, sf).groupBy("p_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (n1, _, _, np) => assert(truth(n1) === np, s"support drift for $n1") }
   }
 
   test("q120 native session_window agrees with q21 lag+cumsum on sessions per user") {
@@ -55,6 +62,20 @@ class FourthWaveSpec extends AnyFunSuite {
       .filter(col("n_out").isNull || col("n_in").isNull || col("n_out") =!= col("n_in"))
       .count()
     assert(totals === 0L, "session n_events do not partition the event count")
+  }
+
+  test("q122: every doc is ranked; isolated docs hold exactly the damping base") {
+    val out = SparkEntry.queries("q122_pagerank_neardup")(spark, sf)
+    val rows = out.collect()
+    assert(rows.length.toLong === Tables.documents(spark, sf).count(),
+      "PageRank must rank every document, connected or not")
+    rows.foreach { r =>
+      val (deg, rank) = (r.getLong(1), r.getLong(2))
+      // deg 0 ⇒ no incoming contribution in any round ⇒ r = 0.15 exactly
+      // (in 1e9 fixed point); deg > 0 keeps at least the damping base
+      if (deg === 0L) assert(rank === 150000000L, s"isolated doc ${r.get(0)} drifted")
+      else assert(rank >= 150000000L, s"doc ${r.get(0)} below damping base")
+    }
   }
 
   test("q121 matches an independent JVM recomputation of the Gini formula") {
