@@ -26,6 +26,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 8g, deliberately NOT larger: in local mode ContextCleaner reclaims
+// dead broadcast/shuffle/checkpoint blocks only after a driver GC, so
+// a bigger heap means rarer GCs, accumulating block-manager state and
+// 10-40x pathological swings on the heavy queries (measured at sf0.1:
+// the LSH subset ran 47 s at 8g, 534 s at 48g, with one query at
+// 415 s at 16g). Bench/Verify also System.gc() between queries to
+// trigger that cleanup deterministically. On a real cluster this is
+// per-executor sizing + distributed cleanup, not a code concern.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -40,6 +40,11 @@ object Bench {
       // terminal action runs here; drop their cached blocks now so cache
       // pressure from one query never degrades the queries after it.
       spark.sharedState.cacheManager.clearCache()
+      // ContextCleaner reclaims dead broadcast/shuffle/localCheckpoint
+      // blocks only after a GC notices the weak references — force one
+      // so the previous query's block-manager state can't squeeze this
+      // one's execution memory (see build.sbt's heap-size note).
+      System.gc()
       (name, elapsed, err)
     }
     // Failed queries are reported in "errors" (not timed as successes)

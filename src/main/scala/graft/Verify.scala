@@ -28,6 +28,9 @@ object Verify {
       }
       // drop per-query persisted intermediates (see Bench)
       spark.sharedState.cacheManager.clearCache()
+      // force ContextCleaner to reclaim dead broadcast/shuffle/
+      // checkpoint blocks between queries (see Bench + build.sbt note)
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -130,7 +130,8 @@ object CorpusQueries extends QueryModule {
           FROM documents),
         sig AS (
           SELECT doc_id, lang, source, seed,
-                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
+                 min((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+     + seed * CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT)) % 2305843009213693951) AS mh
           FROM toks CROSS JOIN generate_series(0, 7) s(seed)
           GROUP BY 1, 2, 3, 4),
         bands AS (
@@ -189,7 +190,8 @@ object CorpusQueries extends QueryModule {
           FROM documents),
         sig AS (
           SELECT doc_id, lang, source, seed,
-                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
+                 min((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+     + seed * CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT)) % 2305843009213693951) AS mh
           FROM toks CROSS JOIN generate_series(0, 7) s(seed)
           GROUP BY 1, 2, 3, 4),
         bands AS (
@@ -289,7 +291,8 @@ object CorpusQueries extends QueryModule {
           FROM documents),
         sig AS (
           SELECT doc_id, lang, source, seed,
-                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
+                 min((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+     + seed * CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT)) % 2305843009213693951) AS mh
           FROM toks CROSS JOIN generate_series(0, 7) s(seed)
           GROUP BY 1, 2, 3, 4),
         bands AS (
@@ -442,7 +445,8 @@ object CorpusQueries extends QueryModule {
           FROM documents),
         sig AS (
           SELECT doc_id, lang, source, seed,
-                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
+                 min((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+     + seed * CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT)) % 2305843009213693951) AS mh
           FROM toks CROSS JOIN generate_series(0, 7) s(seed)
           GROUP BY 1, 2, 3, 4),
         bands AS (
@@ -527,7 +531,8 @@ object CorpusQueries extends QueryModule {
           FROM documents),
         sig AS (
           SELECT doc_id, lang, source, seed,
-                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
+                 min((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+     + seed * CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT)) % 2305843009213693951) AS mh
           FROM toks CROSS JOIN generate_series(0, 7) s(seed)
           GROUP BY 1, 2, 3, 4),
         bands AS (
@@ -681,7 +686,8 @@ object CorpusQueries extends QueryModule {
           FROM documents),
         sig AS (
           SELECT doc_id, lang, source, seed,
-                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
+                 min((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+     + seed * CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT)) % 2305843009213693951) AS mh
           FROM toks CROSS JOIN generate_series(0, 7) s(seed)
           GROUP BY 1, 2, 3, 4),
         bands AS (

@@ -135,7 +135,8 @@ object DedupQueries extends QueryModule {
           FROM documents),
         sig AS (
           SELECT doc_id, seed,
-                 min(CAST('0x' || substr(md5(tok || '#' || seed), 1, 15) AS BIGINT)) AS mh
+                 min((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+     + seed * CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT)) % 2305843009213693951) AS mh
           FROM toks CROSS JOIN generate_series(0, 7) s(seed)
           GROUP BY 1, 2),
         bands AS (
