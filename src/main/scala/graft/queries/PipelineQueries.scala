@@ -519,7 +519,8 @@ object PipelineQueries extends QueryModule {
     // map-side hash probe and NO stream-side shuffle for the join; state
     // is only the Complete-mode aggregate. Closes the streaming surface:
     // tumbling (q60), sessions (q74), stream-stream (q78), sliding
-    // (q80), dedup (q81), stream-static (here) — all six hash-matched to
+    // (q80), dedup (q81), stream-static (here), outer interval join
+    // (q123) — all seven hash-matched to
     // batch oracles.
     "q109_stream_static_join" -> NamedQuery(
       fn = (s, d) => {
@@ -549,6 +550,74 @@ object PipelineQueries extends QueryModule {
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
-      doc = "Structured Streaming stream-static broadcast enrichment vs the batch oracle (§2.J)")
+      doc = "Structured Streaming stream-static broadcast enrichment vs the batch oracle (§2.J)"),
+
+    // --------------------------------------------------------------- q123
+    // Stream-stream LEFT OUTER interval join through the gate — the
+    // seventh streaming shape, and the one where the watermark is the
+    // EMISSION trigger, not just state cleanup: an unmatched click may
+    // only be released with NULL purchase columns after event time
+    // passes click_ts + 30min + the 10-min watermark delay (earlier it
+    // might still match). End-of-stream therefore needs a flush, and
+    // the flush must advance BOTH watermark operators: the global
+    // watermark is the MIN across every withWatermark node, so a
+    // click-only sentinel leaves the purchases-side watermark at the
+    // real data's max and the last clicks never release (measured:
+    // exactly the final unmatched click went missing). Each sentinel
+    // batch therefore carries one far-future click (user -1) AND one
+    // far-future purchase (user -2, outside every real click's window):
+    // sentinel pair #1 rides with the data batch and pushes the
+    // post-batch watermark past every real join window; pair #2
+    // (written AFTER the first processAllAvailable) forces one more
+    // REAL batch that runs under that watermark and emits every
+    // remaining unmatched click — deterministic, no reliance on a
+    // no-data micro-batch racing processAllAvailable. Sentinels are
+    // filtered from the result.
+    "q123_stream_outer_join" -> NamedQuery(
+      fn = (s, d) => {
+        import graft.streaming.EventWindows
+        val dir = TempPaths.stageFile(s, "q123_events", s"$d/events.parquet", "events.parquet").toPath
+        val raw = Tables.load(s, d, "events") // ts as nanos long
+        val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+        def sentinel(path: String, ns: Long): Unit =
+          s.range(1).select(explode(array(
+            struct(lit(-1L).as("event_id"), lit(ns).as("ts"),
+              lit(-1L).as("user_id"), lit("click").as("event_type"),
+              lit(0.0).as("value"), lit("{}").as("props")),
+            struct(lit(-2L).as("event_id"), lit(ns).as("ts"),
+              lit(-2L).as("user_id"), lit("purchase").as("event_type"),
+              lit(0.0).as("value"), lit("{}").as("props")))).as("e"))
+            .select("e.*")
+            .write.mode("overwrite").parquet(s"$dir/$path")
+        sentinel("sentinel1.parquet", maxNs + 3L * 3600 * 1000000000L)
+        val stream = s.readStream.schema(raw.schema).parquet(s"$dir/*.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val joined = EventWindows.clickToPurchaseOuter(stream)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try joined.writeStream.outputMode(OutputMode.Append)
+            .format("memory").queryName("q123_stream_outer_join").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          q.processAllAvailable()
+          sentinel("sentinel2.parquet", maxNs + 4L * 3600 * 1000000000L)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table("q123_stream_outer_join")
+          .filter(col("user_id") >= 0L)
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      oracle = Some(s"""
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               p.value AS purchase_value
+        FROM events c LEFT JOIN events p
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) >= epoch_us(c.ts)
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + ${30L * 60 * 1000000L}
+        WHERE c.event_type = 'click'
+        ORDER BY c.user_id, click_id, purchase_id"""),
+      doc = "stream-stream LEFT OUTER interval join vs the batch oracle (§2.J seventh shape)")
   )
 }

@@ -81,6 +81,30 @@ object EventWindows {
       .select("user_id", "click_id", "purchase_id", "purchase_value")
   }
 
+  /** Stream-stream LEFT OUTER interval join: every click, joined to
+    * same-user purchases in the following 30 minutes, or emitted with
+    * NULL purchase columns once the watermark PROVES no match can still
+    * arrive — the outer variant of [[clickToPurchase]], and the shape
+    * where the watermark is not just state cleanup but the emission
+    * trigger itself: an unmatched click may only be released after
+    * event time passes click_ts + 30min + the watermark delay.
+    */
+  def clickToPurchaseOuter(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    clicks.join(purchases, expr(
+      """user_id = p_user AND
+         purchase_ts >= click_ts AND
+         purchase_ts <= click_ts + INTERVAL 30 MINUTES"""), "leftOuter")
+      .select("user_id", "click_id", "purchase_id", "purchase_value")
+  }
+
   /** Streaming exact-dedup (the streaming form of the batch q33
     * north-star op): drop repeated payload fingerprints, with the
     * watermark bounding the dedup state to 10 minutes of keys — the
