@@ -263,4 +263,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("MapPartitions") || p.contains("mapPartitions") || p.contains("SerializeFromObject"))
     assert(p.contains("partial_count") || p.contains("partial_sum"))
   }
+
+  test("q119 canonicalizes BEFORE matching: name aggregate below the blocked self-join") {
+    val p = plan("q119_fuzzy_blocked_join")
+    // the distinct-name aggregate (count per p_name) must sit under the
+    // join — the quadratic work runs on the vocabulary, not the records
+    assert(p.contains("HashAggregate") && p.contains("p_name"),
+      s"no canonicalizing aggregate in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join fell back to an unkeyed join:\n$p")
+    // blocked self-join is keyed on (token, length)
+    assert(p.contains("len#"), s"length not part of the block key:\n$p")
+  }
+
+  test("q120 native session_window: partial agg, ONE keyed exchange, MergingSessions") {
+    val p = plan("q120_session_window")
+    assert(p.contains("MergingSessions"), s"no session-merge operator in:\n$p")
+    // exactly one hash exchange (on user_id) before the final agg — the
+    // orderBy adds a range exchange, nothing else shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, s"extra shuffles in:\n$p")
+    assert(p.contains("partial_count") || p.contains("merge_count"))
+  }
+
+  test("q116 counts wedges from degrees and probes triangles via broadcast (nothing stored)") {
+    val p = plan("q116_triangle_census")
+    // the triangle probe against the edge list is a broadcast hash join
+    // — the wedge fan-out streams through it, it is never exchanged
+    assert(p.contains("BroadcastHashJoin"), s"triangle probe not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in census:\n$p")
+  }
+
+  test("q122 PageRank rounds reuse the persisted edge frame (no recompute per round)") {
+    val p = plan("q122_pagerank_neardup")
+    // 3 rounds x (edges join + dst agg) all read the same InMemoryRelation
+    assert(p.contains("InMemoryTableScan"), s"edge frame not cached across rounds:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
