@@ -252,4 +252,68 @@ object AsOfJoinOps {
     GraftBridge.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lt, rt, strict, toleranceUs, forward))
   }
+
+  /** Broadcast as-of join — the dim-sized-right composition of
+    * [[asofJoin]]. Per-key quote rows collapse into ONE time-sorted
+    * struct array (time is the struct's FIRST field, so `sort_array`
+    * orders by it), the array table broadcasts, and each probe row
+    * picks its match with a higher-order `filter` + `element_at` —
+    * entirely codegen'd column expressions. The probe side NEVER
+    * shuffles or sorts: the whole join is a map over the probe scan
+    * behind one BroadcastHashJoin, which is the plan you want when the
+    * right side is a small reference table (rates, calibrations,
+    * config history) and the probe side is the 100 TB fact — the merge
+    * operator above would shuffle+sort BOTH sides on the keys.
+    *
+    * Same semantics as [[asofJoin]] (LEFT OUTER; backward/forward,
+    * strict, tolerance), with two deliberate narrowings: every per-key
+    * quote list must fit in one row (the broadcast-dim assumption —
+    * per-probe match cost is O(quotes per key), linear scan), and time
+    * ties among quotes break by the remaining struct fields in column
+    * order (the merge exec retains the last-read tied row instead;
+    * identical results whenever key+time is unique on the right, the
+    * usual reference-table shape).
+    */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTimeCol: String, rightTimeCol: String,
+                        strict: Boolean = false, toleranceUs: Option[Long] = None,
+                        forward: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list, element_at, filter, sort_array, struct, unix_micros, when}
+    val lt = left.schema(leftTimeCol).dataType
+    val rt = right.schema(rightTimeCol).dataType
+    require(Seq(LongType, TimestampType).contains(lt) && rt == lt,
+      s"as-of time columns must both be LongType or both TimestampType, got $lt/$rt")
+    require(toleranceUs.forall(_ >= 0), "as-of tolerance must be >= 0")
+    require(!left.columns.contains("__qarr"), "probe side may not contain __qarr")
+    keys.foreach { k =>
+      require(left.columns.contains(k) && right.columns.contains(k),
+        s"as-of key '$k' missing from a side")
+    }
+    // time first so sort_array orders the quotes by it
+    val ordered = rightTimeCol +: right.columns.filterNot(c => keys.contains(c) || c == rightTimeCol)
+    val qarr = sort_array(collect_list(struct(ordered.map(col): _*))).as("__qarr")
+    val qagg =
+      if (keys.nonEmpty) right.groupBy(keys.map(col): _*).agg(qarr)
+      else right.agg(qarr)
+    val joined =
+      if (keys.nonEmpty) left.join(broadcast(qagg), keys, "left")
+      else left.crossJoin(broadcast(qagg))
+    def us(c: Column): Column = if (lt == TimestampType) unix_micros(c) else c
+    val inDirection: Column => Column = { q =>
+      val qt = q.getField(rightTimeCol)
+      if (forward) { if (strict) qt > col(leftTimeCol) else qt >= col(leftTimeCol) }
+      else { if (strict) qt < col(leftTimeCol) else qt <= col(leftTimeCol) }
+    }
+    val m0 = element_at(filter(col("__qarr"), inDirection), if (forward) 1 else -1)
+    val matched = toleranceUs match {
+      case Some(tol) =>
+        val mt = m0.getField(rightTimeCol)
+        val dist = if (forward) us(mt) - us(col(leftTimeCol)) else us(col(leftTimeCol)) - us(mt)
+        when(m0.isNotNull && dist <= tol, m0)
+      case None => m0
+    }
+    val out = left.columns.map(col).toSeq ++ ordered.map(c => matched.getField(c).as(c))
+    joined.select(out: _*)
+  }
 }

@@ -1104,6 +1104,43 @@ object EventQueries extends QueryModule {
         FROM sid
         GROUP BY user_id, session_id
         ORDER BY user_id, start_us"""),
-      doc = "native session_window batch sessionization (§2.J operator form of q21)")
+      doc = "native session_window batch sessionization (§2.J operator form of q21)"),
+
+    // --------------------------------------------------------------- q124
+    // BROADCAST as-of join (AsOfJoinOps.asofJoinBroadcast): each
+    // purchase picks the latest hourly per-type checkpoint STRICTLY
+    // before it. The checkpoint table is dim-sized (types × hours), so
+    // the right plan is NOT q95's two-sided shuffle+sort merge: quotes
+    // collapse to one time-sorted array per key, broadcast, and the
+    // probe side never shuffles — the join is a map over the probe
+    // scan (plan-pinned). Validated against DuckDB's native ASOF JOIN
+    // with the strict (<) comparator.
+    "q124_asof_broadcast" -> NamedQuery(
+      fn = (s, d) => {
+        val ev = Tables.events(s, d)
+        val quotes = ev
+          .groupBy(col("event_type"),
+            (expr(s"ts_us div ${HourUs}L") * HourUs).as("q_ts_us"))
+          .agg(round(dsum(col("value")) / count(lit(1)), 6).as("q_rate"))
+        val probe = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("event_type"), col("ts_us"))
+        graft.plans.AsOfJoinOps.asofJoinBroadcast(
+          probe, quotes, Seq("event_type"), "ts_us", "q_ts_us", strict = true)
+          .select("event_id", "event_type", "ts_us", "q_ts_us", "q_rate")
+          .orderBy("event_id")
+      },
+      oracle = Some(s"""
+        WITH q AS (
+          SELECT event_type, (epoch_us(ts) // ${HourUs}) * ${HourUs} AS q_ts_us,
+                 round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS q_rate
+          FROM events GROUP BY 1, 2),
+        p AS (
+          SELECT event_id, event_type, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.event_type, p.ts_us, q.q_ts_us, q.q_rate
+        FROM p ASOF LEFT JOIN q
+          ON p.event_type = q.event_type AND q.q_ts_us < p.ts_us
+        ORDER BY p.event_id"""),
+      doc = "broadcast as-of join: probe side never shuffles vs DuckDB native ASOF (§7.3c)")
   )
 }

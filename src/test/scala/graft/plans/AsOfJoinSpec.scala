@@ -276,4 +276,45 @@ class AsOfJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(viaOp === viaSql2)
   }
+
+  test("asofJoinBroadcast equals the merge operator on randomized data, all variants") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813)
+    val ps = (1 to 400).map(i =>
+      (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(1000).toLong)).toDF("pid", "k", "pt")
+    // unique (k, qt) on the right — the shape where broadcast and merge
+    // tie-breaking provably coincide
+    val qs = (1 to 150).map(i => (s"k${i % 8}", (i * 13L) % 1000, i.toDouble))
+      .distinct.toDF("k", "qt", "qv")
+      .groupBy("k", "qt").agg(max("qv").as("qv"))
+    for {
+      strict <- Seq(false, true)
+      forward <- Seq(false, true)
+      tol <- Seq(None, Some(120L))
+    } {
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.select("pid", "qt", "qv").collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      val merge = shape(AsOfJoinOps.asofJoin(ps, qs, Seq("k"), "pt", "qt",
+        strict = strict, toleranceUs = tol, forward = forward))
+      val bcast = shape(AsOfJoinOps.asofJoinBroadcast(ps, qs, Seq("k"), "pt", "qt",
+        strict = strict, toleranceUs = tol, forward = forward))
+      assert(bcast === merge, s"strict=$strict forward=$forward tol=$tol")
+    }
+  }
+
+  test("asofJoinBroadcast: probe side never shuffles (BroadcastHashJoin, no AsOfJoinExec)") {
+    import spark.implicits._
+    val ps = (1 to 50).map(i => (i.toLong, s"k${i % 3}", i * 7L)).toDF("pid", "k", "pt")
+    val qs = Seq(("k0", 10L, 1.0), ("k1", 20L, 2.0)).toDF("k", "qt", "qv")
+    val df = AsOfJoinOps.asofJoinBroadcast(ps, qs, Seq("k"), "pt", "qt")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("AsOfJoinExec"))
+    // keys with no quotes yield null right columns (left outer)
+    val missing = df.filter(col("k") === "k2")
+    assert(missing.count() > 0 && missing.filter(col("qv").isNotNull).count() === 0)
+  }
 }
