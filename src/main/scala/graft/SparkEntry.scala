@@ -16,7 +16,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries, MotionQueries, EventQueries, TextQueries,
     DedupQueries, SimilarityQueries, CoverageGapQueries, CorpusQueries,
-    PipelineQueries, PretrainQueries)
+    PipelineQueries, PretrainQueries, LakehouseQueries)
 
   private lazy val all: Seq[(String, NamedQuery)] = modules.flatMap(_.queries)
 

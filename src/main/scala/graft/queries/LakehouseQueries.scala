@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Lakehouse / incremental-maintenance surface: the operations that keep
+  * a 100 TB table LIVE rather than just queryable — a streaming
+  * foreachBatch merge sink (the production CDC sink pattern, eighth
+  * streaming shape), partial-aggregate incremental refresh (incremental
+  * view maintenance), row-capped file compaction (the small-file
+  * problem), and schema-drift reads (ingest evolution). The reference
+  * R's workflow re-reads static CSVs per script run (Tutorial.R:9-13);
+  * these queries are the engine-side answer to "and what happens
+  * tomorrow, when the table has changed".
+  */
+object LakehouseQueries extends QueryModule {
+
+  def queries: Seq[(String, NamedQuery)] = Seq(
+
+    // --------------------------------------------------------------- q125
+    // Streaming MERGE sink via foreachBatch — the eighth streaming
+    // shape, and the one every production pipeline ends in: micro-batch
+    // upserts into a keyed state table. The event log streams in 3
+    // range-sliced files (maxFilesPerTrigger=1 forces 3 real
+    // micro-batches); each batch folds into the running per-user latest
+    // state with a batch-local max then a merge against the previous
+    // snapshot, written copy-on-write to alternating state dirs (what a
+    // table format's commit does). event_id is the CDC sequence: state
+    // is the max over a unique key, so the final table is deterministic
+    // regardless of how the log is sliced into batches — exactly the
+    // idempotence a replayed/ reordered 100 TB ingest needs. Oracle:
+    // arg_max over the whole log in one batch query.
+    "q125_stream_merge_sink" -> NamedQuery(
+      fn = (s, d) => {
+        val raw = Tables.load(s, d, "events") // ts as nanos long
+        val slices = TempPaths.dir(s, "q125_slices").getAbsolutePath
+        raw.repartitionByRange(3, col("event_id"))
+          .write.mode("overwrite").parquet(slices)
+        val stateDirs = Seq(
+          TempPaths.dir(s, "q125_state0").getAbsolutePath,
+          TempPaths.dir(s, "q125_state1").getAbsolutePath)
+        // last committed snapshot; None until batch 0 lands. Stale dirs
+        // from a previous invocation are never read (batch 0 reads
+        // nothing, batch N reads what batch N-1 just wrote).
+        @volatile var committed: Option[String] = None
+        def packed(df: DataFrame): DataFrame =
+          df.select(col("user_id"),
+            struct(col("event_id").as("last_event_id"),
+              col("event_type").as("last_type"),
+              col("value").as("last_value")).as("st"))
+            .groupBy("user_id").agg(max(col("st")).as("st"))
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try s.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1).parquet(slices)
+            .writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+              val b = packed(batch)
+              val merged = committed match {
+                case None => b
+                case Some(prev) => s.read.parquet(prev).unionByName(b)
+                  .groupBy("user_id").agg(max(col("st")).as("st"))
+              }
+              val dir = stateDirs((id % 2).toInt)
+              merged.write.mode("overwrite").parquet(dir)
+              committed = Some(dir)
+            }.start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(committed.get)
+          .select(col("user_id"), col("st.last_event_id").as("last_event_id"),
+            col("st.last_type").as("last_type"), col("st.last_value").as("last_value"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, MAX(event_id) AS last_event_id,
+               arg_max(event_type, event_id) AS last_type,
+               arg_max(value, event_id) AS last_value
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      doc = "streaming foreachBatch CDC merge sink, 3 micro-batch upserts vs one-shot oracle (§2.J eighth shape)"),
+
+    // --------------------------------------------------------------- q126
+    // Incremental view maintenance: refresh a per-customer aggregate
+    // from PARTIAL STATES instead of rescanning history. The mergeable
+    // state for (count, sum, avg) is (n, decimal sum) — both partials
+    // merge by addition, avg derives at read time. Here the "stored"
+    // partial covers orders before the cut and the increment covers the
+    // rest; the refresh is partial ∪ partial → re-add — the plan never
+    // recombines raw history with raw increment. At 100 TB this is the
+    // difference between a nightly full rescan and touching one day of
+    // data; it works because the decimal sum is exact and
+    // order-independent (same reason dsum exists, Registry parity
+    // rules). Oracle: the full recompute it must equal.
+    "q126_incremental_agg" -> NamedQuery(
+      fn = (s, d) => {
+        val cut = "1996-01-01"
+        def partial(df: DataFrame): DataFrame =
+          df.groupBy("o_custkey")
+            .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("sd"))
+        val orders = Tables.orders(s, d)
+        val stored = partial(orders.filter(col("o_orderdate") < lit(cut)))
+        val incr = partial(orders.filter(col("o_orderdate") >= lit(cut)))
+        stored.unionByName(incr)
+          .groupBy("o_custkey")
+          .agg(sum(col("n")).as("n_orders"), sum(col("sd")).as("sd"))
+          .select(col("o_custkey"), col("n_orders"),
+            col("sd").cast("double").as("sum_price"),
+            round(col("sd").cast("double") / col("n_orders"), 6).as("avg_price"))
+          .orderBy("o_custkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
+      doc = "incremental view maintenance: mergeable (n, decimal-sum) partials, refresh without history rescan"),
+
+    // --------------------------------------------------------------- q127
+    // Row-capped compaction round trip — the small-file problem. A
+    // 100 TB ingest that lands thousands of tiny files per hour is
+    // re-written into bounded-size files: repartition to the write
+    // parallelism, cap rows per file (maxRecordsPerFile splits any
+    // oversized partition), read the compacted copy back and prove
+    // bit-exact fidelity against the source table. The file-count/cap
+    // invariants are pinned in LakehouseSpec (file counts depend on
+    // physical row layout, so they are a spec concern, not an oracle
+    // one).
+    "q127_compaction_roundtrip" -> NamedQuery(
+      fn = (s, d) => {
+        val dir = TempPaths.dir(s, "q127_compact").getAbsolutePath
+        Tables.lineitem(s, d)
+          .repartition(4)
+          .write.option("maxRecordsPerFile", 20000)
+          .mode("overwrite").parquet(dir)
+        s.read.parquet(dir)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "row-capped small-file compaction + bit-exact read-back (A6 lakehouse maintenance)"),
+
+    // --------------------------------------------------------------- q128
+    // Schema-drift read: two ingest slices written with DIFFERENT
+    // column sets (a column added mid-stream — the normal state of a
+    // long-lived ingest) read back as ONE table via parquet
+    // mergeSchema, absent columns null-filled per slice. Row-level
+    // oracle: the explicit NULL-padded union. At scale the point is
+    // that schema evolution is a METADATA operation — no rewrite of
+    // the old slices.
+    "q128_schema_drift" -> NamedQuery(
+      fn = (s, d) => {
+        val dir = TempPaths.dir(s, "q128_drift").getAbsolutePath
+        val orders = Tables.orders(s, d)
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$dir/v1")
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(s"$dir/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 1
+        ORDER BY o_orderkey"""),
+      doc = "schema-drift mergeSchema read: column added mid-ingest, old slices untouched (A6 evolution)")
+  )
+}

@@ -577,6 +577,20 @@ object PipelineQueries extends QueryModule {
       fn = (s, d) => {
         import graft.streaming.EventWindows
         val dir = TempPaths.stageFile(s, "q123_events", s"$d/events.parquet", "events.parquet").toPath
+        // Re-runs in one session (Bench times every query twice): the
+        // flush protocol assumes sentinel2 does NOT exist when the
+        // stream starts — a stale copy from a previous invocation would
+        // ride into batch #1 instead of triggering the flush batch.
+        // Drop stale sentinels so every invocation replays identically.
+        Seq("sentinel1.parquet", "sentinel2.parquet").foreach { sd =>
+          val f = dir.resolve(sd).toFile
+          if (f.exists()) {
+            def rm(x: java.io.File): Unit = {
+              Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+            }
+            rm(f)
+          }
+        }
         val raw = Tables.load(s, d, "events") // ts as nanos long
         val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
         def sentinel(path: String, ns: Long): Unit =

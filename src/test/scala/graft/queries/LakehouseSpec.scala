@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Lakehouse-module invariants that the DuckDB oracle can't express:
+  * same-session re-run determinism (Bench times every query TWICE and
+  * reports the min, so a second invocation must replay identically —
+  * the stateful streaming queries are the ones that could drift via
+  * leftover sentinels / state dirs), and the physical row-cap the
+  * compaction write promises (file counts are layout-dependent, so
+  * they're pinned here, not in the oracle).
+  */
+class LakehouseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stateful queries replay identically when invoked twice in one session") {
+    for (q <- Seq("q125_stream_merge_sink", "q123_stream_outer_join",
+        "q74_stream_sessions")) {
+      def run() = SparkEntry.queries(q)(spark, sf).collect().map(_.toString).toSeq
+      val r1 = run()
+      val r2 = run()
+      assert(r1.nonEmpty, s"$q returned no rows")
+      assert(r1 === r2, s"$q second same-session invocation diverged")
+    }
+  }
+
+  test("maxRecordsPerFile write honors the row cap and loses no rows") {
+    val dir = TempPaths.dir(spark, "spec_compaction").getAbsolutePath
+    spark.range(5000).withColumn("v", col("id") * 2)
+      .repartition(2)
+      .write.option("maxRecordsPerFile", 500)
+      .mode("overwrite").parquet(dir)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect()
+    assert(perFile.map(_.getLong(1)).sum === 5000L)
+    assert(perFile.length >= 10, s"expected >=10 capped files, got ${perFile.length}")
+    assert(perFile.forall(_.getLong(1) <= 500L),
+      s"a file exceeds the 500-row cap: ${perFile.map(_.getLong(1)).max}")
+  }
+
+  test("schema-drift read: old slice carries no trace of the new column") {
+    // the evolution claim is metadata-only — v1 files are untouched and
+    // simply lack the column; mergeSchema fills it with nulls
+    SparkEntry.queries("q128_schema_drift")(spark, sf).count() // stages v1/v2
+    val dir = TempPaths.dir(spark, "q128_drift").getAbsolutePath
+    assert(!spark.read.parquet(s"$dir/v1").columns.contains("o_orderstatus"))
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/v1", s"$dir/v2")
+    assert(merged.filter(col("o_orderkey") % 2 === 0)
+      .filter(col("o_orderstatus").isNotNull).count() === 0L)
+  }
+}
