@@ -18,7 +18,9 @@ object SparkEntry {
     DedupQueries, SimilarityQueries, CoverageGapQueries, CorpusQueries,
     PipelineQueries, PretrainQueries, LakehouseQueries)
 
-  private lazy val all: Seq[(String, NamedQuery)] = modules.flatMap(_.queries)
+  // registry order, with docs — Catalog.md generation reads this so the
+  // catalog can't miss a module the driver gate sees
+  private[graft] lazy val all: Seq[(String, NamedQuery)] = modules.flatMap(_.queries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

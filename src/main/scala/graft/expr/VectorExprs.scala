@@ -69,12 +69,23 @@ object GraftFunctions {
   private[expr] def topKBuilder(exprs: Seq[Expression]): Expression =
     TopKPairs(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), exprs(2))
       .toAggregateExpression()
+  // Spark's own runtime-filter expressions, exposed by name so
+  // ops.BloomOps can plant the identical codegen'd probe explicitly.
+  private[expr] def bloomAggBuilder(exprs: Seq[Expression]): Expression =
+    new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)).toAggregateExpression()
+  private[expr] def bloomContainsBuilder(exprs: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", vecDotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_pairs", topKBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", bloomAggBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_contains", bloomContainsBuilder, "built-in")
   }
 }
 
@@ -97,6 +108,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("top_k_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
       (exprs: Seq[Expression]) => GraftFunctions.topKBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (exprs: Seq[Expression]) => GraftFunctions.bloomAggBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      (exprs: Seq[Expression]) => GraftFunctions.bloomContainsBuilder(exprs)))
     // conf-gated (spark.graft.rangeJoin.binWidth) range-join rewrite
     e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
     // physical planning for AsOfJoinPlan (graft.plans.AsOfJoinOps)

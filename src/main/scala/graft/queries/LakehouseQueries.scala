@@ -177,6 +177,36 @@ object LakehouseQueries extends QueryModule {
         SELECT o_orderkey, o_totalprice, o_orderstatus
         FROM orders WHERE o_orderkey % 2 = 1
         ORDER BY o_orderkey"""),
-      doc = "schema-drift mergeSchema read: column added mid-ingest, old slices untouched (A6 evolution)")
+      doc = "schema-drift mergeSchema read: column added mid-ingest, old slices untouched (A6 evolution)"),
+
+    // --------------------------------------------------------------- q129
+    // Bloom-filter semi-join reduction (ops/BloomOps): the fact scan is
+    // pruned by a bloom filter built from the selective dim BEFORE the
+    // join — at 100 TB this cuts the join's shuffle to ~selectivity ×
+    // |fact| rows, which is exactly what Spark's runtime row-level
+    // filtering does when its heuristics fire; here it is explicit and
+    // deterministic. The bloom pass admits a superset (never drops a
+    // matching row), and the exact join downstream removes false
+    // positives, so results are exact at any scale/sizing. Oracle: the
+    // plain exact join.
+    "q129_bloom_join_reduce" -> NamedQuery(
+      fn = (s, d) => {
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val reduced = graft.ops.BloomOps.bloomReduce(
+          Tables.lineitem(s, d), "l_orderkey", urgent, "o_orderkey")
+        reduced.join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "bloom-filter semi-join reduction: fact scan pruned pre-shuffle vs plain-join oracle (§4)")
   )
 }
