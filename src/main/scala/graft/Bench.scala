@@ -28,35 +28,43 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Each query is timed twice and the MIN reported: on a shared box a
-      // single reading carries multiplicative co-tenant noise (measured
-      // round 4: two identical full runs 20 min apart differed by a
-      // uniform ~1.6x across every query), and min-of-2 is the standard
-      // way to report the code's cost rather than the machine's mood.
-      def once(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
-          }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // Queries that persist() intermediates can't unpersist before the
-        // terminal action runs here; drop their cached blocks now so cache
-        // pressure from one query never degrades the queries after it.
-        spark.sharedState.cacheManager.clearCache()
-        // ContextCleaner reclaims dead broadcast/shuffle/localCheckpoint
-        // blocks only after a GC notices the weak references — force one
-        // so the previous query's block-manager state can't squeeze this
-        // one's execution memory (see build.sbt's heap-size note).
-        System.gc()
-        (elapsed, err)
-      }
-      val (e1, err1) = once()
+    // Each query is timed twice and the MIN reported: on a shared box a
+    // single reading carries multiplicative co-tenant noise (measured
+    // round 4: two identical full runs 20 min apart differed by a
+    // uniform ~1.6x across every query), and min-of-2 is the standard
+    // way to report the code's cost rather than the machine's mood.
+    // The two readings come from two INTERLEAVED full passes (every
+    // query once, then every query again) rather than back-to-back
+    // repeats: noise arrives in bursts lasting tens of seconds (measured
+    // round 4: q93 read 10.5 s on BOTH adjacent runs mid-session, then
+    // 2.1-2.7 s in three separate sessions), and back-to-back runs both
+    // land inside one burst while pass-separated runs sit minutes apart.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Queries that persist() intermediates can't unpersist before the
+      // terminal action runs here; drop their cached blocks now so cache
+      // pressure from one query never degrades the queries after it.
+      spark.sharedState.cacheManager.clearCache()
+      // ContextCleaner reclaims dead broadcast/shuffle/localCheckpoint
+      // blocks only after a GC notices the weak references — force one
+      // so the previous query's block-manager state can't squeeze this
+      // one's execution memory (see build.sbt's heap-size note).
+      System.gc()
+      (elapsed, err)
+    }
+    val ordered = selected.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => (name, once(name, fn)) }.toMap
+    val results = ordered.map { case (name, fn) =>
+      val (e1, err1) = pass1(name)
       val (elapsed, err) =
         if (err1.isDefined) (e1, err1)        // a failure is not retried into a timing
-        else { val (e2, err2) = once(); (math.min(e1, e2), err2) }
+        else { val (e2, err2) = once(name, fn); (math.min(e1, e2), err2) }
       (name, elapsed, err)
     }
     // Failed queries are reported in "errors" (not timed as successes)
