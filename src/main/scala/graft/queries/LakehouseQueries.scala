@@ -207,6 +207,98 @@ object LakehouseQueries extends QueryModule {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      doc = "bloom-filter semi-join reduction: fact scan pruned pre-shuffle vs plain-join oracle (§4)")
+      doc = "bloom-filter semi-join reduction: fact scan pruned pre-shuffle vs plain-join oracle (§4)"),
+
+    // --------------------------------------------------------------- q130
+    // Snapshot time travel: a copy-on-write upsert produces v1 WITHOUT
+    // touching v0's files, so both versions stay independently readable
+    // — the read side of every table format's "AS OF" clause. v1 is
+    // built from v0 + the increment only (the q126 refresh discipline:
+    // history is never rescanned), and per-key state is max over a
+    // struct keyed by the unique o_orderkey, so both snapshots are
+    // deterministic under any batch slicing. At 100 TB time travel is
+    // what makes reproducible training runs possible: a job pins the
+    // snapshot version and is immune to concurrent ingest. Oracle:
+    // both versions recomputed from the raw table, unioned.
+    "q130_time_travel" -> NamedQuery(
+      fn = (s, d) => {
+        val cut = "1996-01-01"
+        val base = TempPaths.dir(s, "q130_tt").getAbsolutePath
+        val orders = Tables.orders(s, d)
+        def latest(df: DataFrame): DataFrame =
+          df.select(col("o_custkey"),
+            struct(col("o_orderkey").as("k"), col("o_totalprice").as("p"),
+              col("o_orderstatus").as("st")).as("s"))
+            .groupBy("o_custkey").agg(max(col("s")).as("s"))
+        latest(orders.filter(col("o_orderdate") < lit(cut)))
+          .write.mode("overwrite").parquet(s"$base/v0")
+        s.read.parquet(s"$base/v0")
+          .unionByName(latest(orders.filter(col("o_orderdate") >= lit(cut))))
+          .groupBy("o_custkey").agg(max(col("s")).as("s"))
+          .write.mode("overwrite").parquet(s"$base/v1")
+        def readVersion(v: String): DataFrame =
+          s.read.parquet(s"$base/$v").select(lit(v).as("version"), col("o_custkey"),
+            col("s.k").as("last_orderkey"), col("s.p").as("last_price"),
+            col("s.st").as("last_status"))
+        readVersion("v0").unionByName(readVersion("v1"))
+          .orderBy("version", "o_custkey")
+      },
+      oracle = Some("""
+        SELECT 'v0' AS version, o_custkey,
+               MAX(o_orderkey) AS last_orderkey,
+               arg_max(o_totalprice, o_orderkey) AS last_price,
+               arg_max(o_orderstatus, o_orderkey) AS last_status
+        FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY o_custkey
+        UNION ALL
+        SELECT 'v1' AS version, o_custkey,
+               MAX(o_orderkey) AS last_orderkey,
+               arg_max(o_totalprice, o_orderkey) AS last_price,
+               arg_max(o_orderstatus, o_orderkey) AS last_status
+        FROM orders GROUP BY o_custkey
+        ORDER BY version, o_custkey"""),
+      doc = "snapshot time travel: copy-on-write upsert leaves v0 readable, both versions vs raw-table oracle"),
+
+    // --------------------------------------------------------------- q131
+    // Snapshot vacuum: retention deletes superseded snapshot files so
+    // storage is bounded by live data, not history — the other half of
+    // q130's contract (time travel works UNTIL retention; after it,
+    // only the live snapshot answers). Three copy-on-write versions are
+    // committed, vacuum retains the newest 1, and the result is read
+    // from what survived — so the oracle (latest state over the full
+    // table) only matches if the vacuum kept exactly the right files.
+    // LakehouseSpec pins the destructive half: superseded dirs gone.
+    "q131_snapshot_vacuum" -> NamedQuery(
+      fn = (s, d) => {
+        val base = TempPaths.dir(s, "q131_vac")
+        val orders = Tables.orders(s, d)
+        def latest(df: DataFrame): DataFrame =
+          df.select(col("o_custkey"),
+            struct(col("o_orderkey").as("k"), col("o_totalprice").as("p")).as("s"))
+            .groupBy("o_custkey").agg(max(col("s")).as("s"))
+        // three commits: <1995, +1995, +rest (each from prev + increment)
+        val cuts = Seq("1995-01-01", "1996-01-01")
+        latest(orders.filter(col("o_orderdate") < lit(cuts.head)))
+          .write.mode("overwrite").parquet(s"${base.getAbsolutePath}/v0")
+        def commit(v: Int, batch: DataFrame): Unit =
+          s.read.parquet(s"${base.getAbsolutePath}/v${v - 1}")
+            .unionByName(latest(batch))
+            .groupBy("o_custkey").agg(max(col("s")).as("s"))
+            .write.mode("overwrite").parquet(s"${base.getAbsolutePath}/v$v")
+        commit(1, orders.filter(col("o_orderdate") >= lit(cuts.head) &&
+          col("o_orderdate") < lit(cuts(1))))
+        commit(2, orders.filter(col("o_orderdate") >= lit(cuts(1))))
+        // vacuum, retain 1: drop every snapshot but the newest
+        TempPaths.delete(new java.io.File(base, "v0"))
+        TempPaths.delete(new java.io.File(base, "v1"))
+        s.read.parquet(s"${base.getAbsolutePath}/v2")
+          .select(col("o_custkey"), col("s.k").as("last_orderkey"),
+            col("s.p").as("last_price"))
+          .orderBy("o_custkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, MAX(o_orderkey) AS last_orderkey,
+               arg_max(o_totalprice, o_orderkey) AS last_price
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
+      doc = "snapshot vacuum: 3 copy-on-write commits, retention keeps newest, read from survivors")
   )
 }

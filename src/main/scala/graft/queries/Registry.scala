@@ -52,7 +52,9 @@ object TempPaths {
     d
   }
 
-  private def delete(f: java.io.File): Unit = {
+  // also the vacuum primitive (q131): retention = recursive delete of
+  // superseded snapshot dirs
+  def delete(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(delete))
     f.delete(): Unit
   }

@@ -43,6 +43,28 @@ class LakehouseSpec extends AnyFunSuite {
       s"a file exceeds the 500-row cap: ${perFile.map(_.getLong(1)).max}")
   }
 
+  test("time travel: v0 files survive the v1 upsert and answer the old state") {
+    SparkEntry.queries("q130_time_travel")(spark, sf).count() // commits v0+v1
+    val base = TempPaths.dir(spark, "q130_tt").getAbsolutePath
+    val v0 = spark.read.parquet(s"$base/v0")
+    val v1 = spark.read.parquet(s"$base/v1")
+    // v1 must strictly supersede v0 (upsert adds keys and/or newer state)
+    assert(v0.count() <= v1.count(), "upsert lost keys")
+    // a key updated by the increment reads DIFFERENT state per version —
+    // the whole point of AS OF; if none differ the cut date is wrong
+    val joined = v0.as("a").join(v1.as("b"), "o_custkey")
+      .filter(col("a.s.k") =!= col("b.s.k"))
+    assert(joined.count() > 0, "no key changed between versions")
+  }
+
+  test("vacuum deletes superseded snapshots and keeps the live one") {
+    SparkEntry.queries("q131_snapshot_vacuum")(spark, sf).count()
+    val base = TempPaths.dir(spark, "q131_vac")
+    assert(!new java.io.File(base, "v0").exists(), "v0 survived the vacuum")
+    assert(!new java.io.File(base, "v1").exists(), "v1 survived the vacuum")
+    assert(spark.read.parquet(new java.io.File(base, "v2").getAbsolutePath).count() > 0)
+  }
+
   test("schema-drift read: old slice carries no trace of the new column") {
     // the evolution claim is metadata-only — v1 files are untouched and
     // simply lack the column; mergeSchema fills it with nulls
