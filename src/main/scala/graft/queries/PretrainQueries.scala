@@ -444,6 +444,57 @@ object PretrainQueries extends QueryModule {
         FROM picks p JOIN quota q USING (source)
         WHERE p.rk <= q.n_take
         ORDER BY p.source, p.rk"""),
-      doc = "exact-budget mixture: largest-remainder source quotas + hash-rank picks (north-star)")
+      doc = "exact-budget mixture: largest-remainder source quotas + hash-rank picks (north-star)"),
+
+    // --------------------------------------------------------------- q132
+    // Seeded deterministic global shuffle — the last step before tokens
+    // hit a trainer: a reproducible pseudo-random permutation of the
+    // corpus into n shards with a stable within-shard order. The key is
+    // md5(seed # doc_id), so the permutation is a pure function of
+    // (seed, corpus): same seed → identical epoch order on any cluster,
+    // next epoch → new seed → fresh permutation, no RNG state anywhere.
+    // Unlike the F3/F4 seeded ops (rows-only by design, Spark's
+    // sample() RNG is engine-private), THIS shuffle is oracle
+    // hash-matched — both engines compute the identical md5. Scale:
+    // shard count tracks output-file count (thousands at 100 TB), so
+    // the per-shard window is bounded by corpus/nShards; the plan is
+    // ONE hash exchange on shard + an in-partition sort — exactly the
+    // write path of a sharded training-data sink.
+    "q132_seeded_shuffle" -> NamedQuery(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val seed = "graft-epoch-0"
+        val h = md5(concat_ws("#", lit(seed), col("doc_id").cast("string")))
+        val shard = conv(substring(col("h"), 1, 3), 16, 10).cast("long") % 8
+        Tables.documents(s, d)
+          .select(col("doc_id"), h.as("h"))
+          .withColumn("shard", shard)
+          .select(col("doc_id"), col("shard"),
+            row_number().over(
+              Window.partitionBy("shard").orderBy("h", "doc_id"))
+              .cast("long").as("pos"))
+          .orderBy("shard", "pos")
+      },
+      oracle = Some("""
+        WITH k AS (
+          SELECT doc_id,
+                 md5('graft-epoch-0' || '#' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        hx AS (
+          SELECT doc_id, h,
+                 ascii(substr(h, 1, 1)) AS a0, ascii(substr(h, 2, 1)) AS a1,
+                 ascii(substr(h, 3, 1)) AS a2
+          FROM k),
+        sh AS (
+          SELECT doc_id, h,
+                 CAST(((a0 - CASE WHEN a0 >= 97 THEN 87 ELSE 48 END) * 256
+                     + (a1 - CASE WHEN a1 >= 97 THEN 87 ELSE 48 END) * 16
+                     + (a2 - CASE WHEN a2 >= 97 THEN 87 ELSE 48 END)) % 8 AS BIGINT) AS shard
+          FROM hx)
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM sh
+        ORDER BY shard, pos"""),
+      doc = "seeded deterministic epoch shuffle: md5-keyed shard + stable order, oracle-matched (north-star)")
   )
 }

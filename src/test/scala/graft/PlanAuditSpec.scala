@@ -299,4 +299,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), s"edge frame not cached across rounds:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q129 bloom probe is a pre-join filter on the fact scan, not an extra join") {
+    val p = plan("q129_bloom_join_reduce")
+    // the membership probe plants Spark's native might_contain over the
+    // fact scan — pruning happens BEFORE the join's shuffle/broadcast
+    assert(p.contains("might_contain"), s"no bloom probe in:\n$p")
+    assert(p.indexOf("might_contain") > p.indexOf("Join"),
+      s"bloom probe not below the join in:\n$p")
+    // exactly one join: the bloom pass must not add a second one
+    assert("HashJoin".r.findAllIn(p).length === 1, s"extra join in:\n$p")
+  }
+
+  test("q130 both snapshot reads stay pruned parquet scans of the state schema") {
+    val p = plan("q130_time_travel")
+    // two versioned scans, zero joins: time travel is a read-path
+    // concern; the upsert already happened at write time
+    assert("FileScan parquet".r.findAllIn(p).length === 2, s"expected 2 scans in:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+  }
+
+  test("q132 epoch shuffle pays ONE exchange: the shard hash partitioning") {
+    val p = plan("q132_seeded_shuffle")
+    // window-by-shard and the final order share the shard key; the only
+    // hash exchange is on shard — md5/shard derivation is map-side
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, s"extra exchange in:\n$p")
+    assert(!p.contains("Join"))
+  }
 }
