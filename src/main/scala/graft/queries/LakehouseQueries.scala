@@ -299,6 +299,62 @@ object LakehouseQueries extends QueryModule {
         SELECT o_custkey, MAX(o_orderkey) AS last_orderkey,
                arg_max(o_totalprice, o_orderkey) AS last_price
         FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
-      doc = "snapshot vacuum: 3 copy-on-write commits, retention keeps newest, read from survivors")
+      doc = "snapshot vacuum: 3 copy-on-write commits, retention keeps newest, read from survivors"),
+
+    // --------------------------------------------------------------- q133
+    // Data-quality gate — the constraint audit an ingest runs before
+    // data is allowed near training: key uniqueness, null rate, value
+    // range, and referential integrity, reported as one long-form
+    // (chk, n_violations) table. All row-level checks ride ONE scan
+    // (a single aggregate of conditional sums — map-side partials, no
+    // extra shuffle per check); the FK check is a left-anti join on the
+    // key (broadcast or keyed shuffle at scale), counted only. At
+    // 100 TB this is the cheapest possible shape: every check is O(scan)
+    // and the output is O(#checks). stack() unpivots the one aggregate
+    // row so adding a check is one line, not one pass. late_orderdate
+    // deliberately fires (>0) so the counting path is exercised, not
+    // just the all-zeros happy path.
+    "q133_dq_audit" -> NamedQuery(
+      fn = (s, d) => {
+        val orders = Tables.orders(s, d)
+        val row = orders.agg(
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_price"),
+          sum(when(col("o_orderdate") >= lit("1998-01-01"), 1L).otherwise(0L)).as("late_orderdate"))
+        val fk = orders.join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_custkey"))
+        row.crossJoin(fk)
+          .selectExpr("""stack(5,
+            'dup_orderkey', dup_orderkey,
+            'null_custkey', null_custkey,
+            'nonpositive_price', nonpositive_price,
+            'late_orderdate', late_orderdate,
+            'orphan_custkey', orphan_custkey) AS (chk, n_violations)""")
+          .orderBy("chk")
+      },
+      oracle = Some("""
+        SELECT 'dup_orderkey' AS chk,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'null_custkey',
+               CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'nonpositive_price',
+               CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'late_orderdate',
+               CAST(COALESCE(SUM(CASE WHEN o_orderdate >= DATE '1998-01-01' THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orphan_custkey', CAST(COUNT(*) AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+        ORDER BY chk"""),
+      doc = "data-quality gate: uniqueness/null/range checks in one scan + anti-join FK audit, long-form")
   )
 }
