@@ -355,6 +355,55 @@ object LakehouseQueries extends QueryModule {
         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_custkey IS NULL
         ORDER BY chk"""),
-      doc = "data-quality gate: uniqueness/null/range checks in one scan + anti-join FK audit, long-form")
+      doc = "data-quality gate: uniqueness/null/range checks in one scan + anti-join FK audit, long-form"),
+
+    // --------------------------------------------------------------- q134
+    // Change data feed between two committed snapshots — the read side
+    // of CDC: given q130-style versions v0 (pre-cut) and v1 (after the
+    // upsert), classify every live key as insert (new in v1), update
+    // (state advanced), or unchanged. The diff is ONE keyed left join
+    // of two O(keys) state tables — never a rescan of the history that
+    // produced them; at 100 TB this is what lets a downstream consumer
+    // sync incrementally instead of re-reading the table. No deletes in
+    // an append-log upsert, so a left join covers the lattice. Oracle:
+    // both versions recomputed from the raw table and diffed in SQL.
+    "q134_change_feed" -> NamedQuery(
+      fn = (s, d) => {
+        val cut = "1996-01-01"
+        val base = TempPaths.dir(s, "q134_cdf").getAbsolutePath
+        val orders = Tables.orders(s, d)
+        def latest(df: DataFrame): DataFrame =
+          df.groupBy("o_custkey").agg(max(col("o_orderkey")).as("k"))
+        latest(orders.filter(col("o_orderdate") < lit(cut)))
+          .write.mode("overwrite").parquet(s"$base/v0")
+        s.read.parquet(s"$base/v0")
+          .unionByName(latest(orders.filter(col("o_orderdate") >= lit(cut))))
+          .groupBy("o_custkey").agg(max(col("k")).as("k"))
+          .write.mode("overwrite").parquet(s"$base/v1")
+        val v0 = s.read.parquet(s"$base/v0").select(col("o_custkey"), col("k").as("k0"))
+        val v1 = s.read.parquet(s"$base/v1").select(col("o_custkey"), col("k").as("k1"))
+        v1.join(v0, Seq("o_custkey"), "left")
+          .select(col("o_custkey"),
+            when(col("k0").isNull, "insert")
+              .when(col("k0") =!= col("k1"), "update")
+              .otherwise("unchanged").as("change"),
+            col("k1").as("last_orderkey"))
+          .orderBy("o_custkey")
+      },
+      oracle = Some("""
+        WITH v0 AS (
+          SELECT o_custkey, MAX(o_orderkey) AS k0
+          FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY o_custkey),
+        v1 AS (
+          SELECT o_custkey, MAX(o_orderkey) AS k1
+          FROM orders GROUP BY o_custkey)
+        SELECT v1.o_custkey,
+               CASE WHEN v0.o_custkey IS NULL THEN 'insert'
+                    WHEN v0.k0 <> v1.k1 THEN 'update'
+                    ELSE 'unchanged' END AS change,
+               v1.k1 AS last_orderkey
+        FROM v1 LEFT JOIN v0 ON v1.o_custkey = v0.o_custkey
+        ORDER BY v1.o_custkey"""),
+      doc = "change data feed: insert/update/unchanged diff of two snapshots, one keyed join of O(keys) state")
   )
 }
