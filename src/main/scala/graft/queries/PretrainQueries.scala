@@ -495,6 +495,38 @@ object PretrainQueries extends QueryModule {
                CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
         FROM sh
         ORDER BY shard, pos"""),
-      doc = "seeded deterministic epoch shuffle: md5-keyed shard + stable order, oracle-matched (north-star)")
+      doc = "seeded deterministic epoch shuffle: md5-keyed shard + stable order, oracle-matched (north-star)"),
+
+    // --------------------------------------------------------------- q135
+    // k-anonymity audit — the quasi-identifier risk check before a
+    // corpus release (complement of q82's PII redaction, which handles
+    // DIRECT identifiers): bucket every document by its quasi-identifier
+    // tuple (lang, source, length-bucket) and report the buckets with
+    // fewer than k members — the rows an attacker could re-identify by
+    // joining on those attributes. ONE keyed aggregate, O(distinct
+    // tuples) output; at 100 TB this is a groupBy like any other, and
+    // the remediation (generalize the bucket, suppress the rows) reuses
+    // the same frame. Floor division keeps the bucket integer-exact in
+    // both engines (positive lengths: truncation == floor).
+    "q135_kanon_audit" -> NamedQuery(
+      fn = (s, d) => {
+        val k = 5
+        Tables.documents(s, d)
+          .select(col("lang"), col("source"),
+            floor(length(col("text")) / 100).cast("long").as("len_bucket"))
+          .groupBy("lang", "source", "len_bucket")
+          .agg(count(lit(1)).as("n_rows"))
+          .filter(col("n_rows") < k)
+          .orderBy("lang", "source", "len_bucket")
+      },
+      oracle = Some("""
+        SELECT lang, source,
+               CAST(length(text) // 100 AS BIGINT) AS len_bucket,
+               COUNT(*) AS n_rows
+        FROM documents
+        GROUP BY lang, source, len_bucket
+        HAVING COUNT(*) < 5
+        ORDER BY lang, source, len_bucket"""),
+      doc = "k-anonymity audit: quasi-identifier buckets under k members, the release-risk list (north-star)")
   )
 }
