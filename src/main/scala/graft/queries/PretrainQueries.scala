@@ -527,6 +527,71 @@ object PretrainQueries extends QueryModule {
         GROUP BY lang, source, len_bucket
         HAVING COUNT(*) < 5
         ORDER BY lang, source, len_bucket"""),
-      doc = "k-anonymity audit: quasi-identifier buckets under k members, the release-risk list (north-star)")
+      doc = "k-anonymity audit: quasi-identifier buckets under k members, the release-risk list (north-star)"),
+
+    // --------------------------------------------------------------- q136
+    // Bigram PMI collocation mining — the corpus statistic behind
+    // phrase induction and tokenizer-merge seeding: pointwise mutual
+    // information ln(p(ab) / (p(a)p(b))) for every adjacent token pair
+    // seen ≥ 5 times. Everything is keyed on the token (bigram counts,
+    // two unigram joins); the only broadcasts are the two 1-row totals.
+    // The unigram sides are deliberately NOT hint-broadcast: vocabulary
+    // is unbounded at corpus scale, and a keyed join on a/b is the
+    // 100 TB plan (AQE may still broadcast small vocabs at small SF).
+    // Transcendental output rounds to 6 decimals per the parity rules;
+    // the division tree is mirrored exactly in the oracle.
+    "q136_bigram_pmi" -> NamedQuery(
+      fn = (s, d) => {
+        val arrs = Tables.documents(s, d)
+          .select(split(trim(col("text")), "\\s+").as("arr"))
+          .filter(size(col("arr")) >= 2)
+        val uni = arrs.select(explode(col("arr")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+        val big = arrs.select(explode(expr(
+            """transform(sequence(1, size(arr) - 1),
+               i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))"""))
+            .as("bg"))
+          .select(col("bg.a").as("a"), col("bg.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        val nTok = uni.agg(sum(col("n_tok")).as("n_total_tok"))
+        val nBig = big.agg(sum(col("n_ab")).as("n_total_big"))
+        big.filter(col("n_ab") >= 5)
+          .join(uni.select(col("tok").as("a"), col("n_tok").as("n_a")), Seq("a"))
+          .join(uni.select(col("tok").as("b"), col("n_tok").as("n_b")), Seq("b"))
+          .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+          .select(col("a"), col("b"), col("n_ab"),
+            round(log(
+              (col("n_ab").cast("double") / col("n_total_big")) /
+                ((col("n_a").cast("double") / col("n_total_tok")) *
+                  (col("n_b").cast("double") / col("n_total_tok")))), 6).as("pmi"))
+          .orderBy("a", "b")
+      },
+      oracle = Some("""
+        WITH arrs AS (
+          SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        uni AS (
+          SELECT unnest(arr) AS tok FROM arrs),
+        ucnt AS (SELECT tok, COUNT(*) AS n_tok FROM uni GROUP BY tok),
+        pairs AS (
+          SELECT unnest(list_slice(arr, 1, len(arr) - 1)) AS a,
+                 unnest(list_slice(arr, 2, len(arr))) AS b
+          FROM arrs),
+        bcnt AS (SELECT a, b, COUNT(*) AS n_ab FROM pairs GROUP BY a, b),
+        tot AS (SELECT (SELECT SUM(n_tok) FROM ucnt) AS n_total_tok,
+                       (SELECT SUM(n_ab) FROM bcnt) AS n_total_big)
+        SELECT c.a, c.b, CAST(c.n_ab AS BIGINT) AS n_ab,
+               round(ln(
+                 (CAST(c.n_ab AS DOUBLE) / t.n_total_big) /
+                   ((CAST(ua.n_tok AS DOUBLE) / t.n_total_tok) *
+                     (CAST(ub.n_tok AS DOUBLE) / t.n_total_tok))), 6) AS pmi
+        FROM bcnt c
+        JOIN ucnt ua ON ua.tok = c.a
+        JOIN ucnt ub ON ub.tok = c.b
+        CROSS JOIN tot t
+        WHERE c.n_ab >= 5
+        ORDER BY c.a, c.b"""),
+      doc = "bigram PMI collocation mining: token-keyed counts + two vocab joins, round-6 parity (north-star)")
   )
 }
