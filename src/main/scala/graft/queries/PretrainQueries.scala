@@ -592,6 +592,84 @@ object PretrainQueries extends QueryModule {
         CROSS JOIN tot t
         WHERE c.n_ab >= 5
         ORDER BY c.a, c.b"""),
-      doc = "bigram PMI collocation mining: token-keyed counts + two vocab joins, round-6 parity (north-star)")
+      doc = "bigram PMI collocation mining: token-keyed counts + two vocab joins, round-6 parity (north-star)"),
+
+    // --------------------------------------------------------------- q137
+    // GroupKFold — the leakage-safe split q115 deliberately isn't: the
+    // fold is a pure function of the GROUP (md5(source) % k), so every
+    // document of a source lands in one fold and near-duplicate /
+    // same-provenance rows can never straddle train and eval — the
+    // split discipline that keeps a contamination-free holdout (q66's
+    // decontamination handles the cross-CORPUS case; this handles
+    // cross-FOLD). Map-side fold assignment + one keyed aggregate;
+    // output is the fold manifest (sources, docs, doc share) a training
+    // job reads before consuming shards. The no-straddle property is
+    // by construction (fold derives from source alone), and the
+    // manifest's n_sources-per-fold sum proves the partition is
+    // exhaustive.
+    "q137_group_kfold" -> NamedQuery(
+      fn = (s, d) => {
+        val fold = (conv(substring(md5(col("source")), 1, 3), 16, 10)
+          .cast("long") % 5L).as("fold")
+        val docs = Tables.documents(s, d).select(fold, col("source"))
+        val total = docs.agg(count(lit(1)).as("n_total"))
+        docs.groupBy("fold")
+          .agg(countDistinct(col("source")).as("n_sources"),
+            count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(total))
+          .select(col("fold"), col("n_sources"), col("n_docs"),
+            round(col("n_docs").cast("double") / col("n_total"), 6).as("frac_docs"))
+          .orderBy("fold")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT CAST('0x' || substr(md5(source), 1, 3) AS BIGINT) % 5 AS fold,
+                 source
+          FROM documents),
+        t AS (SELECT COUNT(*) AS n_total FROM f)
+        SELECT fold, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               COUNT(*) AS n_docs,
+               round(CAST(COUNT(*) AS DOUBLE) / t.n_total, 6) AS frac_docs
+        FROM f CROSS JOIN t
+        GROUP BY fold, t.n_total
+        ORDER BY fold"""),
+      doc = "GroupKFold: fold = md5(source) % k, group-leakage-free by construction, fold manifest (ML prep)"),
+
+    // --------------------------------------------------------------- q138
+    // Out-of-order event-time audit — the statistic that SIZES a
+    // streaming watermark: along ingest order (event_id, the sequence
+    // key), how often does event time regress per user, and by how
+    // much at worst? `withWatermark(maxLateness)` bounds state
+    // correctly only if this number is measured, not guessed; the
+    // audit is one keyed window (lag over user_id ordered by the
+    // sequence) + one keyed aggregate — all integer µs arithmetic, no
+    // float anywhere. At 100 TB: one shuffle on user_id, state O(1)
+    // per row.
+    "q138_out_of_order_audit" -> NamedQuery(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+          .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("ts_us") < col("prev_ts"), 1L).otherwise(0L)).as("n_out_of_order"),
+            coalesce(max(when(col("ts_us") < col("prev_ts"),
+              col("prev_ts") - col("ts_us"))), lit(0L)).as("max_lateness_us"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+          FROM events)
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(COALESCE(SUM(CASE WHEN ts_us < prev_ts THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_out_of_order,
+               CAST(COALESCE(MAX(CASE WHEN ts_us < prev_ts THEN prev_ts - ts_us END), 0) AS BIGINT) AS max_lateness_us
+        FROM e
+        GROUP BY user_id
+        ORDER BY user_id"""),
+      doc = "out-of-order event-time audit: lateness along the ingest sequence, the watermark-sizing statistic")
   )
 }
