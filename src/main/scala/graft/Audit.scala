@@ -23,7 +23,7 @@ object Audit {
   //    (the broadcast IS the scale plan)
   //  - q87: broadcast time-spine fan-out (gap fill); q110: broadcast
   //    O(#sources) quota/total frames; q116: cross of three 1-row
-  //    count aggregates; q133/q136: 1-row scalar attach (totals /
+  //    count aggregates; q133/q136/q137: 1-row scalar attach (totals /
   //    FK-violation count crossed onto the result — F5-class bounded)
   private val expectedCross = Set(
     "q34_ngram_jaccard", "q37_cosine_topk", "q39_neardup_pairs",

@@ -39,7 +39,7 @@ object Bench {
     // round 4: q93 read 10.5 s on BOTH adjacent runs mid-session, then
     // 2.1-2.7 s in three separate sessions), and back-to-back runs both
     // land inside one burst while pass-separated runs sit minutes apart.
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
@@ -59,12 +59,12 @@ object Bench {
       (elapsed, err)
     }
     val ordered = selected.toSeq.sortBy(_._1)
-    val pass1 = ordered.map { case (name, fn) => (name, once(name, fn)) }.toMap
+    val pass1 = ordered.map { case (name, fn) => (name, once(fn)) }.toMap
     val results = ordered.map { case (name, fn) =>
       val (e1, err1) = pass1(name)
       val (elapsed, err) =
         if (err1.isDefined) (e1, err1)        // a failure is not retried into a timing
-        else { val (e2, err2) = once(name, fn); (math.min(e1, e2), err2) }
+        else { val (e2, err2) = once(fn); (math.min(e1, e2), err2) }
       (name, elapsed, err)
     }
     // Failed queries are reported in "errors" (not timed as successes)

@@ -36,6 +36,17 @@ object BloomOps {
   def bloomReduce(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
                   expectedItems: Long = 200000L, numBits: Long = 1600000L): DataFrame = {
     require(expectedItems > 0 && numBits > 0, "bloom sizing must be positive")
+    // xxhash64 is TYPE-sensitive: an int 5 and a long 5 hash differently,
+    // so mixed-width keys would turn false positives into false NEGATIVES
+    // (dropping matching rows the downstream join's numeric coercion would
+    // keep) — the one failure mode this operator promises not to have.
+    // Spark's own InjectRuntimeFilter avoids it by hashing post-coercion
+    // join keys; here the caller aligns the types explicitly.
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    require(ft == dt,
+      s"bloomReduce keys must share one data type (xxhash64 is type-sensitive): " +
+        s"$factKey is $ft, $dimKey is $dt — cast one side before calling")
     val s = fact.sparkSession
     GraftFunctions.register(s)
     // one bounded driver pull: the serialized filter (numBits/8 bytes)

@@ -542,17 +542,20 @@ object PretrainQueries extends QueryModule {
     // the division tree is mirrored exactly in the oracle.
     "q136_bigram_pmi" -> NamedQuery(
       fn = (s, d) => {
-        val arrs = Tables.documents(s, d)
-          .select(split(trim(col("text")), "\\s+").as("arr"))
+        val arrs = tokenArrays(s, d).select(col("arr"))
           .filter(size(col("arr")) >= 2)
+        // uni feeds three consumers (total + both vocab joins) and big
+        // two (total + the filtered join) — persist the small post-agg
+        // frames so the corpus is tokenized twice, not five times
+        // (harness clearCache handles the lifecycle, q93 pattern)
         val uni = arrs.select(explode(col("arr")).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n_tok")).persist()
         val big = arrs.select(explode(expr(
             """transform(sequence(1, size(arr) - 1),
                i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))"""))
             .as("bg"))
           .select(col("bg.a").as("a"), col("bg.b").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab")).persist()
         val nTok = uni.agg(sum(col("n_tok")).as("n_total_tok"))
         val nBig = big.agg(sum(col("n_ab")).as("n_total_big"))
         big.filter(col("n_ab") >= 5)

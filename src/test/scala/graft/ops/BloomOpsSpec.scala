@@ -24,6 +24,18 @@ class BloomOpsSpec extends AnyFunSuite {
     assert(kept.size < 20000, s"bloom filter pruned almost nothing: ${kept.size}")
   }
 
+  test("mixed-type keys are rejected (xxhash64 is type-sensitive)") {
+    // int 5 and long 5 hash differently — silently dropping matches is
+    // the one failure mode the operator promises not to have, so the
+    // mismatch must fail loudly instead
+    val fact = spark.range(0, 100).select(col("id").cast("int").as("k"))
+    val dim = spark.range(0, 10).select(col("id").as("dk"))
+    val e = intercept[IllegalArgumentException] {
+      BloomOps.bloomReduce(fact, "k", dim, "dk", 100L, 1600L)
+    }
+    assert(e.getMessage.contains("type"))
+  }
+
   test("the bloom probe plans as a filter over the fact scan, not a join") {
     val fact = spark.range(0, 1000).select(col("id").as("k"))
     val dim = spark.range(0, 10).select(col("id").as("dk"))
