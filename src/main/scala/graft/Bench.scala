@@ -64,7 +64,17 @@ object Bench {
       val (e1, err1) = pass1(name)
       val (elapsed, err) =
         if (err1.isDefined) (e1, err1)        // a failure is not retried into a timing
-        else { val (e2, err2) = once(fn); (math.min(e1, e2), err2) }
+        else {
+          val (e2, err2) = once(fn)
+          if (err2.isDefined) {
+            // pass 1 succeeded, pass 2 didn't: the valid pass-1 timing
+            // stands (a flaky second run must not turn a measured success
+            // into an error, nor contribute a time-to-failure to a min)
+            System.err.println(s"[bench] $name: pass 2 failed after pass 1 " +
+              s"succeeded (flaky, keeping pass-1 timing): ${err2.get}")
+            (e1, None)
+          } else (math.min(e1, e2), None)
+        }
       (name, elapsed, err)
     }
     // Failed queries are reported in "errors" (not timed as successes)

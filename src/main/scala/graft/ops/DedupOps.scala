@@ -146,10 +146,15 @@ object DedupOps {
     * exact integers — Jaccard is bit-identical to [[jaccardExploded]].
     */
   def jaccardOnCandidates(toks: DataFrame, candidates: DataFrame): DataFrame = {
-    // persisted: both join branches (d1/d2) consume the same aggregate —
-    // without it the collect_set shuffle runs twice (callers' terminal
-    // action unpersists via the Bench/Verify per-query cache clear)
-    val arrs = toks.groupBy("doc_id").agg(collect_set(col("tok")).as("tokset")).persist()
+    // lazily checkpointed: both join branches (d1/d2) consume the same
+    // aggregate — without reuse the collect_set shuffle runs twice. A
+    // lazy localCheckpoint materializes on the caller's first action and
+    // is reclaimed by ContextCleaner when the frame is unreachable, so
+    // the op stays lazy (no action of its own) yet leaves no persisted
+    // state behind for a harness to clean (same lifetime rule as
+    // duplicateClusters' iteration checkpoints).
+    val arrs = toks.groupBy("doc_id").agg(collect_set(col("tok")).as("tokset"))
+      .localCheckpoint(false)
     candidates
       .join(arrs.select(col("doc_id").as("d1"), col("tokset").as("ts1")), Seq("d1"))
       .join(arrs.select(col("doc_id").as("d2"), col("tokset").as("ts2")), Seq("d2"))
@@ -158,6 +163,47 @@ object DedupOps {
       .withColumn("n2", size(col("ts2")).cast("long"))
       .withColumn("jacc", round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6))
       .select("d1", "d2", "c", "n1", "n2", "jacc")
+  }
+
+  /** The near-dup EDGE derivation the whole graph family shares —
+    * tokenize → band-hash → candidate pairs → exact-Jaccard verify,
+    * returning verified edges (d1 < d2, jacc >= threshold, rounded to 6
+    * decimals). q50 reports these edges directly; q55/q117 cluster
+    * them, q116 censuses their triangles, q122 PageRanks them — one
+    * derivation, five consumers, instead of five hand-copied pipelines.
+    *
+    * Resource discipline: the token table is persisted ONLY for the
+    * duration of this call — the returned edge frame is EAGERLY
+    * materialized (localCheckpoint) while the tokens are hot, then the
+    * tokens are unpersisted in a finally. Callers get a compact,
+    * lineage-free edge table they can branch over as many times as they
+    * like (degree aggregates, wedge joins, label propagation rounds)
+    * with no recomputation and no persist left behind for a harness to
+    * clean. The eager action inside the op is the price of that pairing
+    * — the same trade duplicateClusters makes for its convergence
+    * counts, and it is timed inside the query that calls it.
+    *
+    * At 100 TB: every stage is keyed (doc_id / band bucket / pair) —
+    * the only all-pairs-shaped step is the band-bucket self-join, whose
+    * fan-out is bounded by bucket width, not corpus size. The edge set
+    * itself is the near-dup rate times the corpus — orders of magnitude
+    * smaller than the input, which is what makes the checkpoint cheap.
+    */
+  def neardupEdges(docs: DataFrame, textCol: String, scopeCols: Seq[String],
+                   threshold: Double, k: Int = 8, rowsPerBand: Int = 2)
+                  (implicit s: SparkSession): DataFrame = {
+    val toks = tokenSet(docs, textCol, scopeCols).persist()
+    try {
+      val bands = bandHashes(toks, k, rowsPerBand, scopeCols)
+      val candidates = candidatePairs(bands, scopeCols)
+      val edges = jaccardExploded(toks, candidates)
+        .filter(col("jacc") >= threshold)
+        .select("d1", "d2", "jacc")
+      // expose the pre-checkpoint plan (the LSH pipeline the checkpoint
+      // hides behind a Scan ExistingRDD) for plan specs and graft.Plans
+      CacheScope.record(edges.queryExecution)
+      edges.localCheckpoint(true)
+    } finally toks.unpersist(false)
   }
 
   /** Duplicate clusters from a near-dup pair list: connected components

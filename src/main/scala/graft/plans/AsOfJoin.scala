@@ -97,7 +97,6 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lTimeExpr = BindReferences.bindReference(leftTime, lOut)
     val rTimeExpr = BindReferences.bindReference(rightTime, rOut)
     val keyTypes = leftKeys.map(_.dataType)
-    val outAttrs = output
     val rWidth = rOut.length
     val numOutputRows = longMetric("numOutputRows")
     val hasTol = toleranceUs.isDefined
@@ -113,15 +112,40 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
-      val joined = new JoinedRow
-      val nullRight = new GenericInternalRow(rWidth)
+      // Output rows are assembled by a generated UnsafeRowJoiner — a
+      // single bitset-aware byte copy of the two UnsafeRows — instead of
+      // the earlier JoinedRow + UnsafeProjection pair, which re-evaluated
+      // every output field through a BoundReference (one virtual call +
+      // null check per column per row). Children are effectively always
+      // UnsafeRow-backed (both sides sit under the exec's required sort);
+      // the per-side identity projections only fire on the rare non-unsafe
+      // row, keeping the fast path allocation-free per output row.
+      val joiner = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateUnsafeRowJoiner.create(
+          org.apache.spark.sql.types.StructType(
+            lOut.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))),
+          org.apache.spark.sql.types.StructType(
+            rOut.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))))
+      val lToUnsafe = UnsafeProjection.create(lOut, lOut)
+      val rNullable = rOut.map(_.withNullability(true))
+      val rToUnsafe = UnsafeProjection.create(rNullable, rNullable)
+      // all-null right image for unmatched probes (nullable projection:
+      // a non-nullable one would skip the null bits and write garbage)
+      val nullRight = rToUnsafe(new GenericInternalRow(rWidth)).copy()
+      @inline def asUnsafeL(r: InternalRow): UnsafeRow = r match {
+        case u: UnsafeRow => u
+        case o => lToUnsafe(o)
+      }
+      @inline def asUnsafeR(r: InternalRow): UnsafeRow = r match {
+        case u: UnsafeRow => u
+        case o => rToUnsafe(o)
+      }
 
       new Iterator[InternalRow] {
-        private var rHead: InternalRow = _          // next unconsumed right row
+        private var rHead: UnsafeRow = _            // next unconsumed right row
         private var rHeadKey: UnsafeRow = _
         private var rHeadTime: Long = _
-        private var lastMatch: InternalRow = _      // latest consumed right row
+        private var lastMatch: UnsafeRow = _        // latest consumed right row
         private var lastMatchKey: UnsafeRow = _
         private var lastMatchTime: Long = _
 
@@ -134,7 +158,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             // SQL equi-join semantics: NULL times AND NULL keys never
             // match (NULL = NULL is not true) — discard on consume
             if (t != null && !k.anyNull) {
-              rHead = r.copy()
+              rHead = asUnsafeR(r).copy()
               rHeadKey = k.copy()
               rHeadTime = t.asInstanceOf[Long]
             }
@@ -148,8 +172,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lt = lTimeExpr.eval(l)
-          if (lt == null || lKey.anyNull) {
-            joined(l, nullRight)                    // null probe time/key: no match
+          val matched: UnsafeRow = if (lt == null || lKey.anyNull) {
+            nullRight                               // null probe time/key: no match
           } else {
             val ltime = lt.asInstanceOf[Long]
             var advancing = true
@@ -177,9 +201,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               // for this key) — NOT consumed: it may match later probes
               if (rHead != null && keyOrd.compare(rHeadKey, lKey) == 0 &&
                   (!hasTol || rHeadTime - ltime <= tol)) {
-                joined(l, rHead)
+                rHead
               } else {
-                joined(l, nullRight)
+                nullRight
               }
             } else if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
                 (!hasTol || ltime - lastMatchTime <= tol)) {
@@ -187,13 +211,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               // the same key (probe times ascend within a key), so only the
               // key — and, when bounded, the tolerance against THIS probe's
               // time — must be re-checked
-              joined(l, lastMatch)
+              lastMatch
             } else {
-              joined(l, nullRight)
+              nullRight
             }
           }
           numOutputRows += 1
-          resultProj(joined)
+          joiner.join(asUnsafeL(l), matched)
         }
       }
     }
@@ -273,13 +297,22 @@ object AsOfJoinOps {
     * order (the merge exec retains the last-read tied row instead;
     * identical results whenever key+time is unique on the right, the
     * usual reference-table shape).
+    *
+    * The dim assumption is ENFORCED: the right side is counted and must
+    * come in under `maxRightRows` (default 1M) — per-key collect_list
+    * arrays blow the row size long before the broadcast itself fails
+    * cleanly, so misuse fails fast with the scale path named (the same
+    * medicine ScaleGuards.requireAllPairsSafe gives the O(n²)
+    * baselines). The count is one extra action over a dim-sized frame —
+    * negligible against the collect+broadcast it protects.
     */
   def asofJoinBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
                         leftTimeCol: String, rightTimeCol: String,
                         strict: Boolean = false, toleranceUs: Option[Long] = None,
-                        forward: Boolean = false): DataFrame = {
+                        forward: Boolean = false,
+                        maxRightRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.Column
-    import org.apache.spark.sql.functions.{broadcast, col, collect_list, element_at, filter, sort_array, struct, unix_micros, when}
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list, element_at, filter, size, sort_array, struct, unix_micros, when}
     val lt = left.schema(leftTimeCol).dataType
     val rt = right.schema(rightTimeCol).dataType
     require(Seq(LongType, TimestampType).contains(lt) && rt == lt,
@@ -290,6 +323,13 @@ object AsOfJoinOps {
       require(left.columns.contains(k) && right.columns.contains(k),
         s"as-of key '$k' missing from a side")
     }
+    val nRight = right.count()
+    require(nRight <= maxRightRows,
+      s"asofJoinBroadcast: right side has $nRight rows (> $maxRightRows); this " +
+        "operator collects per-key quote arrays and broadcasts them, which is " +
+        "only sound for a dim-sized right side — use the keyed merge asofJoin " +
+        "for a large right side, or raise maxRightRows if the frame is " +
+        "provably dim-sized")
     // time first so sort_array orders the quotes by it
     val ordered = rightTimeCol +: right.columns.filterNot(c => keys.contains(c) || c == rightTimeCol)
     val qarr = sort_array(collect_list(struct(ordered.map(col): _*))).as("__qarr")
@@ -305,7 +345,15 @@ object AsOfJoinOps {
       if (forward) { if (strict) qt > col(leftTimeCol) else qt >= col(leftTimeCol) }
       else { if (strict) qt < col(leftTimeCol) else qt <= col(leftTimeCol) }
     }
-    val m0 = element_at(filter(col("__qarr"), inDirection), if (forward) 1 else -1)
+    // the size guard keeps element_at off empty arrays: under
+    // spark.sql.ansi.enabled, element_at on an empty array throws
+    // INVALID_ARRAY_INDEX rather than yielding NULL, so an unmatched
+    // probe row would crash the query — CaseWhen evaluates its value
+    // branch only when the predicate holds, making the op ANSI-safe
+    // (this repo pins ANSI off, but the operator is general-purpose)
+    val qFiltered = filter(col("__qarr"), inDirection)
+    val m0 = when(size(qFiltered) > 0,
+      element_at(qFiltered, if (forward) 1 else -1))
     val matched = toleranceUs match {
       case Some(tol) =>
         val mt = m0.getField(rightTimeCol)

@@ -109,18 +109,13 @@ object CorpusQueries extends QueryModule {
     "q50_dedup_pipeline" -> NamedQuery(
       fn = (s, d) => {
         implicit val sp = s
-        val scope = Seq("lang", "source")
-        // reused by signatures, sizes, and both intersection sides —
-        // materialize once (no exchange reuse across renamed branches)
-        val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope).persist()
-        val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
-        val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
-        // exploded-join Jaccard: these docs are short (~25 tokens), so
-        // the compact (doc, tok) shuffle beats per-pair array work —
-        // DedupOps.jaccardOnCandidates is the long-document alternative
-        graft.ops.DedupOps.jaccardExploded(toks, candidates)
-          .filter(col("jacc") >= 0.5)
-          .select("d1", "d2", "jacc")
+        // the whole pipeline (tokenize → bands → candidates →
+        // exploded-join Jaccard verify) is the shared family op; these
+        // docs are short (~25 tokens), so the compact (doc, tok)
+        // shuffle beats per-pair array work — DedupOps
+        // .jaccardOnCandidates is the long-document alternative
+        graft.ops.DedupOps.neardupEdges(
+            Tables.documents(s, d), "text", Seq("lang", "source"), 0.5)
           .orderBy("d1", "d2")
       },
       oracle = Some("""
@@ -171,12 +166,8 @@ object CorpusQueries extends QueryModule {
     "q55_dup_clusters" -> NamedQuery(
       fn = (s, d) => {
         implicit val sp = s
-        val scope = Seq("lang", "source")
-        val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope).persist()
-        val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
-        val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
-        val pairs = graft.ops.DedupOps.jaccardExploded(toks, candidates)
-          .filter(col("jacc") >= 0.5)
+        val pairs = graft.ops.DedupOps.neardupEdges(
+            Tables.documents(s, d), "text", Seq("lang", "source"), 0.5)
           .select("d1", "d2")
         val docs = Tables.documents(s, d).select("doc_id")
         graft.ops.DedupOps.duplicateClusters(pairs, docs, maxIter = 15)
@@ -254,28 +245,30 @@ object CorpusQueries extends QueryModule {
         val exact = fp.filter(isNew).select(col("doc_id"), col("fp"))
           .join(fp.filter(!isNew).select(col("doc_id").as("old_id"), col("fp")), Seq("fp"))
           .groupBy("doc_id").agg(min(col("old_id")).as("exact_match"))
-        val toks = graft.ops.DedupOps.tokenSet(docs, "text", scope).persist()
-        val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
-        val joinCols = scope ++ Seq("band", "band_hash")
-        val cand = bands.filter(isNew)
-          .select((joinCols :+ "doc_id").map(col): _*).withColumnRenamed("doc_id", "d1")
-          .join(bands.filter(!isNew)
-            .select((joinCols :+ "doc_id").map(col): _*).withColumnRenamed("doc_id", "d2"),
-            joinCols)
-          .select("d1", "d2").distinct()
-        val near = graft.ops.DedupOps.jaccardExploded(toks, cand)
-          .filter(col("jacc") >= 0.5)
-          .groupBy(col("d1").as("doc_id")).agg(min(col("d2")).as("near_match"))
-        docs.filter(isNew).select("doc_id")
-          .join(exact, Seq("doc_id"), "left")
-          .join(near, Seq("doc_id"), "left")
-          .withColumn("verdict",
-            when(col("exact_match").isNotNull, "exact_dup")
-              .when(col("near_match").isNotNull, "near_dup")
-              .otherwise("unique"))
-          .withColumn("match_id", coalesce(col("exact_match"), col("near_match"), lit(-1L)))
-          .select("doc_id", "verdict", "match_id")
-          .orderBy("doc_id")
+        val toks = graft.ops.DedupOps.tokenSet(docs, "text", scope)
+        graft.ops.CacheScope.withPersisted(toks) {
+          val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
+          val joinCols = scope ++ Seq("band", "band_hash")
+          val cand = bands.filter(isNew)
+            .select((joinCols :+ "doc_id").map(col): _*).withColumnRenamed("doc_id", "d1")
+            .join(bands.filter(!isNew)
+              .select((joinCols :+ "doc_id").map(col): _*).withColumnRenamed("doc_id", "d2"),
+              joinCols)
+            .select("d1", "d2").distinct()
+          val near = graft.ops.DedupOps.jaccardExploded(toks, cand)
+            .filter(col("jacc") >= 0.5)
+            .groupBy(col("d1").as("doc_id")).agg(min(col("d2")).as("near_match"))
+          docs.filter(isNew).select("doc_id")
+            .join(exact, Seq("doc_id"), "left")
+            .join(near, Seq("doc_id"), "left")
+            .withColumn("verdict",
+              when(col("exact_match").isNotNull, "exact_dup")
+                .when(col("near_match").isNotNull, "near_dup")
+                .otherwise("unique"))
+            .withColumn("match_id", coalesce(col("exact_match"), col("near_match"), lit(-1L)))
+            .select("doc_id", "verdict", "match_id")
+            .orderBy("doc_id")
+        }
       },
       oracle = Some("""
         WITH fp AS (
@@ -343,28 +336,30 @@ object CorpusQueries extends QueryModule {
     "q93_source_overlap" -> NamedQuery(
       fn = (s, d) => {
         // the distinct gram set feeds three consumers (sizes + both join
-        // sides) — persist so the corpus is tokenized once, not thrice
-        // (same pattern as q34's shingle set)
+        // sides) — scope-persist so the corpus is tokenized once, not
+        // thrice (same pattern as q34's shingle set)
         val grams = Tables.documents(s, d)
           .select(col("source"), split(trim(col("text")), "\\s+").as("arr"))
           .filter(size(col("arr")) >= 5)
           .select(col("source"), explode(expr(
             "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))"))
             .as("gram"))
-          .distinct().persist()
-        val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
-        val inter = grams.as("a")
-          .join(grams.as("b"), Seq("gram"))
-          .filter(col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
-          .agg(count(lit(1)).as("n_inter"))
-        inter
-          .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
-          .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
-          .select(col("s1"), col("s2"), col("n_inter"),
-            round(col("n_inter").cast("double") /
-              (col("n1") + col("n2") - col("n_inter")), 6).as("jaccard"))
-          .orderBy("s1", "s2")
+          .distinct()
+        graft.ops.CacheScope.withPersisted(grams) {
+          val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+          val inter = grams.as("a")
+            .join(grams.as("b"), Seq("gram"))
+            .filter(col("a.source") < col("b.source"))
+            .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+            .agg(count(lit(1)).as("n_inter"))
+          inter
+            .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+            .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+            .select(col("s1"), col("s2"), col("n_inter"),
+              round(col("n_inter").cast("double") /
+                (col("n1") + col("n2") - col("n_inter")), 6).as("jaccard"))
+            .orderBy("s1", "s2")
+        }
       },
       oracle = Some("""
         WITH arrs AS (
@@ -403,14 +398,9 @@ object CorpusQueries extends QueryModule {
     "q116_triangle_census" -> NamedQuery(
       fn = (s, d) => {
         implicit val sp = s
-        val scope = Seq("lang", "source")
-        val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope).persist()
-        val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
-        val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
-        val e = graft.ops.DedupOps.jaccardExploded(toks, candidates)
-          .filter(col("jacc") >= 0.5)
+        val e = graft.ops.DedupOps.neardupEdges(
+            Tables.documents(s, d), "text", Seq("lang", "source"), 0.5)
           .select(col("d1").as("a"), col("d2").as("b"))
-          .persist()
         // Wedge COUNT needs no wedge enumeration: each ordered wedge
         // a<b<c is one (in-edge, out-edge) pair meeting at its middle
         // vertex, so n_wedges = Σ_v in(v)·out(v) over two degree
@@ -424,13 +414,20 @@ object CorpusQueries extends QueryModule {
         val wAgg = din.join(dout, "v")
           .agg(coalesce(sum(col("din") * col("dout")), lit(0L)).as("n_wedges"))
         // Triangles DO need the wedge stream, but it is never stored:
-        // wedges pipe straight into a broadcast-hash probe against the
-        // (small) edge list — one pass, no shuffle of the wedge fan-out.
+        // wedges pipe straight into a hash probe against the edge list.
+        // NO broadcast hint: the edge count is data-dependent (a
+        // duplicate-dense corpus has an unbounded near-dup edge set),
+        // so forcing a broadcast is the one plan shape that can OOM the
+        // driver at 100 TB. AQE sees the checkpointed edge frame's true
+        // size at runtime and picks broadcast-hash when it is small
+        // (the common case) or a shuffled join when it is not —
+        // PlanAuditSpec pins that no mandatory broadcast hint exists on
+        // this path.
         val wedges = e.select(col("a"), col("b"))
           .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
           .select("a", "b", "c")
         val triangles = wedges
-          .join(broadcast(e.select(col("a"), col("b").as("c"))), Seq("a", "c"))
+          .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
         val eAgg = e.agg(count(lit(1)).as("n_edges"))
         val tAgg = triangles.agg(count(lit(1)).as("n_triangles"))
         eAgg.crossJoin(wAgg).crossJoin(tAgg)
@@ -499,13 +496,9 @@ object CorpusQueries extends QueryModule {
     "q117_dedup_collapse" -> NamedQuery(
       fn = (s, d) => {
         implicit val sp = s
-        val scope = Seq("lang", "source")
         val docs = Tables.documents(s, d)
-        val toks = graft.ops.DedupOps.tokenSet(docs, "text", scope).persist()
-        val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
-        val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
-        val pairs = graft.ops.DedupOps.jaccardExploded(toks, candidates)
-          .filter(col("jacc") >= 0.5)
+        val pairs = graft.ops.DedupOps.neardupEdges(
+            docs, "text", Seq("lang", "source"), 0.5)
           .select("d1", "d2")
         val clusters = graft.ops.DedupOps.duplicateClusters(
           pairs, docs.select("doc_id"), maxIter = 15)
@@ -651,17 +644,15 @@ object CorpusQueries extends QueryModule {
     "q122_pagerank_neardup" -> NamedQuery(
       fn = (s, d) => {
         implicit val sp = s
-        val scope = Seq("lang", "source")
-        val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope).persist()
-        val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
-        val candidates = graft.ops.DedupOps.candidatePairs(bands, scope)
-        val pairs = graft.ops.DedupOps.jaccardExploded(toks, candidates)
-          .filter(col("jacc") >= 0.5)
+        val pairs = graft.ops.DedupOps.neardupEdges(
+            Tables.documents(s, d), "text", Seq("lang", "source"), 0.5)
           .select("d1", "d2")
-        // undirected graph as symmetric directed edges; deg per source
+        // undirected graph as symmetric directed edges; deg per source.
+        // pairs is already checkpoint-materialized by neardupEdges, so
+        // both union branches and every iteration's join re-read compact
+        // blocks — no persist needed, nothing left for a harness to clean
         val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
           .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-          .persist()
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         val docs = Tables.documents(s, d).select("doc_id")
         var ranks = docs.withColumn("r", lit(1000000000L)) // 1.0 fixed-point

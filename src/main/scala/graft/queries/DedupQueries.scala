@@ -63,24 +63,26 @@ object DedupQueries extends QueryModule {
           "q34_ngram_jaccard")
         // the shingle set feeds three consumers (sizes + both join sides);
         // Catalyst can't reuse the exchange across the renamed branches,
-        // so materialize it once (SURVEY.md §4: cache reused inputs)
+        // so materialize it once, scoped (SURVEY.md §4: cache reused inputs)
         val sh = docs.select(col("doc_id"), col("lang"), col("source"),
           explode(array_distinct(expr(
             "transform(sequence(1, size(toks)-2), i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))")))
-            .as("shingle")).persist()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val s1 = sh.select(col("doc_id").as("d1"), col("lang"), col("source"), col("shingle"))
-        val s2 = sh.select(col("doc_id").as("d2"), col("lang"), col("source"), col("shingle"))
-        val inter = s1.join(s2, Seq("lang", "source", "shingle"))
-          .filter(col("d1") < col("d2"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-        val j = inter
-          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-          .withColumn("jacc", round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6))
-        RelationalOps.topKPerGroup(Seq("d1"), Seq(col("jacc").desc, col("d2").asc), 3)(j)
-          .select("d1", "d2", "jacc")
-          .orderBy("d1", "d2")
+            .as("shingle"))
+        graft.ops.CacheScope.withPersisted(sh) {
+          val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          val s1 = sh.select(col("doc_id").as("d1"), col("lang"), col("source"), col("shingle"))
+          val s2 = sh.select(col("doc_id").as("d2"), col("lang"), col("source"), col("shingle"))
+          val inter = s1.join(s2, Seq("lang", "source", "shingle"))
+            .filter(col("d1") < col("d2"))
+            .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+          val j = inter
+            .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+            .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+            .withColumn("jacc", round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6))
+          RelationalOps.topKPerGroup(Seq("d1"), Seq(col("jacc").desc, col("d2").asc), 3)(j)
+            .select("d1", "d2", "jacc")
+            .orderBy("d1", "d2")
+        }
       },
       oracle = Some("""
         WITH docs AS (

@@ -31,23 +31,26 @@ object PretrainQueries extends QueryModule {
     // grams — the shape that survives a 100 TB training side.
     "q66_decontam" -> NamedQuery(
       fn = (s, d) => {
-        // persist: the gram set (a full tokenize + distinct shuffle)
-        // feeds BOTH the broadcast eval-gram build job and the probe
-        // side — without it the corpus pipeline runs twice (q93 pattern)
+        // scoped persist: the gram set (a full tokenize + distinct
+        // shuffle) feeds BOTH the broadcast eval-gram build job and the
+        // probe side — without it the corpus pipeline runs twice
+        // (q93 pattern); CacheScope pairs the unpersist on this path
         val grams = tokenArrays(s, d)
           .filter(size(col("arr")) >= 5)
           .select(col("doc_id"),
             explode(expr(
               "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))"))
               .as("gram"))
-          .distinct().persist()
-        val evalGrams = grams.filter(col("doc_id") % 97 === 0)
-          .select("gram").distinct()
-        grams.filter(col("doc_id") % 97 =!= 0)
-          .join(broadcast(evalGrams), Seq("gram"))
-          .groupBy("doc_id")
-          .agg(countDistinct(col("gram")).as("n_shared_grams"))
-          .orderBy("doc_id")
+          .distinct()
+        graft.ops.CacheScope.withPersisted(grams) {
+          val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+            .select("gram").distinct()
+          grams.filter(col("doc_id") % 97 =!= 0)
+            .join(broadcast(evalGrams), Seq("gram"))
+            .groupBy("doc_id")
+            .agg(countDistinct(col("gram")).as("n_shared_grams"))
+            .orderBy("doc_id")
+        }
       },
       oracle = Some("""
         WITH arrs AS (
@@ -219,7 +222,7 @@ object PretrainQueries extends QueryModule {
     // semi-join side the same way).
     "q86_boilerplate_segments" -> NamedQuery(
       fn = (s, d) => {
-        // persist: segs feeds the df aggregate AND the final join —
+        // scoped persist: segs feeds the df aggregate AND the final join —
         // without it every segment is re-tokenized and re-md5'd twice
         val segs = tokenArrays(s, d)
           .select(col("doc_id"), col("arr"),
@@ -227,16 +230,17 @@ object PretrainQueries extends QueryModule {
           .select(col("doc_id"),
             md5(concat_ws(" ", expr("slice(arr, start, 10)"))).as("seg_hash"),
             size(expr("slice(arr, start, 10)")).cast("long").as("seg_toks"))
-          .persist()
-        val freq = segs.groupBy("seg_hash")
-          .agg(countDistinct(col("doc_id")).as("df"))
-        segs.join(freq, Seq("seg_hash"))
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).as("n_segs"),
-            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boilerplate"),
-            sum(when(col("df") >= 2, lit(0L)).otherwise(col("seg_toks"))).as("kept_tokens"))
-          .orderBy("doc_id")
+        graft.ops.CacheScope.withPersisted(segs) {
+          val freq = segs.groupBy("seg_hash")
+            .agg(countDistinct(col("doc_id")).as("df"))
+          segs.join(freq, Seq("seg_hash"))
+            .groupBy("doc_id")
+            .agg(
+              count(lit(1)).as("n_segs"),
+              sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boilerplate"),
+              sum(when(col("df") >= 2, lit(0L)).otherwise(col("seg_toks"))).as("kept_tokens"))
+            .orderBy("doc_id")
+        }
       },
       oracle = Some("""
         WITH arrs AS (
@@ -276,17 +280,19 @@ object PretrainQueries extends QueryModule {
         // scan beats materializing the corpus into executor storage.
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).persist()
-        val total = vocab.agg(sum(col("cnt")).as("total"))
-        toks.join(broadcast(vocab), Seq("tok"))
-          .crossJoin(broadcast(total))
-          .withColumn("lp",
-            round(log(col("cnt").cast("double") / col("total")), 6)
-              .cast(DecimalType(28, 6)))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
-          .orderBy("doc_id")
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        graft.ops.CacheScope.withPersisted(vocab) {
+          val total = vocab.agg(sum(col("cnt")).as("total"))
+          toks.join(broadcast(vocab), Seq("tok"))
+            .crossJoin(broadcast(total))
+            .withColumn("lp",
+              round(log(col("cnt").cast("double") / col("total")), 6)
+                .cast(DecimalType(28, 6)))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_tokens"),
+              round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+            .orderBy("doc_id")
+        }
       },
       oracle = Some("""
         WITH toks AS (
@@ -351,18 +357,20 @@ object PretrainQueries extends QueryModule {
             explode(expr(
               "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))"))
               .as("gram"))
-          .distinct().persist()
-        val evalGrams = grams.filter(col("doc_id") % 97 === 0)
-          .select("gram").distinct()
-        val train = grams.filter(col("doc_id") % 97 =!= 0)
-        val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-        val shared = train.join(broadcast(evalGrams), Seq("gram"))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-        totals.join(shared, Seq("doc_id"), "left")
-          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
-          .withColumn("contamination_rate",
-            round(col("n_shared").cast("double") / col("n_grams"), 6))
-          .orderBy("doc_id")
+          .distinct()
+        graft.ops.CacheScope.withPersisted(grams) {
+          val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+            .select("gram").distinct()
+          val train = grams.filter(col("doc_id") % 97 =!= 0)
+          val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+          val shared = train.join(broadcast(evalGrams), Seq("gram"))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          totals.join(shared, Seq("doc_id"), "left")
+            .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+            .withColumn("contamination_rate",
+              round(col("n_shared").cast("double") / col("n_grams"), 6))
+            .orderBy("doc_id")
+        }
       },
       oracle = Some("""
         WITH arrs AS (
@@ -545,29 +553,31 @@ object PretrainQueries extends QueryModule {
         val arrs = tokenArrays(s, d).select(col("arr"))
           .filter(size(col("arr")) >= 2)
         // uni feeds three consumers (total + both vocab joins) and big
-        // two (total + the filtered join) — persist the small post-agg
-        // frames so the corpus is tokenized twice, not five times
-        // (harness clearCache handles the lifecycle, q93 pattern)
+        // two (total + the filtered join) — scope-persist the small
+        // post-agg frames so the corpus is tokenized twice, not five
+        // times, with the unpersist paired on this path (CacheScope)
         val uni = arrs.select(explode(col("arr")).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("n_tok")).persist()
+          .groupBy("tok").agg(count(lit(1)).as("n_tok"))
         val big = arrs.select(explode(expr(
             """transform(sequence(1, size(arr) - 1),
                i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))"""))
             .as("bg"))
           .select(col("bg.a").as("a"), col("bg.b").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("n_ab")).persist()
-        val nTok = uni.agg(sum(col("n_tok")).as("n_total_tok"))
-        val nBig = big.agg(sum(col("n_ab")).as("n_total_big"))
-        big.filter(col("n_ab") >= 5)
-          .join(uni.select(col("tok").as("a"), col("n_tok").as("n_a")), Seq("a"))
-          .join(uni.select(col("tok").as("b"), col("n_tok").as("n_b")), Seq("b"))
-          .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
-          .select(col("a"), col("b"), col("n_ab"),
-            round(log(
-              (col("n_ab").cast("double") / col("n_total_big")) /
-                ((col("n_a").cast("double") / col("n_total_tok")) *
-                  (col("n_b").cast("double") / col("n_total_tok")))), 6).as("pmi"))
-          .orderBy("a", "b")
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        graft.ops.CacheScope.withPersisted(uni, big) {
+          val nTok = uni.agg(sum(col("n_tok")).as("n_total_tok"))
+          val nBig = big.agg(sum(col("n_ab")).as("n_total_big"))
+          big.filter(col("n_ab") >= 5)
+            .join(uni.select(col("tok").as("a"), col("n_tok").as("n_a")), Seq("a"))
+            .join(uni.select(col("tok").as("b"), col("n_tok").as("n_b")), Seq("b"))
+            .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+            .select(col("a"), col("b"), col("n_ab"),
+              round(log(
+                (col("n_ab").cast("double") / col("n_total_big")) /
+                  ((col("n_a").cast("double") / col("n_total_tok")) *
+                    (col("n_b").cast("double") / col("n_total_tok")))), 6).as("pmi"))
+            .orderBy("a", "b")
+        }
       },
       oracle = Some("""
         WITH arrs AS (

@@ -381,6 +381,11 @@ object SimilarityQueries extends QueryModule {
       fn = (s, d) => {
         val names = Tables.part(s, d)
           .groupBy(col("p_name").as("n")).agg(count(lit(1)).as("n_parts"))
+          // parity: getItem(i) yields NULL past the last token, and a NULL
+          // block key drops the row from the equi-join (NULL never equals);
+          // the oracle mirrors that with nullif(split_part(...), '') —
+          // DuckDB's split_part alone would return '' and spuriously block
+          // all short names together on general data
           .withColumn("t1", split(col("n"), " ").getItem(0))
           .withColumn("t2", split(col("n"), " ").getItem(1))
           .withColumn("len", length(col("n")))
@@ -407,8 +412,8 @@ object SimilarityQueries extends QueryModule {
       oracle = Some("""
         WITH names AS (
           SELECT p_name AS n, COUNT(*) AS n_parts,
-                 split_part(p_name, ' ', 1) AS t1,
-                 split_part(p_name, ' ', 2) AS t2,
+                 nullif(split_part(p_name, ' ', 1), '') AS t1,
+                 nullif(split_part(p_name, ' ', 2), '') AS t2,
                  length(p_name) AS len
           FROM part GROUP BY p_name),
         cand AS (

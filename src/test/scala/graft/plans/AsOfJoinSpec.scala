@@ -317,4 +317,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     val missing = df.filter(col("k") === "k2")
     assert(missing.count() > 0 && missing.filter(col("qv").isNotNull).count() === 0)
   }
+
+  test("asofJoinBroadcast refuses an oversized right side, naming the keyed scale path") {
+    import spark.implicits._
+    val ps = Seq((1L, "k0", 10L)).toDF("pid", "k", "pt")
+    val qs = (1 to 40).map(i => (s"k${i % 3}", i.toLong, i.toDouble)).toDF("k", "qt", "qv")
+    // per-key collect_list + broadcast is only sound for a dim-sized
+    // right side — an unbounded one blows per-key row sizes before the
+    // broadcast itself fails cleanly, so the op must fail FAST
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asofJoinBroadcast(ps, qs, Seq("k"), "pt", "qt", maxRightRows = 10L)
+    }
+    assert(e.getMessage.contains("asofJoin"), e.getMessage)
+    assert(e.getMessage.contains("40"), e.getMessage)
+    // the default bound admits the dim-sized case unchanged
+    assert(AsOfJoinOps.asofJoinBroadcast(ps, qs, Seq("k"), "pt", "qt").count() === 1)
+  }
 }
