@@ -34,8 +34,23 @@ val jdk17AddOpens = Seq(
 // 415 s at 16g). Bench/Verify also System.gc() between queries to
 // trigger that cleanup deterministically. On a real cluster this is
 // per-executor sizing + distributed cleanup, not a code concern.
+// Ephemeral I/O (streaming checkpoint/offset logs, staged source
+// copies, spark.local.dir shuffle+block spills) all root at
+// java.io.tmpdir; /tmp here is ext4. Point tmpdir at tmpfs (/dev/shm)
+// when available. Measured effect is small (~4% on the streaming
+// subset — the micro-batch floor is scheduling + state-store commits,
+// not fsync; see SCALING.md "Streaming micro-batch floor"), but it
+// removes disk-fsync variance from bench readings and costs nothing:
+// total footprint is MBs (staged parquet copies, tiny state stores)
+// against a 64 GiB tmpfs. Override with SPARK_GRAFT_TMPDIR. On a real
+// cluster this is executor local-SSD sizing, not a code concern.
+val graftTmpDir: String = sys.env.get("SPARK_GRAFT_TMPDIR").orElse {
+  val shm = new java.io.File("/dev/shm/graft-tmp")
+  if (shm.isDirectory || shm.mkdirs()) Some(shm.getAbsolutePath) else None
+}.getOrElse(sys.props("java.io.tmpdir"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  s"-Djava.io.tmpdir=$graftTmpDir",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

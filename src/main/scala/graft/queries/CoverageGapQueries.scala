@@ -182,19 +182,45 @@ object CoverageGapQueries extends QueryModule {
     // Sketch profiling: HLL distinct + quantile sketches — the
     // constant-memory forms of q42 for when exact countDistinct's
     // shuffle is the bottleneck. Sketch internals differ across engines,
-    // so no oracle (rows-only check), but results are Spark-deterministic.
+    // so the sketch VALUES can't be oracle-compared — but their error
+    // BOUNDS can: the output carries the exact side (DuckDB-checked
+    // directly) plus INT flags asserting each sketch landed within its
+    // published bound of the exact answer (HLL rsd 0.02 → |err| ≤ 5 %;
+    // percentile_approx accuracy 1000 → rank error ≤ 0.1 %, asserted
+    // against a 50×-slack exact-percentile band). DuckDB expects every
+    // flag = 1, so a sketch drifting out of bounds fails the hash gate —
+    // upgraded from the former rows-only check.
     "q43_approx_sketches" -> NamedQuery(
       fn = (s, d) => {
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-            percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50a"),
+            percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99a"),
+            expr("percentile(l_extendedprice, array(0.45, 0.55, 0.985, 0.995))").as("pe"))
+          .select(
+            col("l_returnflag"), col("n_rows"), col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts")) <=
+              col("exact_parts").cast("double") * 0.05).cast("int").as("hll_within_5pct"),
+            col("p50a").cast("double")
+              .between(element_at(col("pe"), 1), element_at(col("pe"), 2))
+              .cast("int").as("p50_in_rank_band"),
+            col("p99a").cast("double")
+              .between(element_at(col("pe"), 3), element_at(col("pe"), 4))
+              .cast("int").as("p99_in_rank_band"))
           .orderBy("l_returnflag")
       },
-      oracle = None,
-      doc = "HLL + quantile sketches (north-star, constant-memory profiling); oracle-excluded"),
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               CAST(1 AS INT) AS hll_within_5pct,
+               CAST(1 AS INT) AS p50_in_rank_band,
+               CAST(1 AS INT) AS p99_in_rank_band
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      doc = "HLL + quantile sketches with DuckDB-checked error bounds (north-star, constant-memory profiling)"),
 
     // ---------------------------------------------------------------- q26
     // F3 (Tutorial.R:36-40): seeded random sample — deterministic for a

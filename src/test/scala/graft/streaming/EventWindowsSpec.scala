@@ -14,6 +14,19 @@ class EventWindowsSpec extends AnyFunSuite {
   private def ts(minute: Int, sec: Int = 0) =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
 
+  /** The harness session disables no-data micro-batches (its emissions
+    * are all sentinel-driven — Tables.sessionConfigs). The two tests
+    * below document UNBOUNDED-stream semantics, where the no-data batch
+    * is precisely how an idle stream emits once the watermark passes a
+    * window end — so they run with the production setting restored.
+    */
+  private def withNoDataBatches[A](body: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
                           mode: OutputMode): org.apache.spark.sql.DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
@@ -90,7 +103,7 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(tiers(7L) === None)
   }
 
-  test("streaming parquet sink writes windowed results that read back (A6, streaming form)") {
+  test("streaming parquet sink writes windowed results that read back (A6, streaming form)") { withNoDataBatches {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Paths.get("target", "stream-sink", "data").toAbsolutePath
@@ -116,7 +129,7 @@ class EventWindowsSpec extends AnyFunSuite {
     val back = spark.read.parquet(outDir.toString)
     val clicks = back.filter($"event_type" === "click").select("n_events", "sum_value").head()
     assert(clicks.getLong(0) === 2L && clicks.getDouble(1) === 3.0)
-  }
+  } }
 
   test("stream-stream interval join attributes purchases to prior clicks within 30 min (J)") {
     import spark.implicits._
@@ -148,7 +161,7 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(out.select("event_type").collect().map(_.getString(0)).toSet === Set("click", "view"))
   }
 
-  test("watermark drops events later than 10 minutes (J: late-data semantics)") {
+  test("watermark drops events later than 10 minutes (J: late-data semantics)") { withNoDataBatches {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventWindows.Event]
@@ -170,7 +183,7 @@ class EventWindowsSpec extends AnyFunSuite {
     val types = spark.table("late_out").collect().map(_.getString(1)).toSet
     assert(types.contains("ok"))     // within watermark: emitted
     assert(!types.contains("late"))  // beyond watermark: dropped
-  }
+  } }
 
   test("stateful sessionization closes a session on gap > 30 min (J: flatMapGroupsWithState)") {
     import spark.implicits._
