@@ -31,7 +31,7 @@ object Audit {
     "q40_ivf_ann", "q45_label_centroids", "q50_dedup_pipeline",
     "q70_unigram_logprob", "q110_budget_mixture", "q87_gap_fill",
     "q116_triangle_census", "q133_dq_audit", "q136_bigram_pmi",
-    "q137_group_kfold")
+    "q137_group_kfold", "q140_curriculum_cut")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,

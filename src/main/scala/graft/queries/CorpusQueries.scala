@@ -746,6 +746,203 @@ object CorpusQueries extends QueryModule {
         LEFT JOIN deg g ON g.src = d.doc_id
         JOIN i3 ON i3.doc_id = d.doc_id
         ORDER BY d.doc_id"""),
-      doc = "fixed-point PageRank, 3 Pregel rounds over the near-dup graph, engine-exact (graph family)")
+      doc = "fixed-point PageRank, 3 Pregel rounds over the near-dup graph, engine-exact (graph family)"),
+
+    // --------------------------------------------------------------- q139
+    // Vocabulary growth curve — the diminishing-returns statistic a
+    // data-curation loop reads before buying more of a source: how many
+    // NEW distinct tokens each successive slice of the corpus
+    // contributes. First-occurrence attribution (tok → min doc_id) is
+    // one keyed aggregate — the 100 TB shape: the corpus-sized explode
+    // reduces to vocab-sized state, and the running total runs over
+    // per-source ingest-order buckets, not tokens. The window is
+    // partitioned by source and its input is the bucket AGGREGATE
+    // (n_docs/50 rows per source), never row-scale data.
+    "q139_vocab_growth" -> NamedQuery(
+      fn = (s, d) => {
+        // bigram vocabulary, scoped per source: the synthetic corpus's
+        // unigram vocab saturates in the first handful of docs (31
+        // types), so the bigram space is where growth is measurable —
+        // on real data the same program runs on any n-gram order
+        val bi = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            split(trim(col("text")), "\\s+").as("arr"))
+          .filter(size(col("arr")) >= 2)
+          .select(col("source"), col("doc_id"), explode(expr(
+            "transform(sequence(1, size(arr) - 1), i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"))
+            .as("bigram"))
+        val first = bi.groupBy("source", "bigram").agg(min(col("doc_id")).as("first_doc"))
+        val buckets = first
+          .groupBy(col("source"), expr("first_doc div 50").as("bucket"))
+          .agg(count(lit(1)).as("new_bigrams"))
+        buckets
+          .withColumn("cum_vocab",
+            sum(col("new_bigrams")).over(
+              Window.partitionBy("source").orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("source"), col("bucket"), col("new_bigrams"), col("cum_vocab"))
+          .orderBy("source", "bucket")
+      },
+      oracle = Some("""
+        WITH arrs AS (
+          SELECT source, doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents),
+        bi AS (
+          SELECT source, doc_id,
+                 unnest(list_transform(range(1, len(arr)),
+                   i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+          FROM arrs WHERE len(arr) >= 2),
+        first AS (
+          SELECT source, bigram, MIN(doc_id) AS first_doc
+          FROM bi GROUP BY source, bigram),
+        b AS (
+          SELECT source, first_doc // 50 AS bucket, COUNT(*) AS new_bigrams
+          FROM first GROUP BY 1, 2)
+        SELECT source, bucket, new_bigrams,
+               CAST(SUM(new_bigrams) OVER (PARTITION BY source ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        FROM b
+        ORDER BY source, bucket"""),
+      doc = "bigram-vocabulary growth curve per source: new types per ingest bucket + running vocab size"),
+
+    // --------------------------------------------------------------- q141
+    // Contamination SPAN analysis — decontam v2. q66/q106 count shared
+    // grams; what actually forces a document drop is a long CONSECUTIVE
+    // run of eval-set grams (verbatim inclusion), not scattered hits.
+    // Per train doc: gram positions flagged against the (broadcast)
+    // eval gram set, runs found with the islands trick (pos −
+    // row_number over flagged positions is constant within a run — no
+    // self-join, one keyed window), then max/total per doc. Every stage
+    // is keyed by doc_id; the eval side is the only broadcast and is
+    // bounded by the eval corpus, exactly like q66.
+    "q141_overlap_spans" -> NamedQuery(
+      fn = (s, d) => {
+        // 3-grams (not q66's 5-grams): span analysis needs enough hits
+        // to chain into runs; the island logic is order-agnostic
+        val arrs = Tables.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("arr"))
+          .filter(size(col("arr")) >= 3)
+        val grams = arrs.select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(1, size(arr) - 2), i -> concat_ws(' ', slice(arr, i, 3)))")))
+          .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+        val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+          .select("gram").distinct()
+        val hits = grams.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(evalGrams), Seq("gram"))
+          .select("doc_id", "i")
+        val runs = hits.withColumn("grp",
+          col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+        runs.groupBy("doc_id", "grp").agg(count(lit(1)).as("run_len"))
+          .groupBy("doc_id")
+          .agg(max(col("run_len")).as("max_span"),
+            sum(col("run_len")).as("n_contam_grams"),
+            count(lit(1)).as("n_runs"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH arrs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents),
+        pos AS (
+          SELECT doc_id, arr, unnest(range(1, len(arr) - 1)) AS i
+          FROM arrs WHERE len(arr) >= 3),
+        grams AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 array_to_string(list_slice(arr, i, i + 2), ' ') AS gram
+          FROM pos),
+        eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        hits AS (
+          SELECT doc_id, i FROM grams JOIN eval_grams USING (gram)
+          WHERE doc_id % 97 <> 0),
+        runs AS (
+          SELECT doc_id, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM hits),
+        rl AS (
+          SELECT doc_id, grp, COUNT(*) AS run_len FROM runs GROUP BY 1, 2)
+        SELECT doc_id, MAX(run_len) AS max_span,
+               CAST(SUM(run_len) AS BIGINT) AS n_contam_grams,
+               COUNT(*) AS n_runs
+        FROM rl
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      doc = "decontam v2: longest consecutive eval-gram run per train doc (islands, one keyed window)"),
+
+    // --------------------------------------------------------------- q143
+    // Zipf power-law fit per source — the corpus-health statistic (a
+    // natural corpus has slope ≈ −1; template/boilerplate-heavy sources
+    // flatten or steepen it): least-squares of ln(freq) on ln(rank)
+    // over each source's frequency-ranked vocabulary. Cross-engine
+    // co-moment parity is the craft here (q58's correlations punted on
+    // it — sums of double products are partition-order dependent): every
+    // transcendental is rounded to 6 decimals FIRST, products of those
+    // rounded doubles are exact IEEE ops (identical everywhere), rounded
+    // again, and all four sums run in DECIMAL(18,6) — exact and
+    // order-independent — so the final slope arithmetic consumes
+    // identical inputs on any engine and any partitioning. Scale: one
+    // corpus-sized keyed agg to (source, tok), a per-source window
+    // (keyed), then source-grain math — nothing global.
+    "q143_zipf_fit" -> NamedQuery(
+      fn = (s, d) => {
+        val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+        val cnt = Tables.documents(s, d)
+          .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        val xy = cnt
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("source").orderBy(col("cnt").desc, col("tok").asc)))
+          .select(col("source"),
+            round(log(col("rnk").cast("double")), 6).as("x"),
+            round(log(col("cnt").cast("double")), 6).as("y"))
+          .select(col("source"), col("x"), col("y"),
+            round(col("x") * col("x"), 6).as("xx"),
+            round(col("x") * col("y"), 6).as("xys"))
+        val agg = xy.groupBy("source").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x").cast(dec6)).cast("double").as("sx"),
+          sum(col("y").cast(dec6)).cast("double").as("sy"),
+          sum(col("xx").cast(dec6)).cast("double").as("sxx"),
+          sum(col("xys").cast(dec6)).cast("double").as("sxy"))
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        val slopeRaw = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+        agg.select(col("source"),
+            col("n").cast("long").as("n_types"),
+            when(den =!= 0.0, round(slopeRaw, 6)).as("slope"),
+            when(den =!= 0.0,
+              round((col("sy") - slopeRaw * col("sx")) / col("n"), 6)).as("intercept"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH cnt AS (
+          SELECT source, tok, COUNT(*) AS cnt
+          FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents)
+          GROUP BY source, tok),
+        xy AS (
+          SELECT source,
+                 round(ln(CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY cnt DESC, tok ASC) AS DOUBLE)), 6) AS x,
+                 round(ln(CAST(cnt AS DOUBLE)), 6) AS y
+          FROM cnt),
+        xy2 AS (
+          SELECT source, x, y, round(x * x, 6) AS xx, round(x * y, 6) AS xys
+          FROM xy),
+        agg AS (
+          SELECT source,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(xys AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+          FROM xy2 GROUP BY source)
+        SELECT source, CAST(n AS BIGINT) AS n_types,
+               CASE WHEN n * sxx - sx * sx <> 0
+                 THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+               CASE WHEN n * sxx - sx * sx <> 0
+                 THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) END
+                 AS intercept
+        FROM agg
+        ORDER BY source"""),
+      doc = "Zipf slope/intercept per source: rounded-then-decimal co-moments, order-independent parity")
   )
 }

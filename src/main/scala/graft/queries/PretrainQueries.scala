@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -683,6 +684,63 @@ object PretrainQueries extends QueryModule {
         FROM e
         GROUP BY user_id
         ORDER BY user_id"""),
-      doc = "out-of-order event-time audit: lateness along the ingest sequence, the watermark-sizing statistic")
+      doc = "out-of-order event-time audit: lateness along the ingest sequence, the watermark-sizing statistic"),
+
+    // --------------------------------------------------------------- q140
+    // Curriculum token-budget cut — the greedy knapsack every mixture
+    // designer runs: rank sources by a quality proxy (mean doc length
+    // here; any per-source score slots in), admit sources in rank order
+    // until the cumulative token count crosses the budget (half the
+    // corpus). Unlike q110 (proportional largest-remainder) and q121
+    // (Gini concentration), this is the SELECTION step: which sources
+    // make the cut at all. Scale: one keyed corpus-sized aggregate to
+    // source grain, then ranking/cumulating over the SOURCE list (tiny
+    // by construction) — the single-partition window never sees
+    // row-scale data. The budget compare stays in exact integers
+    // (2*cum <= total), no double drift.
+    "q140_curriculum_cut" -> NamedQuery(
+      fn = (s, d) => {
+        val perSource = tokenArrays(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("arr")).cast("long")).as("src_toks"))
+        val total = perSource.agg(sum(col("src_toks")).as("total_toks"))
+        val ranked = perSource
+          // exact: 1000*sum div count in integers — no double quality
+          // score to drift across engines
+          .withColumn("avg_toks_x1000", expr("src_toks * 1000 div n_docs"))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("avg_toks_x1000").desc, col("source").asc)).cast("long"))
+          .withColumn("cum_toks", sum(col("src_toks")).over(
+            Window.orderBy(col("rnk")).rowsBetween(Window.unboundedPreceding, 0)))
+        ranked.crossJoin(broadcast(total))
+          .withColumn("kept", (col("cum_toks") * 2L <= col("total_toks")).cast("int"))
+          .select("rnk", "source", "src_toks", "cum_toks", "kept")
+          .orderBy("rnk")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT d.source, len(regexp_split_to_array(trim(d.text), '\s+')) AS n
+          FROM documents d),
+        per_source AS (
+          SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS src_toks
+          FROM toks GROUP BY source),
+        ranked AS (
+          SELECT source, src_toks,
+                 (src_toks * 1000) // n_docs AS avg_toks_x1000,
+                 row_number() OVER (ORDER BY (src_toks * 1000) // n_docs DESC,
+                                    source ASC) AS rnk
+          FROM per_source),
+        cum AS (
+          SELECT rnk, source, src_toks,
+                 CAST(SUM(src_toks) OVER (ORDER BY rnk
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+          FROM ranked)
+        SELECT CAST(rnk AS BIGINT) AS rnk, source, src_toks, cum_toks,
+               CAST(CASE WHEN cum_toks * 2 <= (SELECT SUM(src_toks) FROM per_source)
+                    THEN 1 ELSE 0 END AS INT) AS kept
+        FROM cum
+        ORDER BY rnk"""),
+      doc = "curriculum cut: quality-ranked sources admitted until the token budget, exact-integer compare")
   )
 }

@@ -430,6 +430,86 @@ object SimilarityQueries extends QueryModule {
         JOIN names nm ON nm.n = s.n1
         WHERE rn = 1
         ORDER BY p_name"""),
-      doc = "ER blocked fuzzy join: canonicalize, union-of-blockings, levenshtein, best match per name")
+      doc = "ER blocked fuzzy join: canonicalize, union-of-blockings, levenshtein, best match per name"),
+
+    // --------------------------------------------------------------- q142
+    // Product-quantization assignment — the compression step between
+    // brute cosine (q37) and IVF cells (q40) in an ANN index build: the
+    // 64-dim embedding splits into 4 sub-vectors of 16 dims, each
+    // assigned to its nearest of 8 per-subspace codes, so a vector
+    // stores as 4 bytes instead of 256. Codebooks here are the first 8
+    // vectors' sub-slices (deterministic stand-in for a k-means
+    // codebook — q72 is the Lloyd step that would train them).
+    // Shapes: vectors explode to (vec, sub) rows — map-only; the
+    // codebook is 32 rows broadcast on the 4-key "sub" equi-join (hash
+    // join, not a nested-loop product); argmin is one keyed window.
+    // L2² via three vec_dot calls (|a−c|² = a·a − 2a·c + c·c) keeps
+    // the hot loop in the native codegen'd expression; round(...,6)
+    // before the argmin so a last-ulp difference can't flip a code
+    // (q37 recipe). At 100 TB the codebook stays K·M rows (broadcast),
+    // the explode is linear, and nothing shuffles except the final
+    // per-vec regroup — keyed by vec_id.
+    "q142_pq_assign" -> NamedQuery(
+      fn = (s, d) => {
+        GraftFunctions.register(s)
+        val subIdx = array((0 until 4).map(lit): _*)
+        val subs = Tables.embeddings(s, d)
+          .select(col("vec_id"), explode(subIdx).as("sub"), col("embedding"))
+          .select(col("vec_id"), col("sub"),
+            expr("slice(embedding, sub * 16 + 1, 16)").as("sv"))
+        val codes = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("code"), explode(subIdx).as("sub"), col("embedding"))
+          .select(col("code"), col("sub"),
+            expr("slice(embedding, sub * 16 + 1, 16)").as("cv"))
+        val scored = subs.join(broadcast(codes), Seq("sub"))
+          .withColumn("d2", round(
+            expr("vec_dot(sv, sv) - 2 * vec_dot(sv, cv) + vec_dot(cv, cv)"), 6))
+        val best = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id", "sub").orderBy(col("d2").asc, col("code").asc)))
+          .filter(col("rn") === 1)
+        best.groupBy("vec_id")
+          .agg(
+            max(when(col("sub") === 0, col("code"))).as("code_0"),
+            max(when(col("sub") === 1, col("code"))).as("code_1"),
+            max(when(col("sub") === 2, col("code"))).as("code_2"),
+            max(when(col("sub") === 3, col("code"))).as("code_3"),
+            sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .cast("double").as("qerr"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH s4 AS (SELECT unnest(range(0, 4)) AS sub),
+        subs AS (
+          SELECT vec_id, sub,
+                 CAST(list_slice(embedding, sub * 16 + 1, sub * 16 + 16) AS DOUBLE[]) AS sv
+          FROM embeddings CROSS JOIN s4),
+        codes AS (
+          SELECT vec_id AS code, sub,
+                 CAST(list_slice(embedding, sub * 16 + 1, sub * 16 + 16) AS DOUBLE[]) AS cv
+          FROM embeddings CROSS JOIN s4
+          WHERE vec_id < 8),
+        scored AS (
+          SELECT v.vec_id, v.sub, c.code,
+                 round(list_dot_product(v.sv, v.sv)
+                       - 2 * list_dot_product(v.sv, c.cv)
+                       + list_dot_product(c.cv, c.cv), 6) AS d2
+          FROM subs v JOIN codes c USING (sub)),
+        best AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2, code) AS rn
+            FROM scored)
+          WHERE rn = 1)
+        SELECT vec_id,
+               MAX(CASE WHEN sub = 0 THEN code END) AS code_0,
+               MAX(CASE WHEN sub = 1 THEN code END) AS code_1,
+               MAX(CASE WHEN sub = 2 THEN code END) AS code_2,
+               MAX(CASE WHEN sub = 3 THEN code END) AS code_3,
+               CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) AS qerr
+        FROM best
+        GROUP BY vec_id
+        ORDER BY vec_id"""),
+      doc = "product-quantization assignment: 4x16-dim subspaces, 8 codes each, broadcast codebook argmin")
   )
 }

@@ -351,4 +351,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, s"extra exchange in:\n$p")
     assert(!p.contains("Join"))
   }
+
+  test("q141 span analysis is join + keyed window — no self-join, no products") {
+    val p = plan("q141_overlap_spans")
+    // the islands trick finds runs with ONE window over hit positions;
+    // a naive spans query self-joins positions to positions
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast in:\n$p")
+    assert("HashJoin".r.findAllIn(p).length === 1, s"extra join (self-join?) in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q142 PQ codebook joins hash on the subspace key, never nested-loop") {
+    val p = plan("q142_pq_assign")
+    // vectors x codebook composes as an equi-join on `sub` (4 keys, 32
+    // codebook rows broadcast) — a crossJoin formulation would plan a
+    // BroadcastNestedLoopJoin and 8x the probe work
+    assert(p.contains("BroadcastHashJoin"), s"codebook join not broadcast-hash in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("vec_dot"), s"distance not the native expression in:\n$p")
+  }
+
+  test("q143 zipf fit: corpus shuffles once to (source, tok), then source-grain math") {
+    val p = plan("q143_zipf_fit")
+    // explode -> partial agg -> ONE hash exchange on (source, tok);
+    // the window repartitions by source only after the vocab-sized agg
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash agg in:\n$p")
+    assert(!p.contains("SortAggregate"), s"sort agg in a hot path:\n$p")
+  }
 }
