@@ -943,6 +943,67 @@ object CorpusQueries extends QueryModule {
                  AS intercept
         FROM agg
         ORDER BY source"""),
-      doc = "Zipf slope/intercept per source: rounded-then-decimal co-moments, order-independent parity")
+      doc = "Zipf slope/intercept per source: rounded-then-decimal co-moments, order-independent parity"),
+
+    // --------------------------------------------------------------- q146
+    // Per-source KL divergence from the corpus unigram distribution —
+    // the domain-drift statistic a mixture designer reads next to q143's
+    // Zipf slope: KL(P_source ‖ P_corpus) over tokens present in the
+    // source (P > 0 everywhere it is evaluated; Q > 0 always since the
+    // corpus contains the source). Parity craft per the q143 recipe:
+    // probability ratios are pure IEEE division trees mirrored exactly
+    // (never pre-multiplied integers, which would overflow at corpus
+    // scale), ln is rounded to 6 before the product, the p·ln term is
+    // rounded again, and the per-source sum runs in DECIMAL(18,6) —
+    // exact and order-independent. Scale: two corpus-sized keyed aggs
+    // (source×tok, tok), one vocab-sized join on tok, broadcast totals;
+    // nothing global, nothing quadratic.
+    "q146_kl_drift" -> NamedQuery(
+      fn = (s, d) => {
+        val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val sc = toks.groupBy("source", "tok").agg(count(lit(1)).as("cnt_s"))
+        val cc = toks.groupBy("tok").agg(count(lit(1)).as("cnt_all"))
+        val tots = sc.groupBy("source").agg(sum(col("cnt_s")).as("tot_s"))
+        val totAll = cc.agg(sum(col("cnt_all")).as("tot_all"))
+        val terms = sc.join(cc, Seq("tok"))
+          .join(broadcast(tots), Seq("source"))
+          .crossJoin(broadcast(totAll))
+          .withColumn("p", col("cnt_s").cast("double") / col("tot_s"))
+          .withColumn("lnr", round(log(
+            (col("cnt_s").cast("double") / col("tot_s")) /
+            (col("cnt_all").cast("double") / col("tot_all"))), 6))
+          .withColumn("term", round(col("p") * col("lnr"), 6))
+        terms.groupBy("source").agg(
+            count(lit(1)).as("n_types"),
+            max(col("tot_s")).as("src_toks"),
+            round(sum(col("term").cast(dec6)).cast("double"), 6).as("kl_nats"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        sc AS (SELECT source, tok, COUNT(*) AS cnt_s FROM toks GROUP BY 1, 2),
+        cc AS (SELECT tok, COUNT(*) AS cnt_all FROM toks GROUP BY 1),
+        tots AS (SELECT source, CAST(SUM(cnt_s) AS BIGINT) AS tot_s FROM sc GROUP BY 1),
+        tot_all AS (SELECT CAST(SUM(cnt_all) AS BIGINT) AS tot_all FROM cc),
+        terms AS (
+          SELECT s.source, t.tot_s,
+                 CAST(s.cnt_s AS DOUBLE) / t.tot_s AS p,
+                 round(ln((CAST(s.cnt_s AS DOUBLE) / t.tot_s)
+                        / (CAST(c.cnt_all AS DOUBLE) / a.tot_all)), 6) AS lnr
+          FROM sc s
+          JOIN cc c USING (tok)
+          JOIN tots t USING (source)
+          CROSS JOIN tot_all a),
+        t2 AS (SELECT source, tot_s, round(p * lnr, 6) AS term FROM terms)
+        SELECT source, COUNT(*) AS n_types, MAX(tot_s) AS src_toks,
+               round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS kl_nats
+        FROM t2
+        GROUP BY source
+        ORDER BY source"""),
+      doc = "per-source KL divergence from the corpus unigram distribution (domain-drift audit)")
   )
 }

@@ -299,6 +299,91 @@ object DedupQueries extends QueryModule {
         WHERE bit_count(xor(sh1, sh2)) <= 3
         ORDER BY d1, d2"""
       },
-      doc = "banded SimHash near-dup: pigeonhole candidates + bit_count Hamming verify (north-star scale path)")
+      doc = "banded SimHash near-dup: pigeonhole candidates + bit_count Hamming verify (north-star scale path)"),
+
+    // --------------------------------------------------------------- q148
+    // MinHash estimator accuracy audit — the sketch-quality check that
+    // tells you whether k=8 signatures are enough before you trust the
+    // LSH pipeline's candidate scores at scale: for every banded
+    // candidate pair, the estimated Jaccard (matching signature
+    // components / k — the unbiased MinHash estimator) next to the
+    // exact token-set Jaccard, with the absolute error. Companion to
+    // q145's ANN recall audit: q145 grades the index's RECALL, this
+    // grades the sketch's PRECISION. All shapes are the dedup family's
+    // (banded candidates, keyed signature join — 8 rows per pair,
+    // exploded exact Jaccard); the token table persists only for the
+    // build (CacheScope, round-4 discipline). Exact arithmetic
+    // throughout: n_eq/8 and the Jaccard ratio are single IEEE
+    // divisions, the error rounds to 6.
+    "q148_minhash_accuracy" -> NamedQuery(
+      fn = (s, d) => {
+        implicit val sp: SparkSession = s
+        val toks = docTokens(s, d)
+        graft.ops.CacheScope.withPersisted(toks) {
+          val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, Seq.empty)
+          val cand = graft.ops.DedupOps.candidatePairs(bands, Seq.empty)
+          val sig = graft.ops.DedupOps.minhashSignatures(toks, 8, Seq.empty)
+          val est = cand
+            .join(sig.select(col("doc_id").as("d1"), col("seed"), col("mh").as("mh1")), Seq("d1"))
+            .join(sig.select(col("doc_id").as("d2"), col("seed"), col("mh").as("mh2")),
+              Seq("d2", "seed"))
+            .groupBy("d1", "d2")
+            .agg(sum(when(col("mh1") === col("mh2"), 1L).otherwise(0L)).as("n_eq"))
+            .withColumn("est_j", col("n_eq").cast("double") / 8.0)
+          val exact = graft.ops.DedupOps.jaccardExploded(toks, cand)
+            .select(col("d1"), col("d2"), col("jacc"))
+          est.join(exact, Seq("d1", "d2"))
+            .withColumn("abs_err", round(abs(col("est_j") - col("jacc")), 6))
+            .select(col("d1"), col("d2"), col("n_eq"), col("est_j"), col("jacc"), col("abs_err"))
+            .orderBy("d1", "d2")
+        }
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, seed,
+                 min((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+              + seed * CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT)) % 2305843009213693951) AS mh
+          FROM toks CROSS JOIN generate_series(0, 7) s(seed)
+          GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, seed // 2 AS band,
+                 md5(CAST(min(mh) AS VARCHAR) || '#' || CAST(max(mh) AS VARCHAR)) AS band_hash
+          FROM sig
+          GROUP BY doc_id, seed // 2),
+        cand AS (
+          SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+          FROM bands b1 JOIN bands b2
+            ON b1.band = b2.band AND b1.band_hash = b2.band_hash
+          WHERE b1.doc_id < b2.doc_id),
+        est AS (
+          SELECT c.d1, c.d2,
+                 CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_eq
+          FROM cand c
+          JOIN sig a ON a.doc_id = c.d1
+          JOIN sig b ON b.doc_id = c.d2 AND b.seed = a.seed
+          GROUP BY c.d1, c.d2),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        inter AS (
+          SELECT c.d1, c.d2, COUNT(*) AS ic
+          FROM cand c
+          JOIN toks t1 ON t1.doc_id = c.d1
+          JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+          GROUP BY c.d1, c.d2),
+        exact AS (
+          SELECT i.d1, i.d2,
+                 round(CAST(i.ic AS DOUBLE) / (s1.n + s2.n - i.ic), 6) AS jacc
+          FROM inter i
+          JOIN sizes s1 ON s1.doc_id = i.d1
+          JOIN sizes s2 ON s2.doc_id = i.d2)
+        SELECT e.d1, e.d2, e.n_eq,
+               CAST(e.n_eq AS DOUBLE) / 8.0 AS est_j,
+               x.jacc,
+               round(abs(CAST(e.n_eq AS DOUBLE) / 8.0 - x.jacc), 6) AS abs_err
+        FROM est e JOIN exact x ON e.d1 = x.d1 AND e.d2 = x.d2
+        ORDER BY e.d1, e.d2"""),
+      doc = "MinHash estimator accuracy: est vs exact Jaccard per banded candidate pair (sketch audit)")
   )
 }

@@ -741,6 +741,57 @@ object PretrainQueries extends QueryModule {
                     THEN 1 ELSE 0 END AS INT) AS kept
         FROM cum
         ORDER BY rnk"""),
-      doc = "curriculum cut: quality-ranked sources admitted until the token budget, exact-integer compare")
+      doc = "curriculum cut: quality-ranked sources admitted until the token budget, exact-integer compare"),
+
+    // --------------------------------------------------------------- q147
+    // Deterministic weighted sampling without replacement — the
+    // Efraimidis–Spirakis A-ES scheme (key = u^(1/w), keep the top-k
+    // keys) in its log form: key = ln(u)/w, identical ordering, no pow.
+    // u is a 48-bit uniform derived from md5(doc_id) — fully replayable,
+    // like q105/q132's md5-rank family, but WEIGHTED (w = n_chars):
+    // longer documents are proportionally more likely to make the
+    // sample, which is what a token-budgeted corpus draw actually
+    // wants. Parity: ln is rounded to 6 (transcendental), then the
+    // division by the integer weight is a single exact IEEE op both
+    // engines perform on identical inputs — no second rounding needed
+    // for the ORDER; the displayed key is scaled and rounded. Scale:
+    // map-only scoring + one keyed top-k window per source — F3's
+    // seeded-sample posture with weights.
+    "q147_weighted_sample" -> NamedQuery(
+      fn = (s, d) => {
+        val keyed = Tables.documents(s, d)
+          .withColumn("h",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"))
+          // u = (h+1)/2^48 ∈ (0,1]; ln(u) ≤ 0, so keys are ≤ 0 and the
+          // LARGEST key wins — ties broken by doc_id for determinism
+          .withColumn("lnu", round(log((col("h") + lit(1L)).cast("double")
+            / lit(281474976710656.0)), 6))
+          .withColumn("sel_key", col("lnu") / col("n_chars"))
+        keyed
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("source").orderBy(col("sel_key").desc, col("doc_id").asc))
+            .cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"),
+            round(col("sel_key") * 1000000.0, 6).as("key_x1e6"))
+          .orderBy("source", "rnk")
+      },
+      oracle = Some("""
+        WITH keyed AS (
+          SELECT source, doc_id, n_chars,
+                 round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                           + 1) / 281474976710656.0), 6) / n_chars AS sel_key
+          FROM documents),
+        ranked AS (
+          SELECT source, doc_id, n_chars, sel_key,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY sel_key DESC, doc_id ASC) AS rnk
+          FROM keyed)
+        SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars,
+               round(sel_key * 1000000.0, 6) AS key_x1e6
+        FROM ranked
+        WHERE rnk <= 5
+        ORDER BY source, rnk"""),
+      doc = "A-ES weighted sample: ln(u)/w keys from md5, top-5 per source, replayable (north-star)")
   )
 }

@@ -510,6 +510,231 @@ object SimilarityQueries extends QueryModule {
         FROM best
         GROUP BY vec_id
         ORDER BY vec_id"""),
-      doc = "product-quantization assignment: 4x16-dim subspaces, 8 codes each, broadcast codebook argmin")
+      doc = "product-quantization assignment: 4x16-dim subspaces, 8 codes each, broadcast codebook argmin"),
+
+    // --------------------------------------------------------------- q144
+    // PQ asymmetric-distance (ADC) top-k search — the QUERY side of
+    // q142's index: each query vector precomputes a 4×8 lookup table of
+    // sub-distances to the codebook, and every encoded corpus vector's
+    // distance is then four table lookups + three additions — no
+    // corpus-side vector math at all, which is the whole point of PQ.
+    // Shapes: the encode is q142's (broadcast codebook, keyed argmin,
+    // keyed regroup to wide codes); the LUTs flatten to one 32-slot
+    // array per query and broadcast (|queries|×32 doubles); the ADC pass
+    // over the corpus is map-only; the only post-encode shuffle is the
+    // top-k partial aggregate (|queries|×k rows) via the native
+    // top_k_pairs — never a corpus-wide sort. ADC sums run in
+    // DECIMAL(18,6) over rounded-6 entries (exact, order-independent).
+    // At 100 TB: corpus cost is linear scan × O(1) per query, the
+    // classic ADC trade — the bounded query sample is the contract
+    // (queries here: vec_id % 100 = 0).
+    "q144_pq_adc_topk" -> NamedQuery(
+      fn = (s, d) => {
+        GraftFunctions.register(s)
+        val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+        val subIdx = array((0 until 4).map(lit): _*)
+        val emb = Tables.embeddings(s, d)
+        val subs = emb.select(col("vec_id"), explode(subIdx).as("sub"), col("embedding"))
+          .select(col("vec_id"), col("sub"), expr("slice(embedding, sub * 16 + 1, 16)").as("sv"))
+        val codes = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("code"), explode(subIdx).as("sub"), col("embedding"))
+          .select(col("code"), col("sub"), expr("slice(embedding, sub * 16 + 1, 16)").as("cv"))
+        // encode: q142's assignment, regrouped wide — (vec_id, c0..c3)
+        val encoded = subs.join(broadcast(codes), Seq("sub"))
+          .withColumn("d2", round(
+            expr("vec_dot(sv, sv) - 2 * vec_dot(sv, cv) + vec_dot(cv, cv)"), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id", "sub").orderBy(col("d2").asc, col("code").asc)))
+          .filter(col("rn") === 1)
+          .groupBy("vec_id")
+          .agg(
+            max(when(col("sub") === 0, col("code"))).as("c0"),
+            max(when(col("sub") === 1, col("code"))).as("c1"),
+            max(when(col("sub") === 2, col("code"))).as("c2"),
+            max(when(col("sub") === 3, col("code"))).as("c3"))
+        // per-query LUT: d2(query sub-vector, code) flattened to a
+        // 32-slot array indexed by sub*8 + code (array_sort pins the
+        // collect_list order)
+        val lut = subs.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qv"))
+          .join(broadcast(codes), Seq("sub"))
+          .withColumn("d2", round(
+            expr("vec_dot(qv, qv) - 2 * vec_dot(qv, cv) + vec_dot(cv, cv)"), 6))
+          .groupBy("qid")
+          .agg(array_sort(collect_list(struct(
+            (col("sub") * 8 + col("code")).as("idx"), col("d2").as("d2")))).as("tab"))
+          .select(col("qid"), expr("transform(tab, e -> e.d2)").as("tab"))
+        // ADC: four lookups per (corpus vec, query) — map-side only
+        val adc = encoded.crossJoin(broadcast(lut))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("adc",
+            (element_at(col("tab"), (col("c0") + 1).cast("int")).cast(dec6) +
+             element_at(col("tab"), (col("c1") + 9).cast("int")).cast(dec6) +
+             element_at(col("tab"), (col("c2") + 17).cast("int")).cast(dec6) +
+             element_at(col("tab"), (col("c3") + 25).cast("int")).cast(dec6)).cast("double"))
+        adc.groupBy("qid")
+          .agg(expr("top_k_pairs(-adc, vec_id, 3)").as("topk"))
+          .select(col("qid"), expr("inline(topk)"))
+          .select(col("qid"), col("payload").as("nn_id"), round(-col("score"), 6).as("adc_d2"))
+          .orderBy("qid", "nn_id")
+      },
+      oracle = Some("""
+        WITH s4 AS (SELECT unnest(range(0, 4)) AS sub),
+        subs AS (
+          SELECT vec_id, sub,
+                 CAST(list_slice(embedding, sub * 16 + 1, sub * 16 + 16) AS DOUBLE[]) AS sv
+          FROM embeddings CROSS JOIN s4),
+        codes AS (
+          SELECT vec_id AS code, sub,
+                 CAST(list_slice(embedding, sub * 16 + 1, sub * 16 + 16) AS DOUBLE[]) AS cv
+          FROM embeddings CROSS JOIN s4
+          WHERE vec_id < 8),
+        scored AS (
+          SELECT v.vec_id, v.sub, c.code,
+                 round(list_dot_product(v.sv, v.sv)
+                       - 2 * list_dot_product(v.sv, c.cv)
+                       + list_dot_product(c.cv, c.cv), 6) AS d2
+          FROM subs v JOIN codes c USING (sub)),
+        encoded AS (
+          SELECT vec_id,
+                 MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+                 MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+                 MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+                 MAX(CASE WHEN sub = 3 THEN code END) AS c3
+          FROM (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                               ORDER BY d2, code) AS rn
+                  FROM scored) WHERE rn = 1)
+          GROUP BY vec_id),
+        lut AS (
+          SELECT vec_id AS qid, sub, code, d2 FROM scored WHERE vec_id % 100 = 0),
+        adc AS (
+          SELECT l0.qid, e.vec_id,
+                 CAST(CAST(l0.d2 AS DECIMAL(18,6)) + CAST(l1.d2 AS DECIMAL(18,6))
+                    + CAST(l2.d2 AS DECIMAL(18,6)) + CAST(l3.d2 AS DECIMAL(18,6))
+                   AS DOUBLE) AS adc
+          FROM encoded e
+          JOIN lut l0 ON l0.sub = 0 AND l0.code = e.c0
+          JOIN lut l1 ON l1.qid = l0.qid AND l1.sub = 1 AND l1.code = e.c1
+          JOIN lut l2 ON l2.qid = l0.qid AND l2.sub = 2 AND l2.code = e.c2
+          JOIN lut l3 ON l3.qid = l0.qid AND l3.sub = 3 AND l3.code = e.c3
+          WHERE e.vec_id <> l0.qid)
+        SELECT qid, nn_id, adc_d2 FROM (
+          SELECT qid, vec_id AS nn_id, round(adc, 6) AS adc_d2,
+                 row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
+          FROM adc)
+        WHERE rn <= 3
+        ORDER BY qid, nn_id"""),
+      doc = "PQ ADC top-k search: broadcast 32-slot LUT per query, map-only corpus pass, partial top-k"),
+
+    // --------------------------------------------------------------- q145
+    // ANN recall audit — the quality gate every approximate index needs
+    // before it replaces the exact path: recall@10 of the IVF search
+    // (q40's index: 8 broadcast centroids, probe = the query's own
+    // cell) against exact brute-force ground truth, per query. Ground
+    // truth costs one corpus pass against the BROADCAST bounded query
+    // sample (vec_id % 100 = 0) with the native partial top-k — the
+    // shuffle is |queries|×10 rows, never a corpus-wide sort; that
+    // linear-scan-per-query cost is inherent to ground truth and is why
+    // the audit runs on a sample, not every vector. The IVF side only
+    // scores within probed cells. Low recall here = add probe cells or
+    // retrain centroids (q72).
+    "q145_ann_recall" -> NamedQuery(
+      fn = (s, d) => {
+        val v = vecs(s, d)
+        val qs = v.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
+        val exact = v.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(
+            expr("vec_dot(embedding, qemb)") / (col("nrm") * col("qnrm")), 6))
+          .groupBy("qid")
+          .agg(expr("top_k_pairs(cos, vec_id, 10)").as("topk"))
+          .select(col("qid"), expr("inline(topk)"))
+          .select(col("qid"), col("payload").as("nn"))
+        // q40's index: nearest-of-8 assignment, probe the query's cell
+        val cents = v.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+            col("nrm").as("cent_nrm"))
+        val assigned = RelationalOps.topKPerGroup(
+          Seq("vec_id"), Seq(col("cent_cos").desc, col("cent_id").asc), 1)(
+          v.crossJoin(broadcast(cents))
+            .withColumn("cent_cos", round(
+              expr("vec_dot(embedding, cent_emb)") / (col("nrm") * col("cent_nrm")), 6)))
+          .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
+        val qa = assigned.filter(col("vec_id") % 100 === 0)
+          .select(col("cell"), col("vec_id").as("qid"),
+            col("embedding").as("qemb"), col("nrm").as("qnrm"))
+        val ivf = assigned.join(broadcast(qa), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(
+            expr("vec_dot(embedding, qemb)") / (col("nrm") * col("qnrm")), 6))
+          .groupBy("qid")
+          .agg(expr("top_k_pairs(cos, vec_id, 10)").as("topk"))
+          .select(col("qid"), expr("inline(topk)"))
+          .select(col("qid"), col("payload").as("nn"))
+        val hits = exact.join(ivf, Seq("qid", "nn"))
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        val ivfN = ivf.groupBy("qid").agg(count(lit(1)).as("ivf_n"))
+        qs.select("qid")
+          .join(ivfN, Seq("qid"), "left")
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("ivf_n"), lit(0L)).as("ivf_n"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)).cast("double") / 10.0, 6).as("recall_at_10"))
+          .orderBy("qid")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        qs AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM v WHERE vec_id % 100 = 0),
+        exact AS (
+          SELECT qid, vec_id AS nn FROM (
+            SELECT q.qid, a.vec_id,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     round(list_dot_product(a.emb, q.qemb) / (a.nrm * q.qnrm), 6) DESC,
+                     a.vec_id ASC) AS rn
+            FROM v a CROSS JOIN qs q WHERE a.vec_id <> q.qid)
+          WHERE rn <= 10),
+        cents AS (
+          SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+          FROM v ORDER BY vec_id LIMIT 8),
+        assigned AS (
+          SELECT vec_id, cell, emb, nrm FROM (
+            SELECT v.vec_id, c.cent_id AS cell, v.emb, v.nrm,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     round(list_dot_product(v.emb, c.cent_emb) / (v.nrm * c.cent_nrm), 6) DESC,
+                     c.cent_id ASC) AS rn
+            FROM v CROSS JOIN cents c)
+          WHERE rn = 1),
+        qa AS (
+          SELECT cell, vec_id AS qid, emb AS qemb, nrm AS qnrm
+          FROM assigned WHERE vec_id % 100 = 0),
+        ivf AS (
+          SELECT qid, vec_id AS nn FROM (
+            SELECT q.qid, a.vec_id,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     round(list_dot_product(a.emb, q.qemb) / (a.nrm * q.qnrm), 6) DESC,
+                     a.vec_id ASC) AS rn
+            FROM assigned a JOIN qa q ON a.cell = q.cell AND a.vec_id <> q.qid)
+          WHERE rn <= 10),
+        hits AS (
+          SELECT e.qid, COUNT(*) AS hits
+          FROM exact e JOIN ivf i ON e.qid = i.qid AND e.nn = i.nn
+          GROUP BY e.qid),
+        ivfn AS (SELECT qid, COUNT(*) AS ivf_n FROM ivf GROUP BY qid)
+        SELECT q.qid,
+               COALESCE(n.ivf_n, 0) AS ivf_n,
+               COALESCE(h.hits, 0) AS hits,
+               round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0, 6) AS recall_at_10
+        FROM qs q
+        LEFT JOIN ivfn n ON q.qid = n.qid
+        LEFT JOIN hits h ON q.qid = h.qid
+        ORDER BY q.qid"""),
+      doc = "ANN recall audit: IVF top-10 vs exact ground truth per sampled query, recall@10")
   )
 }

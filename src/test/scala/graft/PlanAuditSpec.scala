@@ -379,4 +379,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"no hash agg in:\n$p")
     assert(!p.contains("SortAggregate"), s"sort agg in a hot path:\n$p")
   }
+
+  test("q144 ADC pass is map-only over the encoded corpus + partial top-k (no corpus sort)") {
+    val p = plan("q144_pq_adc_topk")
+    // the per-query LUT attaches as a broadcast fan-out; the final
+    // ranking is the native k-buffer aggregate, never a window sort
+    // over |corpus|x|queries| rows
+    assert(p.contains("partial_top_k_pairs"), s"top-k not the partial native agg in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"codebook join not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the only window is the encode's keyed (vec_id, sub) argmin — its
+    // WindowGroupLimit is partial+keyed, fine; what must NOT appear is
+    // a window over the ADC scores (qid-partitioned ranking of the
+    // corpus×queries fan-out)
+    assert(!p.contains("windowspecdefinition(qid"), s"corpus-side ADC ranking window in:\n$p")
+  }
+
+  test("q145 recall audit: both search sides end in partial top-k, centroids broadcast") {
+    val p = plan("q145_ann_recall")
+    assert("partial_top_k_pairs".r.findAllIn(p).length >= 2,
+      s"exact/ivf sides not both on the native partial top-k in:\n$p")
+    assert(p.contains("vec_dot"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q146 KL terms join on tok with broadcast totals — no global shuffle") {
+    val p = plan("q146_kl_drift")
+    // sc (vocab-sized) joins cc on tok as a real shuffle join at scale;
+    // per-source totals and the 1-row corpus total attach broadcast
+    assert(p.contains("BroadcastHashJoin"), s"totals not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortAggregate"), s"sort agg in a hot path:\n$p")
+  }
+
+  test("q148 sketch audit: signature compare is a keyed join, exact side stays exploded-hash") {
+    val p = innerPlan("q148_minhash_accuracy")
+    // est side: candidates join signatures keyed by (doc, seed); exact
+    // side: jaccardExploded's token joins — hash joins, no cartesian
+    // products (the BroadcastNestedLoopJoin Cross in this plan is the
+    // deliberate 8-row seed fan-out inside minhashSignatures)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no hash join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
