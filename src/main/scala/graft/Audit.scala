@@ -27,7 +27,7 @@ object Audit {
   //    FK-violation count crossed onto the result — F5-class bounded)
   //  - q144/q145: broadcast bounded-query-sample fan-out (ADC LUTs /
   //    ground-truth probes — the audit contract is a sampled query set);
-  //    q146: 1-row corpus-total attach
+  //    q146/q152: 1-row corpus-total attach
   private val expectedCross = Set(
     "q34_ngram_jaccard", "q37_cosine_topk", "q39_neardup_pairs",
     "q14_field_control", "q65_semantic_dedup", "q72_kmeans_step",
@@ -35,7 +35,8 @@ object Audit {
     "q70_unigram_logprob", "q110_budget_mixture", "q87_gap_fill",
     "q116_triangle_census", "q133_dq_audit", "q136_bigram_pmi",
     "q137_group_kfold", "q140_curriculum_cut",
-    "q144_pq_adc_topk", "q145_ann_recall", "q146_kl_drift")
+    "q144_pq_adc_topk", "q145_ann_recall", "q146_kl_drift",
+    "q152_bm25_topk")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,

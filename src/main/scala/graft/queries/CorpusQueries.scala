@@ -1004,6 +1004,78 @@ object CorpusQueries extends QueryModule {
         FROM t2
         GROUP BY source
         ORDER BY source"""),
-      doc = "per-source KL divergence from the corpus unigram distribution (domain-drift audit)")
+      doc = "per-source KL divergence from the corpus unigram distribution (domain-drift audit)"),
+
+    // --------------------------------------------------------------- q152
+    // BM25 retrieval top-k — the lexical ranking function every RAG
+    // retrieval stack still runs next to its embedding index (q37/q40
+    // are the dense side; this is the sparse side). Okapi BM25 with
+    // k1=1.2, b=0.75; the "query" is data-derived and deterministic:
+    // the corpus's 3 highest-df terms (ties to token asc). Parity per
+    // the Registry recipe: ln(idf) rounds to 6, the tf/length
+    // normalization is a pure IEEE division tree mirrored literally,
+    // per-term scores round again, and the per-doc sum runs in
+    // DECIMAL(18,6). Ranking is the native partial top-k (k-sized
+    // buffers, payload tie-break = doc_id) with posexplode emitting the
+    // rank. Scale: postings and lengths are keyed corpus aggs; query
+    // terms and the 1-row corpus stats broadcast; the final shuffle is
+    // ONE k-row partial per partition — never a corpus sort.
+    "q152_bm25_topk" -> NamedQuery(
+      fn = (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val stats = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot_len"))
+        val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val qterms = dfq.orderBy(col("df").desc, col("tok").asc).limit(3)
+        val terms = tf.join(broadcast(qterms), Seq("tok"))
+          .join(len, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("avglen", col("tot_len").cast("double") / col("n_docs"))
+          .withColumn("idf", round(log(
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6))
+          .withColumn("tfc", (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len").cast("double") / col("avglen")))))
+          .withColumn("term", round(col("idf") * col("tfc"), 6))
+        terms.groupBy("doc_id")
+          .agg(sum(col("term").cast(dec6)).cast("double").as("score"))
+          .agg(expr("top_k_pairs(score, doc_id, 20)").as("topk"))
+          .select(posexplode(col("topk")).as(Seq("pos", "p")))
+          .select((col("pos") + 1).cast("long").as("rnk"),
+            col("p.payload").as("doc_id"), round(col("p.score"), 6).as("bm25"))
+          .orderBy("rnk")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        len AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS tot_len FROM len),
+        dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        qterms AS (SELECT tok, df FROM dfq ORDER BY df DESC, tok ASC LIMIT 3),
+        terms AS (
+          SELECT t.doc_id,
+                 round(round(ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0), 6)
+                       * ((t.tf * 2.2)
+                          / (t.tf + 1.2 * (0.25 + 0.75
+                             * (l.len / (CAST(s.tot_len AS DOUBLE) / s.n_docs))))), 6) AS term
+          FROM tf t
+          JOIN qterms q USING (tok)
+          JOIN len l USING (doc_id)
+          CROSS JOIN stats s),
+        scores AS (
+          SELECT doc_id, CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS score
+          FROM terms GROUP BY doc_id)
+        SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, round(score, 6) AS bm25
+        FROM (SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+              FROM scores)
+        WHERE rnk <= 20
+        ORDER BY rnk"""),
+      doc = "Okapi BM25 top-20 for the corpus's 3 highest-df terms: sparse retrieval beside the dense ANN path")
   )
 }

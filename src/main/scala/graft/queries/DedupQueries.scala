@@ -304,25 +304,36 @@ object DedupQueries extends QueryModule {
     // --------------------------------------------------------------- q148
     // MinHash estimator accuracy audit — the sketch-quality check that
     // tells you whether k=8 signatures are enough before you trust the
-    // LSH pipeline's candidate scores at scale: for every banded
-    // candidate pair, the estimated Jaccard (matching signature
-    // components / k — the unbiased MinHash estimator) next to the
-    // exact token-set Jaccard, with the absolute error. Companion to
-    // q145's ANN recall audit: q145 grades the index's RECALL, this
-    // grades the sketch's PRECISION. All shapes are the dedup family's
-    // (banded candidates, keyed signature join — 8 rows per pair,
+    // LSH pipeline's candidate scores at scale: per estimator level
+    // (n_eq of 8 matching signature components — the unbiased MinHash
+    // estimate is n_eq/8), the DISTRIBUTION of the exact token-set
+    // Jaccard across all banded candidate pairs: pair count, mean exact
+    // Jaccard, mean |estimate − exact|, and the exact min/max envelope.
+    // The report is the 9-row calibration curve, NOT the per-pair list —
+    // per-pair detail is corpus-quadratic-ish in the duplicate density
+    // and is exactly what an audit must aggregate away at 100 TB (the
+    // first cut emitted pairs and spent 76 s at sf0.1 materializing
+    // millions of rows; the curve costs the same joins and shuffles
+    // O(9) out). Companion to q145: q145 grades the index's RECALL,
+    // this grades the sketch's PRECISION. Shapes are the dedup
+    // family's (banded candidates, signature join keyed by (doc, seed),
     // exploded exact Jaccard); the token table persists only for the
-    // build (CacheScope, round-4 discipline). Exact arithmetic
-    // throughout: n_eq/8 and the Jaccard ratio are single IEEE
-    // divisions, the error rounds to 6.
+    // build (CacheScope); means are decimal-exact sums over rounded-6
+    // terms divided by exact counts. Candidates are (lang, source)-
+    // scoped EXACTLY like the q50 pipeline this audits — the unscoped
+    // candidate set is quadratic in the cross-source template
+    // duplication (measured: 55 s at sf0.1 vs ~2 s scoped) and is not
+    // the set whose scores the pipeline ever consumes.
     "q148_minhash_accuracy" -> NamedQuery(
       fn = (s, d) => {
         implicit val sp: SparkSession = s
-        val toks = docTokens(s, d)
+        val scope = Seq("lang", "source")
+        val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+        val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope)
         graft.ops.CacheScope.withPersisted(toks) {
-          val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, Seq.empty)
-          val cand = graft.ops.DedupOps.candidatePairs(bands, Seq.empty)
-          val sig = graft.ops.DedupOps.minhashSignatures(toks, 8, Seq.empty)
+          val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
+          val cand = graft.ops.DedupOps.candidatePairs(bands, scope)
+          val sig = graft.ops.DedupOps.minhashSignatures(toks, 8, scope)
           val est = cand
             .join(sig.select(col("doc_id").as("d1"), col("seed"), col("mh").as("mh1")), Seq("d1"))
             .join(sig.select(col("doc_id").as("d2"), col("seed"), col("mh").as("mh2")),
@@ -334,29 +345,38 @@ object DedupQueries extends QueryModule {
             .select(col("d1"), col("d2"), col("jacc"))
           est.join(exact, Seq("d1", "d2"))
             .withColumn("abs_err", round(abs(col("est_j") - col("jacc")), 6))
-            .select(col("d1"), col("d2"), col("n_eq"), col("est_j"), col("jacc"), col("abs_err"))
-            .orderBy("d1", "d2")
+            .groupBy("n_eq")
+            .agg(
+              max(col("est_j")).as("est_j"),
+              count(lit(1)).as("n_pairs"),
+              round(sum(col("jacc").cast(dec6)).cast("double") / count(lit(1)), 6).as("mean_jacc"),
+              round(sum(col("abs_err").cast(dec6)).cast("double") / count(lit(1)), 6).as("mean_abs_err"),
+              min(col("jacc")).as("min_jacc"),
+              max(col("jacc")).as("max_jacc"))
+            .orderBy("n_eq")
         }
       },
       oracle = Some("""
         WITH toks AS (
-          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          SELECT DISTINCT doc_id, lang, source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
           FROM documents),
         sig AS (
-          SELECT doc_id, seed,
+          SELECT doc_id, lang, source, seed,
                  min((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
               + seed * CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT)) % 2305843009213693951) AS mh
           FROM toks CROSS JOIN generate_series(0, 7) s(seed)
-          GROUP BY 1, 2),
+          GROUP BY 1, 2, 3, 4),
         bands AS (
-          SELECT doc_id, seed // 2 AS band,
+          SELECT doc_id, lang, source, seed // 2 AS band,
                  md5(CAST(min(mh) AS VARCHAR) || '#' || CAST(max(mh) AS VARCHAR)) AS band_hash
           FROM sig
-          GROUP BY doc_id, seed // 2),
+          GROUP BY doc_id, lang, source, seed // 2),
         cand AS (
           SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
           FROM bands b1 JOIN bands b2
-            ON b1.band = b2.band AND b1.band_hash = b2.band_hash
+            ON b1.lang = b2.lang AND b1.source = b2.source
+           AND b1.band = b2.band AND b1.band_hash = b2.band_hash
           WHERE b1.doc_id < b2.doc_id),
         est AS (
           SELECT c.d1, c.d2,
@@ -377,13 +397,23 @@ object DedupQueries extends QueryModule {
                  round(CAST(i.ic AS DOUBLE) / (s1.n + s2.n - i.ic), 6) AS jacc
           FROM inter i
           JOIN sizes s1 ON s1.doc_id = i.d1
-          JOIN sizes s2 ON s2.doc_id = i.d2)
-        SELECT e.d1, e.d2, e.n_eq,
-               CAST(e.n_eq AS DOUBLE) / 8.0 AS est_j,
-               x.jacc,
-               round(abs(CAST(e.n_eq AS DOUBLE) / 8.0 - x.jacc), 6) AS abs_err
-        FROM est e JOIN exact x ON e.d1 = x.d1 AND e.d2 = x.d2
-        ORDER BY e.d1, e.d2"""),
-      doc = "MinHash estimator accuracy: est vs exact Jaccard per banded candidate pair (sketch audit)")
+          JOIN sizes s2 ON s2.doc_id = i.d2),
+        pairs AS (
+          SELECT e.n_eq,
+                 CAST(e.n_eq AS DOUBLE) / 8.0 AS est_j,
+                 x.jacc,
+                 round(abs(CAST(e.n_eq AS DOUBLE) / 8.0 - x.jacc), 6) AS abs_err
+          FROM est e JOIN exact x ON e.d1 = x.d1 AND e.d2 = x.d2)
+        SELECT n_eq,
+               MAX(est_j) AS est_j,
+               COUNT(*) AS n_pairs,
+               round(CAST(SUM(CAST(jacc AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_jacc,
+               round(CAST(SUM(CAST(abs_err AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err,
+               MIN(jacc) AS min_jacc,
+               MAX(jacc) AS max_jacc
+        FROM pairs
+        GROUP BY n_eq
+        ORDER BY n_eq"""),
+      doc = "MinHash estimator calibration curve: exact-Jaccard distribution per estimator level (sketch audit)")
   )
 }

@@ -1141,6 +1141,77 @@ object EventQueries extends QueryModule {
         FROM p ASOF LEFT JOIN q
           ON p.event_type = q.event_type AND q.q_ts_us < p.ts_us
         ORDER BY p.event_id"""),
-      doc = "broadcast as-of join: probe side never shuffles vs DuckDB native ASOF (§7.3c)")
+      doc = "broadcast as-of join: probe side never shuffles vs DuckDB native ASOF (§7.3c)"),
+
+    // --------------------------------------------------------------- q151
+    // Leakage-free equi-depth binning — the feature-prep step a model
+    // pipeline gets subtly wrong when bin edges are computed over ALL
+    // data: edges here are exact order statistics (q85's all-integer
+    // rank idiom — no interpolation, no double drift) over the TRAIN
+    // split only, then applied to the TEST split through a broadcast
+    // edge join + a when-chain — the apply side never sees test
+    // quantiles, which is the leakage discipline. The split is the
+    // md5-deterministic family (q105/q115): replayable, engine-exact.
+    // Scale: edges are O(event_types) rows (broadcast); the apply pass
+    // is map-only; the only big shuffles are the train-side rank window
+    // (keyed by event_type) and the final per-(type, bin) agg.
+    "q151_quantile_binning" -> NamedQuery(
+      fn = (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("is_test",
+            conv(substring(md5(col("event_id").cast("string")), 1, 3), 16, 10)
+              .cast("long") % 5 === 0)
+        val train = ev.filter(!col("is_test"))
+        val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+        val edges = train
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(
+            max(when(col("rn") === expr("(n - 1) div 4") + 1L, col("value"))).as("e25"),
+            max(when(col("rn") === expr("(n - 1) div 2") + 1L, col("value"))).as("e50"),
+            max(when(col("rn") === expr("((n - 1) * 3) div 4") + 1L, col("value"))).as("e75"))
+        ev.filter(col("is_test"))
+          .join(broadcast(edges), Seq("event_type"))
+          .withColumn("bin",
+            when(col("value") <= col("e25"), 1)
+              .when(col("value") <= col("e50"), 2)
+              .when(col("value") <= col("e75"), 3)
+              .otherwise(4))
+          .groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
+          .orderBy("event_type", "bin")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT event_type, event_id, value,
+                 CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 3) AS BIGINT) % 5 = 0
+                   AS is_test
+          FROM events),
+        r AS (
+          SELECT event_type, value,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value ASC, event_id ASC) AS BIGINT) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM ev WHERE NOT is_test),
+        edges AS (
+          SELECT event_type,
+                 MAX(CASE WHEN rn = (n - 1) // 4 + 1 THEN value END) AS e25,
+                 MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS e50,
+                 MAX(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN value END) AS e75
+          FROM r GROUP BY event_type)
+        SELECT t.event_type,
+               CAST(CASE WHEN t.value <= e.e25 THEN 1
+                         WHEN t.value <= e.e50 THEN 2
+                         WHEN t.value <= e.e75 THEN 3
+                         ELSE 4 END AS INT) AS bin,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(t.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        FROM ev t JOIN edges e USING (event_type)
+        WHERE t.is_test
+        GROUP BY 1, 2
+        ORDER BY event_type, bin"""),
+      doc = "leakage-free equi-depth binning: exact train-split quartile edges applied to test (ML prep)")
   )
 }

@@ -404,6 +404,92 @@ object LakehouseQueries extends QueryModule {
                v1.k1 AS last_orderkey
         FROM v1 LEFT JOIN v0 ON v1.o_custkey = v0.o_custkey
         ORDER BY v1.o_custkey"""),
-      doc = "change data feed: insert/update/unchanged diff of two snapshots, one keyed join of O(keys) state")
+      doc = "change data feed: insert/update/unchanged diff of two snapshots, one keyed join of O(keys) state"),
+
+    // --------------------------------------------------------------- q149
+    // Merge-on-read deletion vectors — the OTHER half of the delete
+    // story: q130/q131 model copy-on-write (deletes rewrite files);
+    // deletion vectors instead record (file, row-position) tombstones in
+    // a sidecar and apply them AT READ TIME, which is how modern table
+    // formats make sparse deletes O(deleted) instead of O(rewritten).
+    // Mechanics are real: the base snapshot is immutable parquet, row
+    // positions come from the reader's `_metadata.file_path`/`row_index`
+    // (the same addressing a format's DV bitmap uses), and the MOR read
+    // is a positional LEFT ANTI join. Scale: the DV is bounded by the
+    // delete set (sparse by assumption — a dense delete wants COW
+    // compaction instead, q127), so the anti join broadcasts the DV and
+    // the base scan stays map-only. Oracle: the logical complement —
+    // rows whose key escaped the delete predicate.
+    "q149_deletion_vectors" -> NamedQuery(
+      fn = (s, d) => {
+        val out = TempPaths.dir(s, "q149_dv")
+        Tables.orders(s, d)
+          .repartition(4, col("o_orderkey"))
+          .write.mode("overwrite").parquet(out.toString)
+        val withPos = s.read.parquet(out.toString)
+          .select(col("*"),
+            col("_metadata.file_path").as("__file"),
+            col("_metadata.row_index").as("__pos"))
+        // the "MERGE ... DELETE" that would produce a DV in a real
+        // format, stood in by a predicate: positions of every row whose
+        // key hits the tombstone condition
+        val dv = withPos.filter(col("o_orderkey") % 7 === 0)
+          .select("__file", "__pos")
+        withPos.join(broadcast(dv), Seq("__file", "__pos"), "left_anti")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_live"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_live,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      doc = "merge-on-read deletion vectors: positional (file,row) tombstones applied as a broadcast anti join"),
+
+    // --------------------------------------------------------------- q150
+    // Dynamic partition pruning — the runtime file-skipping mechanism
+    // that makes star joins survive 100 TB: the fact table is laid out
+    // partitioned by year, the dim side's qualifying years are only
+    // known at RUN time (they come from another table's filter), and
+    // Catalyst injects a dynamicpruning subquery into the fact scan's
+    // PartitionFilters so non-qualifying partitions are never opened.
+    // Static pruning (q88) needs the literal in the query; THIS is the
+    // version that works when the predicate arrives through a join —
+    // the common star-schema case. The dim side broadcasts (it is a
+    // distinct-years aggregate); the plan pin asserts the fact scan
+    // carries a dynamicpruningexpression.
+    "q150_dpp_star" -> NamedQuery(
+      fn = (s, d) => {
+        val out = TempPaths.dir(s, "q150_dpp")
+        Tables.orders(s, d)
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(out.toString)
+        val fact = s.read.parquet(out.toString)
+        val years = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R" && year(col("l_shipdate")) >= 1997)
+          .select(year(col("l_shipdate")).as("o_year")).distinct()
+        fact.join(broadcast(years), Seq("o_year"))
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .select(col("o_year").cast("long").as("o_year"), col("n_orders"), col("sum_price"))
+          .orderBy("o_year")
+      },
+      oracle = Some("""
+        WITH years AS (
+          SELECT DISTINCT year(l_shipdate) AS o_year
+          FROM lineitem
+          WHERE l_returnflag = 'R' AND year(l_shipdate) >= 1997)
+        SELECT CAST(o.o_year AS BIGINT) AS o_year, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM (SELECT year(o_orderdate) AS o_year, o_totalprice FROM orders) o
+        JOIN years y ON o.o_year = y.o_year
+        GROUP BY o.o_year
+        ORDER BY o_year"""),
+      doc = "dynamic partition pruning: runtime dim-driven partition skip on the year-partitioned fact")
   )
 }

@@ -422,4 +422,34 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), s"no hash join in:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q149 MOR read applies the deletion vector as a broadcast LEFT ANTI join") {
+    val p = plan("q149_deletion_vectors")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV not broadcast on the anti join in:\n$p")
+    assert(p.contains("row_index") || p.contains("_metadata"),
+      s"positional addressing missing from:\n$p")
+  }
+
+  test("q150 fact scan carries a dynamicpruning partition filter (DPP active)") {
+    val p = plan("q150_dpp_star")
+    assert(p.contains("dynamicpruning"), s"no dynamic partition pruning in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim side not broadcast in:\n$p")
+  }
+
+  test("q151 bin edges broadcast onto the test split (apply side map-only)") {
+    val p = plan("q151_quantile_binning")
+    // the train-side rank window is keyed by event_type; the apply join
+    // must be a broadcast of the O(event_types) edge table
+    assert(p.contains("BroadcastHashJoin"), s"edge join not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q152 BM25 ranks through the native partial top-k, query terms broadcast") {
+    val p = plan("q152_bm25_topk")
+    assert(p.contains("partial_top_k_pairs"), s"ranking not the partial native agg in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"query-term pick not a bounded top-n in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

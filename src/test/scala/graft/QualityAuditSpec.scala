@@ -26,20 +26,24 @@ class QualityAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("q148 MinHash estimate tracks exact Jaccard (k=8 => mean |err| well under 2 sigma)") {
-    val df = SparkEntry.queries("q148_minhash_accuracy")(spark, sf)
-    val row = df.agg(
-      avg(col("abs_err")).as("mean_err"),
-      max(col("est_j")).as("max_est"),
-      min(col("est_j")).as("min_est"),
-      max(col("jacc")).as("max_j"),
-      min(col("jacc")).as("min_j")).collect()(0)
-    assert(row.getDouble(1) <= 1.0 && row.getDouble(2) >= 0.0, "estimate outside [0,1]")
-    assert(row.getDouble(3) <= 1.0 && row.getDouble(4) > 0.0, "exact Jaccard outside (0,1]")
+  test("q148 MinHash calibration curve is sane (k=8 => weighted mean |err| well under 2 sigma)") {
+    val rows = SparkEntry.queries("q148_minhash_accuracy")(spark, sf)
+      .select("n_eq", "est_j", "n_pairs", "mean_jacc", "mean_abs_err", "min_jacc", "max_jacc")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nEq, est, mj, mn, mx) =
+        (r.getLong(0), r.getDouble(1), r.getDouble(3), r.getDouble(5), r.getDouble(6))
+      assert(est == nEq / 8.0, s"estimator level $est not n_eq/8")
+      assert(mj >= mn - 1e-9 && mj <= mx + 1e-9, "bucket mean outside its own envelope")
+      assert(mn > 0.0 && mx <= 1.0, "exact Jaccard outside (0,1]")
+    }
     // per-pair sd of the k=8 estimator is sqrt(j(1-j)/8) <= 0.177; the
     // banded candidates skew to high-j pairs (smaller sd), so the mean
     // absolute error across pairs sits far below one sd of the worst case
-    assert(row.getDouble(0) < 0.25, s"mean |est - exact| = ${row.getDouble(0)} — sketch broken")
+    val totPairs = rows.map(_.getLong(2)).sum.toDouble
+    val wErr = rows.map(r => r.getLong(2) * r.getDouble(4)).sum / totPairs
+    assert(wErr < 0.25, s"weighted mean |est - exact| = $wErr — sketch broken")
   }
 
   test("q147 A-ES sample is replayable and weight-biased toward longer documents") {
