@@ -632,6 +632,45 @@ object PipelineQueries extends QueryModule {
          AND epoch_us(p.ts) <= epoch_us(c.ts) + ${30L * 60 * 1000000L}
         WHERE c.event_type = 'click'
         ORDER BY c.user_id, click_id, purchase_id"""),
-      doc = "stream-stream LEFT OUTER interval join vs the batch oracle (§2.J seventh shape)")
+      doc = "stream-stream LEFT OUTER interval join vs the batch oracle (§2.J seventh shape)"),
+
+    // --------------------------------------------------------------- q153
+    // dropDuplicatesWithinWatermark through the gate — the ninth
+    // streaming shape and the state-eviction variant q81 can't express:
+    // q81's dropDuplicates keys on (fp, ts) and keeps state forever for
+    // keys never re-seen; WithinWatermark keys on the BUSINESS key alone
+    // and evicts each key's state once the watermark passes its first
+    // occurrence — the semantics a 24/7 ingest needs (bounded state for
+    // an unbounded key universe). Output is the kept key set projected
+    // to the dedup columns only, which is order- and slicing-
+    // independent by construction (WHICH payload row is kept is
+    // arrival-order-defined; the KEY set is not) — so the batch oracle
+    // is exact. State: one row per in-flight key within the watermark
+    // horizon.
+    "q153_stream_dedup_wm" -> NamedQuery(
+      fn = (s, d) => {
+        val dir = TempPaths.stageFile(s, "q153_events", s"$d/events.parquet", "events.parquet").toPath
+        val schema = Tables.load(s, d, "events").schema
+        val stream = s.readStream.schema(schema).parquet(dir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val deduped = stream
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select("user_id", "event_type")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try deduped.writeStream.outputMode(OutputMode.Append)
+            .format("memory").queryName("q153_stream_dedup_wm").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.processAllAvailable() finally q.stop()
+        s.table("q153_stream_dedup_wm").orderBy("user_id", "event_type")
+      },
+      oracle = Some("""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type"""),
+      doc = "streaming dedup with watermark state eviction (dropDuplicatesWithinWatermark) vs batch (§2.J ninth shape)")
   )
 }

@@ -197,6 +197,84 @@ object TextQueries extends QueryModule {
                md5(r) AS redacted_md5
         FROM red
         ORDER BY doc_id"""),
-      doc = "PII redaction with injected known positives, residual must be zero (north-star)")
+      doc = "PII redaction with injected known positives, residual must be zero (north-star)"),
+
+    // --------------------------------------------------------------- q154
+    // Cross-document winnowing overlap — MOSS's core move, and the
+    // scalable stand-in for exact-substring dedup: q56's per-doc
+    // winnowing fingerprints joined ACROSS documents on the fingerprint
+    // value, so two docs sharing several selected windows share literal
+    // runs of text. The scale discipline is the stop-fingerprint cap
+    // (standard winnowing practice, same medicine as q86's boilerplate
+    // threshold): fingerprints held by > 8 docs are template/boilerplate
+    // and are excluded BEFORE the pair join, so each fingerprint bucket
+    // contributes ≤ C(8,2) pairs and the join is keyed and bounded —
+    // never quadratic in a duplicate cluster's size (the q148 lesson).
+    // Overlap ratio = shared / min(|fp₁|, |fp₂|): containment, so a
+    // short excerpt inside a long doc still scores high.
+    "q154_winnow_overlap" -> NamedQuery(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+          .filter(size(col("toks")) >= 6)
+        val shingles = docs.select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(1, size(toks)-2), i -> " +
+              "cast(conv(substring(md5(concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2))), 1, 15), 16, 10) as bigint))"))
+            .as(Seq("pos", "h")))
+        val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+        val fps = shingles
+          .withColumn("fp", min(col("h")).over(w))
+          .select("doc_id", "fp").distinct()
+        val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+        // stop-fingerprint cap: shared-by-many = boilerplate, excluded
+        val rare = fps.groupBy("fp").agg(count(lit(1)).as("ndocs"))
+          .filter(col("ndocs") >= 2 && col("ndocs") <= 8)
+        val scoped = fps.join(rare.select("fp"), Seq("fp"))
+        val pairs = scoped.select(col("fp"), col("doc_id").as("d1"))
+          .join(scoped.select(col("fp"), col("doc_id").as("d2")), Seq("fp"))
+          .filter(col("d1") < col("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 2)
+        pairs
+          .join(sizes.select(col("doc_id").as("d1"), col("nfp").as("n1")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("nfp").as("n2")), Seq("d2"))
+          .withColumn("containment",
+            round(col("shared").cast("double") / least(col("n1"), col("n2")), 6))
+          .select("d1", "d2", "shared", "n1", "n2", "containment")
+          .orderBy("d1", "d2")
+      },
+      oracle = Some("""
+        WITH docs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 6),
+        sh AS (
+          SELECT doc_id, i AS pos,
+                 CAST('0x' || substr(md5(a[i] || ' ' || a[i+1] || ' ' || a[i+2]), 1, 15) AS BIGINT) AS h
+          FROM docs CROSS JOIN LATERAL unnest(range(1, len(a) - 1)) AS t(i)),
+        fps AS (
+          SELECT DISTINCT doc_id,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
+        rare AS (
+          SELECT fp FROM (SELECT fp, COUNT(*) AS ndocs FROM fps GROUP BY fp)
+          WHERE ndocs >= 2 AND ndocs <= 8),
+        scoped AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+          FROM scoped a JOIN scoped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2)
+        SELECT p.d1, p.d2, p.shared, s1.nfp AS n1, s2.nfp AS n2,
+               round(CAST(p.shared AS DOUBLE) / least(s1.nfp, s2.nfp), 6) AS containment
+        FROM pairs p
+        JOIN sizes s1 ON s1.doc_id = p.d1
+        JOIN sizes s2 ON s2.doc_id = p.d2
+        ORDER BY p.d1, p.d2"""),
+      doc = "cross-doc winnowing overlap: MOSS-style shared-fingerprint pairs with a stop-fingerprint cap")
   )
 }

@@ -446,6 +446,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q154 winnow overlap joins keyed on fingerprint — no products, cap before the pair join") {
+    val p = plan("q154_winnow_overlap")
+    // the stop-fingerprint filter must sit BELOW the self-join (each
+    // bucket bounded to <= 8 docs before pairing); all joins keyed
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no hash join in:\n$p")
+  }
+
   test("q152 BM25 ranks through the native partial top-k, query terms broadcast") {
     val p = plan("q152_bm25_topk")
     assert(p.contains("partial_top_k_pairs"), s"ranking not the partial native agg in:\n$p")
