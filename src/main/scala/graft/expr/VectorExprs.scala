@@ -69,6 +69,8 @@ object GraftFunctions {
   private[expr] def topKBuilder(exprs: Seq[Expression]): Expression =
     TopKPairs(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), exprs(2))
       .toAggregateExpression()
+  private[expr] def kmvBuilder(exprs: Seq[Expression]): Expression =
+    KmvDistinct(Cast(exprs(0), LongType), exprs(1)).toAggregateExpression()
   // Spark's own runtime-filter expressions, exposed by name so
   // ops.BloomOps can plant the identical codegen'd probe explicitly.
   private[expr] def bloomAggBuilder(exprs: Seq[Expression]): Expression =
@@ -82,6 +84,8 @@ object GraftFunctions {
       "vec_dot", vecDotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_pairs", topKBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_distinct", kmvBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -108,6 +112,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("top_k_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
       (exprs: Seq[Expression]) => GraftFunctions.topKBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (exprs: Seq[Expression]) => GraftFunctions.kmvBuilder(exprs)))
     e.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(

@@ -1212,6 +1212,39 @@ object EventQueries extends QueryModule {
         WHERE t.is_test
         GROUP BY 1, 2
         ORDER BY event_type, bin"""),
-      doc = "leakage-free equi-depth binning: exact train-split quartile edges applied to test (ML prep)")
+      doc = "leakage-free equi-depth binning: exact train-split quartile edges applied to test (ML prep)"),
+
+    // --------------------------------------------------------------- q155
+    // KMV distinct-count sketch through the gate — the second native
+    // TypedImperativeAggregate (graft.expr.KmvDistinct, beside
+    // TopKPairs): per event_type, the (k−1)/v_k estimate over the k=256
+    // smallest md5-hash values of user_id next to the exact distinct
+    // count. Unlike HLL (q43, opaque buffer) the KMV buffer is a SET of
+    // minima — fully order- and partition-independent, exact below k —
+    // so the estimate itself is deterministic and the oracle can demand
+    // the exact side hash-match AND the estimate land inside the
+    // 4-sigma band (rse = 1/sqrt(k-2) ≈ 6.3%). Shuffle: ≤ 256 longs
+    // per (group, partition) partial — constant memory at any SF.
+    "q155_kmv_sketch" -> NamedQuery(
+      fn = (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        Tables.events(s, d)
+          .withColumn("h",
+            conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long"))
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).as("n_exact"),
+            expr("kmv_distinct(h, 256)").as("est"))
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("est") - col("n_exact")) <= col("n_exact") * lit(0.25))
+              .cast("int").as("kmv_ok"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, CAST(1 AS INT) AS kmv_ok
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      doc = "native KMV distinct sketch (TypedImperativeAggregate) with a 4-sigma oracle band vs exact")
   )
 }

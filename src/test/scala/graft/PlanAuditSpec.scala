@@ -461,4 +461,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"query-term pick not a bounded top-n in:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q155 KMV sketch runs as partial+final native aggregate (k-long buffers)") {
+    val p = plan("q155_kmv_sketch")
+    assert(p.contains("partial_kmv_distinct"), s"KMV not partial-aggregated in:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+  }
 }
