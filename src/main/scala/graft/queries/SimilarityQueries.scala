@@ -735,6 +735,81 @@ object SimilarityQueries extends QueryModule {
         LEFT JOIN ivfn n ON q.qid = n.qid
         LEFT JOIN hits h ON q.qid = h.qid
         ORDER BY q.qid"""),
-      doc = "ANN recall audit: IVF top-10 vs exact ground truth per sampled query, recall@10")
+      doc = "ANN recall audit: IVF top-10 vs exact ground truth per sampled query, recall@10"),
+
+    // --------------------------------------------------------------- q156
+    // Multi-probe IVF (nprobe=2) — the accuracy knob q145's recall
+    // audit exists to justify: each query probes its TWO nearest cells
+    // instead of one, recovering the neighbors that fall just across a
+    // cell boundary (the dominant IVF failure mode; the
+    // SimilarityRecallSpec harness measures the same knob on
+    // KMeans-trained cells). Same shapes as q40 — centroids broadcast,
+    // search joins keyed by cell — with the probe side carrying rn ≤ 2
+    // assignments, so the candidate set (and cost) is exactly 2× q40's,
+    // never all-pairs. Deterministic: rounded cosines, cent_id and
+    // vec_id tie-breaks.
+    "q156_ivf_multiprobe" -> NamedQuery(
+      fn = (s, d) => {
+        val v = vecs(s, d)
+        val cents = v.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+            col("nrm").as("cent_nrm"))
+        val scoredC = v.crossJoin(broadcast(cents))
+          .withColumn("cent_cos", round(
+            expr("vec_dot(embedding, cent_emb)") / (col("nrm") * col("cent_nrm")), 6))
+        // db side: each vector lives in its ONE nearest cell
+        val assigned = RelationalOps.topKPerGroup(
+          Seq("vec_id"), Seq(col("cent_cos").desc, col("cent_id").asc), 1)(scoredC)
+          .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
+        // query side: probe the TWO nearest cells
+        val probes = RelationalOps.topKPerGroup(
+          Seq("vec_id"), Seq(col("cent_cos").desc, col("cent_id").asc), 2)(scoredC)
+          .select(col("vec_id").as("v1"), col("cent_id").as("cell"),
+            col("embedding").as("emb1"), col("nrm").as("n1"))
+        val pairs = probes.join(assigned, Seq("cell"))
+          .filter(col("v1") =!= col("vec_id"))
+          .withColumn("cos", round(
+            expr("vec_dot(emb1, embedding)") / (col("n1") * col("nrm")), 6))
+        val nn = RelationalOps.topKPerGroup(
+          Seq("v1"), Seq(col("cos").desc, col("vec_id").asc), 1)(pairs)
+          .select(col("v1").as("vec_id"), col("vec_id").as("nn_id"), col("cos").as("nn_cos"))
+        v.select("vec_id")
+          .join(nn, Seq("vec_id"), "left")
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+          FROM v ORDER BY vec_id LIMIT 8),
+        scored AS (
+          SELECT v.vec_id, c.cent_id, v.emb, v.nrm,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   round(list_dot_product(v.emb, c.cent_emb) / (v.nrm * c.cent_nrm), 6) DESC,
+                   c.cent_id ASC) AS rn
+          FROM v CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, cent_id AS cell, emb, nrm FROM scored WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS v1, cent_id AS cell, emb AS emb1, nrm AS n1
+          FROM scored WHERE rn <= 2),
+        pairs AS (
+          SELECT q.v1, a.vec_id AS v2,
+                 round(list_dot_product(q.emb1, a.emb) / (q.n1 * a.nrm), 6) AS cos
+          FROM probes q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.v1),
+        nn AS (
+          SELECT v1 AS vec_id, v2 AS nn_id, cos AS nn_cos
+          FROM (SELECT v1, v2, cos,
+                       row_number() OVER (PARTITION BY v1 ORDER BY cos DESC, v2 ASC) AS rn
+                FROM pairs)
+          WHERE rn = 1)
+        SELECT v.vec_id, nn.nn_id, nn.nn_cos
+        FROM v LEFT JOIN nn ON v.vec_id = nn.vec_id
+        ORDER BY v.vec_id"""),
+      doc = "multi-probe IVF (nprobe=2): the boundary-recovery knob, candidate set exactly 2x q40's")
   )
 }
