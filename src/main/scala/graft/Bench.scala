@@ -95,13 +95,26 @@ object Bench {
       s"\"" + k + "\":" + q(m)
     }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // The driver captures only the LAST ~2000 chars of stdout and
+    // json-parses the line it finds there. A 150+-query map is ~4.5 KB,
+    // so printing the full map truncates its own opening brace out of
+    // the window and the driver records parsed:null (observed in
+    // BENCH_r04/r05). Print a line that FITS: the total plus the 40
+    // slowest queries at millisecond precision (~1.3 KB — room to spare
+    // even after sbt's "[success]" footer), and persist the complete
+    // per-query map to BENCH_FULL.json in the repo (committed, so every
+    // round's full data survives) plus /tmp/bench_full.json for the
+    // driver's historical pickup location.
+    def r3(v: Double): String = f"$v%.3f"
+    val slowest = ok.sortBy(-_._2).take(40)
+      .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"queries":$slowest,"errors":$errs,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     println(line)
-    // the driver captures a TAIL of stdout, which can truncate the
-    // per-query map on a 100+-query run — also write the full line to a
-    // file so round-over-round comparisons can cover every query
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench_full.json"), line + "\n")
-    catch { case _: java.io.IOException => () }
+    for (path <- Seq("/root/repo/BENCH_FULL.json", "/tmp/bench_full.json"))
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), fullLine + "\n")
+      catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }
