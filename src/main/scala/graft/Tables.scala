@@ -1,17 +1,23 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's parquet test tables (TESTDATA.md).
   *
   * All tables load as plain parquet scans so Catalyst keeps predicate
-  * pushdown and column pruning (SURVEY.md §4). `events.ts` is written as
-  * parquet TIMESTAMP(NANOS), which Spark only reads with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (set in [[Verify]] /
-  * [[Bench]] / test sessions); [[events]] then exposes it as `ts_ns`
-  * (epoch nanoseconds, LongType) so query math stays exact integer
-  * arithmetic — identical to DuckDB's `epoch_ns(ts)`.
+  * pushdown and column pruning (SURVEY.md §4). The physical type of
+  * `events.ts` has drifted across testdata refreshes — parquet
+  * TIMESTAMP(NANOS) (read as LongType under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`) through round 5,
+  * TIMESTAMP(μs) (read as TIMESTAMP_NTZ) from round 6 — so the loader
+  * dispatches on the observed type ([[normalizeEventTs]]) and always
+  * exposes the same logical columns: `ts_ns` / `ts_us` (epoch nanos /
+  * micros, LongType) so query math stays exact integer arithmetic —
+  * identical to DuckDB's `epoch_us(ts)`. An unrecognized type fails
+  * fast with a message naming the drift instead of erroring 40 queries
+  * deep.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -31,16 +37,74 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events` with `ts` (nanos long, via nanosAsLong) renamed to `ts_ns`,
-    * plus `ts_us` truncated to microseconds — DuckDB reads the same
-    * parquet as TIMESTAMP (μs, ns truncated), so oracle-checked queries
-    * must do their time math on `ts_us` (`epoch_us(ts)` on the DuckDB
-    * side).
+  /** `events` with the raw `ts` normalized to `ts_ns` plus `ts_us`
+    * (see [[normalizeEventTs]]) — DuckDB reads the same parquet as
+    * TIMESTAMP (μs), so oracle-checked queries must do their time math
+    * on `ts_us` (`epoch_us(ts)` on the DuckDB side).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = load(s, d, "events")
-    df.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
+
+  /** Schema-adaptive normalization of an events frame's `ts` column to
+    * exact integer epoch columns `ts_ns` (replacing `ts`, same position)
+    * and `ts_us` (appended). Accepts every physical type the driver
+    * testdata has shipped:
+    *
+    *   - `LongType` — epoch nanoseconds (parquet TIMESTAMP(NANOS) under
+    *     nanosAsLong); `ts_us = ts_ns div 1000`.
+    *   - `TIMESTAMP` / `TIMESTAMP_NTZ` — parquet TIMESTAMP(μs); the
+    *     session TZ is pinned UTC ([[sessionConfigs]]) so the NTZ→LTZ
+    *     cast is exact and `ts_ns = unix_micros(ts) * 1000` is lossless
+    *     (the data is μs-precision).
+    *
+    * Anything else fails fast, naming the drift — the loader is the one
+    * seam every events query rides, so drift must die here, not 40
+    * queries downstream.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    val withNs = df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+          .withColumnRenamed("ts", "ts_ns")
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts is $other — testdata refreshed to a new physical type? " +
+            "Expected LONG (epoch-nanos), TIMESTAMP or TIMESTAMP_NTZ; teach " +
+            "Tables.normalizeEventTs the new type.")
+    }
+    withNs.withColumn("ts_us", expr("ts_ns div 1000"))
+  }
+
+  /** The streaming-side twin of [[normalizeEventTs]]: normalize `ts` to
+    * a session-TZ `TimestampType` column (what watermarks and window()
+    * need), whatever physical type the source schema carries. Works on
+    * streaming frames — dispatch is on the static schema only.
+    */
+  def tsAsTimestamp(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType            => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampType       => df
+    case TimestampNTZType    => df.withColumn("ts", col("ts").cast(TimestampType))
+    case other: DataType =>
+      throw new IllegalStateException(
+        s"events.ts is $other — testdata refreshed to a new physical type? " +
+          "Expected LONG (epoch-nanos), TIMESTAMP or TIMESTAMP_NTZ; teach " +
+          "Tables.tsAsTimestamp the new type.")
+  }
+
+  /** A `ts` literal from epoch micros, of the same physical type as the
+    * raw column — for sentinel rows that must union cleanly with the
+    * staged events file whatever type the testdata currently ships.
+    */
+  def tsLiteral(epochUs: Long, dt: DataType): Column = dt match {
+    case LongType         => lit(epochUs * 1000L) // epoch nanos
+    case TimestampType    => timestamp_micros(lit(epochUs))
+    case TimestampNTZType => timestamp_micros(lit(epochUs)).cast(TimestampNTZType)
+    case other =>
+      throw new IllegalStateException(
+        s"events.ts is $other — testdata refreshed to a new physical type? " +
+          "Teach Tables.tsLiteral the new type.")
   }
 
   /** Required session settings for reading the driver testdata. */

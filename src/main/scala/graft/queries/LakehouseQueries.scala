@@ -34,7 +34,7 @@ object LakehouseQueries extends QueryModule {
     // arg_max over the whole log in one batch query.
     "q125_stream_merge_sink" -> NamedQuery(
       fn = (s, d) => {
-        val raw = Tables.load(s, d, "events") // ts as nanos long
+        val raw = Tables.load(s, d, "events") // ts untouched here — any physical type passes through
         val slices = TempPaths.dir(s, "q125_slices").getAbsolutePath
         raw.repartitionByRange(3, col("event_id"))
           .write.mode("overwrite").parquet(slices)

@@ -59,9 +59,9 @@ object PipelineQueries extends QueryModule {
         // landing dir is; at 100 TB this is the object-store prefix).
         // Session-scoped + overwrite: no per-invocation dir leak.
         val dir = TempPaths.stageFile(s, "q60_events", s"$d/events.parquet", "events.parquet").toPath
-        val schema = Tables.load(s, d, "events").schema // ts as nanos long
-        val stream = s.readStream.schema(schema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val schema = Tables.load(s, d, "events").schema // ts: whatever the testdata ships; normalized below
+        val stream = Tables.tsAsTimestamp(
+          s.readStream.schema(schema).parquet(dir.toString))
         val windowed = stream
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -316,15 +316,16 @@ object PipelineQueries extends QueryModule {
         implicit val sp = s
         import s.implicits._
         val dir = TempPaths.stageFile(s, "q74_events", s"$d/events.parquet", "events.parquet").toPath
-        val raw = Tables.load(s, d, "events") // ts as nanos long
-        val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-        val sentinelNs = maxNs + 2L * 3600 * 1000000000L
+        val raw = Tables.load(s, d, "events")
+        val maxUs = Tables.normalizeEventTs(raw).agg(max(col("ts_us"))).head().getLong(0)
+        val sentinelUs = maxUs + 2L * 3600 * 1000000L
         raw.select(col("user_id")).distinct()
-          .select(lit(-1L).as("event_id"), lit(sentinelNs).as("ts"), col("user_id"),
+          .select(lit(-1L).as("event_id"),
+            Tables.tsLiteral(sentinelUs, raw.schema("ts").dataType).as("ts"), col("user_id"),
             lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
           .write.mode("overwrite").parquet(s"$dir/sentinels.parquet")
-        val stream = s.readStream.schema(raw.schema).parquet(s"$dir/*.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = Tables.tsAsTimestamp(
+          s.readStream.schema(raw.schema).parquet(s"$dir/*.parquet"))
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
           .as[EventWindows.Event]
         // State-store partition count is captured from shuffle.partitions
@@ -341,7 +342,7 @@ object PipelineQueries extends QueryModule {
           finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         try q.processAllAvailable() finally q.stop()
         s.table("q74_stream_sessions")
-          .filter(col("session_start_us") < sentinelNs / 1000L)
+          .filter(col("session_start_us") < sentinelUs)
           .orderBy("user_id", "session_start_us")
       },
       oracle = Some(s"""
@@ -412,9 +413,9 @@ object PipelineQueries extends QueryModule {
       fn = (s, d) => {
         import graft.streaming.EventWindows
         val dir = TempPaths.stageFile(s, "q78_events", s"$d/events.parquet", "events.parquet").toPath
-        val schema = Tables.load(s, d, "events").schema // ts as nanos long
-        val stream = s.readStream.schema(schema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val schema = Tables.load(s, d, "events").schema // ts: whatever the testdata ships; normalized below
+        val stream = Tables.tsAsTimestamp(
+          s.readStream.schema(schema).parquet(dir.toString))
         val joined = EventWindows.clickToPurchase(stream)
         // join state is keyed by user_id: 8 store partitions (see q74)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -449,9 +450,9 @@ object PipelineQueries extends QueryModule {
     "q80_stream_sliding" -> NamedQuery(
       fn = (s, d) => {
         val dir = TempPaths.stageFile(s, "q80_events", s"$d/events.parquet", "events.parquet").toPath
-        val schema = Tables.load(s, d, "events").schema // ts as nanos long
-        val stream = s.readStream.schema(schema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val schema = Tables.load(s, d, "events").schema // ts: whatever the testdata ships; normalized below
+        val stream = Tables.tsAsTimestamp(
+          s.readStream.schema(schema).parquet(dir.toString))
         val windowed = stream
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("user_id"))
@@ -491,8 +492,8 @@ object PipelineQueries extends QueryModule {
         import graft.streaming.EventWindows
         val dir = TempPaths.stageFile(s, "q81_events", s"$d/events.parquet", "events.parquet").toPath
         val schema = Tables.load(s, d, "events").schema
-        val stream = s.readStream.schema(schema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = Tables.tsAsTimestamp(
+          s.readStream.schema(schema).parquet(dir.toString))
         val deduped = EventWindows
           .dedupStream(stream, keyCols = Seq("user_id", "event_type"))
           .select(col("fp"), unix_micros(col("ts")).as("ts_us"))
@@ -591,21 +592,23 @@ object PipelineQueries extends QueryModule {
             rm(f)
           }
         }
-        val raw = Tables.load(s, d, "events") // ts as nanos long
-        val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-        def sentinel(path: String, ns: Long): Unit =
+        val raw = Tables.load(s, d, "events")
+        val maxUs = Tables.normalizeEventTs(raw).agg(max(col("ts_us"))).head().getLong(0)
+        def sentinel(path: String, us: Long): Unit =
           s.range(1).select(explode(array(
-            struct(lit(-1L).as("event_id"), lit(ns).as("ts"),
+            struct(lit(-1L).as("event_id"),
+              Tables.tsLiteral(us, raw.schema("ts").dataType).as("ts"),
               lit(-1L).as("user_id"), lit("click").as("event_type"),
               lit(0.0).as("value"), lit("{}").as("props")),
-            struct(lit(-2L).as("event_id"), lit(ns).as("ts"),
+            struct(lit(-2L).as("event_id"),
+              Tables.tsLiteral(us, raw.schema("ts").dataType).as("ts"),
               lit(-2L).as("user_id"), lit("purchase").as("event_type"),
               lit(0.0).as("value"), lit("{}").as("props")))).as("e"))
             .select("e.*")
             .write.mode("overwrite").parquet(s"$dir/$path")
-        sentinel("sentinel1.parquet", maxNs + 3L * 3600 * 1000000000L)
-        val stream = s.readStream.schema(raw.schema).parquet(s"$dir/*.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        sentinel("sentinel1.parquet", maxUs + 3L * 3600 * 1000000L)
+        val stream = Tables.tsAsTimestamp(
+          s.readStream.schema(raw.schema).parquet(s"$dir/*.parquet"))
         val joined = EventWindows.clickToPurchaseOuter(stream)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -615,7 +618,7 @@ object PipelineQueries extends QueryModule {
           finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         try {
           q.processAllAvailable()
-          sentinel("sentinel2.parquet", maxNs + 4L * 3600 * 1000000000L)
+          sentinel("sentinel2.parquet", maxUs + 4L * 3600 * 1000000L)
           q.processAllAvailable()
         } finally q.stop()
         s.table("q123_stream_outer_join")
@@ -651,8 +654,8 @@ object PipelineQueries extends QueryModule {
       fn = (s, d) => {
         val dir = TempPaths.stageFile(s, "q153_events", s"$d/events.parquet", "events.parquet").toPath
         val schema = Tables.load(s, d, "events").schema
-        val stream = s.readStream.schema(schema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = Tables.tsAsTimestamp(
+          s.readStream.schema(schema).parquet(dir.toString))
         val deduped = stream
           .select(col("user_id"), col("event_type"), col("ts"))
           .withWatermark("ts", "10 minutes")

@@ -23,9 +23,9 @@ object StreamDemo {
     Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
 
-    val schema = spark.read.parquet(dir.toString).schema // ts reads as nanos long
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = graft.Tables.tsAsTimestamp(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val windowed = EventWindows.tumblingCounts(
       stream.select(col("ts"), col("event_type"), col("value")))
 

@@ -231,7 +231,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // exactly one partition-local (user, ts, id) sort feeds both Window
     // nodes; the only other Sort is the global presentation order
     assert("Sort \\[user_id#\\d+L ASC NULLS FIRST, ts_us".r.findAllIn(p).length === 1)
-    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"))
+    // column-pruned scan; ts's physical type is whatever the testdata
+    // ships (bigint through r5, timestamp_ntz from r6) — pin the pruning,
+    // not the drifting type
+    assert("ReadSchema: struct<event_id:bigint,ts:[a-z_0-9]+,user_id:bigint,event_type:string>".r
+      .findFirstIn(p).isDefined, s"events scan not pruned to 4 columns:\n$p")
   }
 
   test("q107 z-order layout is map-only bit math + one keyed agg exchange") {
@@ -239,7 +243,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
     assert(p.contains("partial_min") && p.contains("partial_max"))
     assert(p.contains("shiftright"))
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"))
+    assert("ReadSchema: struct<ts:[a-z_0-9]+,user_id:bigint>".r.findFirstIn(p).isDefined,
+      s"events scan not pruned to (ts, user_id):\n$p")
   }
 
   test("q108 plans AsOfJoinExec with the forward flag set") {

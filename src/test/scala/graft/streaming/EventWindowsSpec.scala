@@ -71,9 +71,9 @@ class EventWindowsSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val schema = spark.read.parquet(dir.toString).schema // ts arrives as nanos long
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = graft.Tables.tsAsTimestamp(
+      spark.readStream.schema(schema).parquet(dir.toString))
       .select("ts", "event_type", "value")
     val counted = stream
       .withWatermark("ts", "10 minutes")
