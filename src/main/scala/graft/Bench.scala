@@ -106,13 +106,31 @@ object Bench {
     // per-query map to BENCH_FULL.json in the repo (committed, so every
     // round's full data survives) plus /tmp/bench_full.json for the
     // driver's historical pickup location.
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale-pinned formatting: f"%.3f" uses the JVM default locale and a
+    // comma-decimal locale (de_DE) would emit "12,098" — unparseable JSON.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slowest = ok.sortBy(-_._2).take(40)
       .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"queries":$slowest,"errors":$errs,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+    // The compact line must fit the driver's ~2000-char tail window even
+    // on a bad round: a 42-error round at ~150 chars each is ~6 KB of
+    // errors alone (observed: BENCH_r06 parsed:null). Cap the embedded
+    // errors at 8 entries x 80 chars and carry the true count in
+    // n_errors; BENCH_FULL.json keeps every error untruncated.
+    val allErrs = results.collect { case (k, _, Some(m)) => (k, m) }
+    val errsCompact = allErrs.take(8)
+      .map { case (k, m) => s"\"" + k + "\":" + q(m.take(80)) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${allErrs.size},"queries":$slowest,"errors":$errsCompact,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     println(line)
-    for (path <- Seq("/root/repo/BENCH_FULL.json", "/tmp/bench_full.json"))
+    // The committed repo copy is each round's FULL-suite record; an
+    // args-restricted profiling run must not overwrite it with a subset
+    // (observed: a 6-query BENCH_FULL.json committed in round 6).
+    val fullPaths =
+      if (args.isEmpty) Seq("/root/repo/BENCH_FULL.json", "/tmp/bench_full.json")
+      else Seq("/tmp/bench_full.json")
+    for (path <- fullPaths)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), fullLine + "\n")
       catch { case _: java.io.IOException => () }
     spark.stop()

@@ -223,18 +223,34 @@ object CoverageGapQueries extends QueryModule {
       doc = "HLL + quantile sketches with DuckDB-checked error bounds (north-star, constant-memory profiling)"),
 
     // ---------------------------------------------------------------- q26
-    // F3 (Tutorial.R:36-40): seeded random sample — deterministic for a
-    // fixed Spark seed+partitioning but NOT reproducible in DuckDB, so
-    // no oracle (driver records rows-only — SURVEY.md §5.1).
+    // F3 (Tutorial.R:36-40): seeded sample_n. The seed is a hash salt,
+    // not a Spark RNG seed: rand(seed) draws per-partition streams, so
+    // its "determinism" silently changes with partitioning — md5-ranking
+    // the KEY is reproducible on any engine at any partition count (the
+    // property a 100 TB replayable pipeline actually needs), and lets
+    // DuckDB hash-check what was rows-only through round 6. The global
+    // top-10 plans as TakeOrderedAndProject: per-partition heaps, no
+    // full sort.
     "q26_seeded_sample" -> NamedQuery(
       fn = (s, d) => {
+        val h = md5(concat_ws("#", lit("graft-f3-123"), col("o_orderkey").cast("string")))
         Tables.orders(s, d)
-          .orderBy(rand(123), col("o_orderkey"))
+          .withColumn("h", h)
+          .orderBy(col("h"), col("o_orderkey"))
           .limit(10)
           .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
       },
-      oracle = None,
-      doc = "F3 seeded sample_n (Tutorial.R:36-40); oracle-excluded"),
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 md5('graft-f3-123' || '#' || CAST(o_orderkey AS VARCHAR)) AS h
+          FROM orders
+          ORDER BY h, o_orderkey
+          LIMIT 10)
+        ORDER BY o_orderkey"""),
+      doc = "F3 seeded sample_n (Tutorial.R:36-40), md5-ranked — deterministic and oracle-matched"),
 
     // ---------------------------------------------------------------- q46
     // K1-K3 through the driver gate: seeded RF on an order-priority
@@ -287,16 +303,34 @@ object CoverageGapQueries extends QueryModule {
       doc = "corr/covar/stddev statistical profiling (§2.D extension)"),
 
     // ---------------------------------------------------------------- q27
-    // F4 (all coverages.R:192-199): seeded 75/25 split — statistical, not
-    // row-identical across engines; no oracle.
+    // F4 (all coverages.R:192-199): seeded 75/25 split. Same principle
+    // as q26: randomSplit's assignment depends on partitioning, while an
+    // md5-bucket threshold (first hex byte < 192 = 0.75 * 256) assigns
+    // every row identically on any engine — row-identical splits, so the
+    // counts hash-check in DuckDB (was rows-only through round 6). Also
+    // fully distributed: the old form collected two counts on the driver.
     "q27_random_split" -> NamedQuery(
       fn = (s, d) => {
-        import s.implicits._
-        val Array(train, test) = Tables.orders(s, d).randomSplit(Array(0.75, 0.25), seed = 123L)
-        Seq(("train", train.count()), ("test", test.count()))
-          .toDF("split", "n_rows").orderBy("split")
+        val h = md5(concat_ws("#", lit("graft-f4-123"), col("o_orderkey").cast("string")))
+        val bucket = conv(substring(h, 1, 2), 16, 10).cast("long") // 0..255
+        Tables.orders(s, d)
+          .withColumn("split", when(bucket < 192, "train").otherwise("test"))
+          .groupBy("split").agg(count(lit(1)).as("n_rows"))
+          .orderBy("split")
       },
-      oracle = None,
-      doc = "F4 seeded randomSplit (all coverages.R:192-199); oracle-excluded")
+      oracle = Some("""
+        WITH h AS (
+          SELECT md5('graft-f4-123' || '#' || CAST(o_orderkey AS VARCHAR)) AS h
+          FROM orders),
+        b AS (
+          SELECT (ascii(substr(h, 1, 1)) - CASE WHEN ascii(substr(h, 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16
+               + (ascii(substr(h, 2, 1)) - CASE WHEN ascii(substr(h, 2, 1)) >= 97 THEN 87 ELSE 48 END) AS bucket
+          FROM h)
+        SELECT CASE WHEN bucket < 192 THEN 'train' ELSE 'test' END AS split,
+               COUNT(*) AS n_rows
+        FROM b
+        GROUP BY 1
+        ORDER BY 1"""),
+      doc = "F4 seeded 75/25 split (all coverages.R:192-199), md5-bucketed — deterministic and oracle-matched")
   )
 }
