@@ -24,8 +24,41 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Columns the engine's queries depend on, per table — the load-time
+    * drift guard. A refresh that RENAMES or DROPS one of these would
+    * otherwise surface as dozens of UNRESOLVED_COLUMN failures deep in
+    * query code (the round-6 lesson, generalized from events.ts); extra
+    * or reordered columns pass untouched (additive drift is fine —
+    * queries select by name).
+    */
+  private val requiredColumns: Map[String, Seq[String]] = Map(
+    "region"     -> Seq("r_regionkey", "r_name"),
+    "nation"     -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer"   -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier"   -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"       -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders"     -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                        "o_orderdate", "o_orderpriority"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+                        "l_linestatus", "l_shipdate"),
+    "events"     -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    requiredColumns.get(name).foreach { req =>
+      val have = df.columns.toSet
+      val missing = req.filterNot(have)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"$name.parquet is missing expected column(s) ${missing.mkString(", ")} " +
+          s"(has: ${df.columns.mkString(", ")}) — testdata refreshed with a " +
+          "renamed/dropped column? Update Tables.requiredColumns and the " +
+          "queries that read it.")
+    }
+    df
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")

@@ -91,6 +91,16 @@ class TablesSchemaDriftSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("testdata refreshed"))
   }
 
+  test("load fails fast, naming the drift, when a required column is missing") {
+    import spark.implicits._
+    val dir = java.nio.file.Paths.get("target", "drift-guard-test")
+    // an "orders" file with o_orderkey renamed away
+    Seq((1L, "O", 10.0)).toDF("o_key_renamed", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(dir.resolve("orders.parquet").toString)
+    val e = intercept[IllegalStateException](Tables.load(spark, dir.toString, "orders"))
+    assert(e.getMessage.contains("o_orderkey") && e.getMessage.contains("testdata refreshed"))
+  }
+
   test("the live testdata loads through the adaptive path (whatever type it ships today)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     assert(ev.columns.contains("ts_ns") && ev.columns.contains("ts_us"))
