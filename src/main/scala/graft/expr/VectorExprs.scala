@@ -132,5 +132,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
     // physical planning for AsOfJoinPlan (graft.plans.AsOfJoinOps)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // post-EnsureRequirements shield insertion that lets AsOfJoinExec's
+    // whole-stage codegen engage without costing its children their own
+    // codegen stages (see AsOfInputExec's scaladoc)
+    e.injectQueryStagePrepRule(_ => graft.plans.AsOfShieldRule)
   }
 }
