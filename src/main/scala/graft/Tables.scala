@@ -74,6 +74,17 @@ object Tables {
     * (see [[normalizeEventTs]]) — DuckDB reads the same parquet as
     * TIMESTAMP (μs), so oracle-checked queries must do their time math
     * on `ts_us` (`epoch_us(ts)` on the DuckDB side).
+    *
+    * Pushdown caveat for library users: when the file ships `ts` as a
+    * TIMESTAMP, `ts_ns`/`ts_us` are DERIVED columns
+    * (`unix_micros(ts)`), so a range predicate on them evaluates above
+    * the scan — parquet row-group pruning does not see it. For a
+    * selective time-range scan at scale, filter the raw column instead
+    * (`load(s, d, "events").filter(col("ts") >=
+    * timestamp_micros(lit(lowUs)))` — pushable) and normalize after;
+    * the engine's own gate queries use the time columns only in join
+    * predicates and window frames, where no scan pushdown exists to
+    * lose.
     */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(load(s, d, "events"))

@@ -503,6 +503,48 @@ object AsOfJoinOps {
       AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lt, rt, strict, toleranceUs, forward))
   }
 
+  /** Skew-resilient as-of join — the hot-key composition of
+    * [[asofJoin]]. The merge exec clusters each side on the keys, so
+    * one hot probe key (a bot user, a default tenant) serializes its
+    * entire probe volume through ONE task; AQE's skew-join splitting
+    * only rewrites Spark's own join execs and never sees this one.
+    * Standard medicine, applied to the as-of shape: salt the PROBE side
+    * into `saltBuckets` sub-keys (deterministic hash of the probe time,
+    * so one key's rows spread across buckets) and REPLICATE the quote
+    * side into every bucket, then run the ordinary merge on
+    * `keys :+ salt` — each probe still sees every quote of its key, so
+    * the result is row-identical to the unsalted operator
+    * (AsOfPropertySpec pins it). Cost: |right| × saltBuckets rows
+    * shuffled, the right trade when the probe side is the 100 TB skewed
+    * stream and the quote side is a per-key reference table. Same
+    * regime as ops/SkewOps' salted aggregation (q90).
+    */
+  def asofJoinSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTimeCol: String, rightTimeCol: String,
+                     strict: Boolean = false, toleranceUs: Option[Long] = None,
+                     forward: Boolean = false, saltBuckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, hash, lit, pmod}
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    require(keys.nonEmpty, "salting a keyless as-of is meaningless — it has one group")
+    val salt = "__asof_salt"
+    require(!left.columns.contains(salt) && !right.columns.contains(salt),
+      s"column name $salt is reserved by asofJoinSalted")
+    val saltedLeft = left.withColumn(salt, pmod(hash(col(leftTimeCol)), lit(saltBuckets)))
+    val saltedRight = right.withColumn(salt,
+      explode(lit((0 until saltBuckets).toArray)))
+    val joined = asofJoin(saltedLeft, saltedRight, keys :+ salt,
+      leftTimeCol, rightTimeCol, strict, toleranceUs, forward)
+    // drop both salt columns positionally (they share a name): output is
+    // left-cols ++ salt ++ right-cols ++ salt
+    val lSaltIdx = left.columns.length
+    val rSaltIdx = joined.columns.length - 1
+    val tmp = joined.toDF(joined.columns.indices.map(i => s"__c$i"): _*)
+    tmp.select(joined.columns.indices
+        .filterNot(i => i == lSaltIdx || i == rSaltIdx)
+        .map(i => col(s"__c$i")): _*)
+      .toDF(left.columns ++ right.columns: _*)
+  }
+
   /** Broadcast as-of join — the dim-sized-right composition of
     * [[asofJoin]]. Per-key quote rows collapse into ONE time-sorted
     * struct array (time is the struct's FIRST field, so `sort_array`

@@ -459,6 +459,50 @@ object EventQueries extends QueryModule {
         ORDER BY p.event_id"""),
       doc = "backward as-of join via custom AsOfJoinExec vs DuckDB native ASOF (§7.3(c))"),
 
+    // --------------------------------------------------------------- q157
+    // q95's skew-resilient form: the SAME as-of semantics through
+    // AsOfJoinOps.asofJoinSalted — probe side salted into 8 sub-keys on
+    // a hash of the probe time, quote side replicated per bucket, merge
+    // on (user, salt). One hot user's probe volume spreads across 8
+    // tasks instead of serializing on one (AQE's skew splitting never
+    // rewrites custom execs, so the operator carries its own medicine —
+    // same regime as q90's salted aggregation). Oracle: DuckDB's native
+    // ASOF again — salting must be row-invisible.
+    "q157_asof_salted" -> NamedQuery(
+      fn = (s, d) => {
+        val e = Tables.events(s, d)
+        val probes = e.filter(col("event_type") =!= "signup")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val quotes = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id").as("q_user"), col("ts_us").as("q_ts"))
+          .agg(max(col("value")).as("signup_value"))
+          .withColumnRenamed("q_user", "user_id")
+        val joined = graft.plans.AsOfJoinOps.asofJoinSalted(
+          probes, quotes, Seq("user_id"), "ts_us", "q_ts", saltBuckets = 8)
+        require(joined.columns.toSeq ==
+          Seq("event_id", "user_id", "ts_us", "user_id", "q_ts", "signup_value"),
+          s"unexpected salted as-of output order: " + joined.columns.mkString(","))
+        joined
+          .toDF("event_id", "user_id", "ts_us", "q_user", "q_ts", "signup_value")
+          .select(col("event_id"), col("user_id"), col("signup_value"),
+            (col("ts_us") - col("q_ts")).as("us_since_signup"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        probes AS (
+          SELECT event_id, user_id, ts_us FROM e WHERE event_type <> 'signup'),
+        quotes AS (
+          SELECT user_id, ts_us AS q_ts, MAX(value) AS signup_value
+          FROM e WHERE event_type = 'signup' GROUP BY 1, 2)
+        SELECT p.event_id, p.user_id, q.signup_value,
+               p.ts_us - q.q_ts AS us_since_signup
+        FROM probes p ASOF LEFT JOIN quotes q
+          ON p.user_id = q.user_id AND p.ts_us >= q.q_ts
+        ORDER BY p.event_id"""),
+      doc = "skew-salted as-of join (probe salt + quote replication) vs DuckDB native ASOF"),
+
     // ---------------------------------------------------------------- q96
     // Ordered funnel (view → click → purchase): each stage's timestamp
     // is the user's first qualifying event AT OR AFTER the previous

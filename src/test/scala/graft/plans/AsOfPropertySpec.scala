@@ -82,6 +82,26 @@ class AsOfPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("salted as-of is row-identical to the unsalted operator") {
+    val variants = Seq((false, None, false), (true, Some(7L), false), (false, None, true))
+    check(Prop.forAll(probeGen, quoteGen) { (ps, qs) =>
+      (ps.nonEmpty && qs.nonEmpty) ==> {
+        val pdf = ps.zipWithIndex.map { case ((k, t), i) => (i, k, t) }
+          .toDF("pid", "kk", "pt")
+        val qdf = qs.toDF("kk", "qt", "qv")
+        variants.forall { case (strict, tol, fwd) =>
+          def norm(df: org.apache.spark.sql.DataFrame): Set[(Int, Option[Long])] =
+            df.select(col("pid"), col("qt")).collect()
+              .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+          val plain = norm(AsOfJoinOps.asofJoin(pdf, qdf, Seq("kk"), "pt", "qt", strict, tol, fwd))
+          val salted = norm(AsOfJoinOps.asofJoinSalted(pdf, qdf, Seq("kk"), "pt", "qt",
+            strict, tol, fwd, saltBuckets = 3))
+          plain == salted
+        }
+      }
+    })
+  }
+
   test("merge exec and broadcast composition agree when (key, time) is unique on the right") {
     val uniqueQuoteGen = quoteGen.map(_.distinctBy(q => (q._1, q._2)))
     val variants = for {
