@@ -84,7 +84,12 @@ class EventWindowsSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val total = spark.table("file_stream_out").agg(sum(col("n"))).head().getLong(0)
-    assert(total === 1000L) // every event landed in exactly one window
+    // every event landed in exactly one window — pinned to the staged
+    // file's own count, not a literal (testdata row counts can drift
+    // across driver refreshes; the invariant is conservation, not 1000)
+    val expected = spark.read.parquet(dir.toString).count()
+    assert(total === expected)
+    assert(total > 0L)
   }
 
   test("stream-static join enriches events with a broadcast dim (C1, streaming form)") {
