@@ -247,6 +247,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"events scan not pruned to (ts, user_id):\n$p")
   }
 
+  test("q157 salted as-of shuffles on (user, salt): the hot-key spread is in the plan") {
+    val p = plan("q157_asof_salted")
+    assert(p.contains("AsOfJoin"))
+    // both sides hash-partition on the two-part key — user alone would
+    // mean the salt never spread anything
+    assert("hashpartitioning\\(user_id#\\d+L, __asof_salt#\\d+".r.findAllIn(p).length === 2,
+      s"salt not part of both exchange keys:\n$p")
+  }
+
   test("q108 plans AsOfJoinExec with the forward flag set") {
     val p = plan("q108_asof_forward")
     assert(p.contains("AsOfJoin"))
