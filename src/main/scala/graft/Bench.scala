@@ -82,13 +82,16 @@ object Bench {
     val ok = results.filter(_._3.isEmpty)
     val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20),
-    // same as Verify — an exotic control char in an exception message must
-    // not produce an invalid BENCH json line.
+    // JSON string escape: backslash, quote, ALL control chars (<0x20),
+    // AND everything non-ASCII — an exotic control char or a surrogate
+    // half (e.g. after take(80) splits a pair mid-emoji) in an exception
+    // message must not produce an invalid BENCH json line. Escaping
+    // non-ASCII makes the output pure ASCII, so no byte-level truncation
+    // downstream can ever cut a multi-byte sequence.
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     val errs = results.collect { case (k, _, Some(m)) =>
@@ -120,7 +123,15 @@ object Bench {
     // n_errors; BENCH_FULL.json keeps every error untruncated.
     val allErrs = results.collect { case (k, _, Some(m)) => (k, m) }
     val errsCompact = allErrs.take(8)
-      .map { case (k, m) => s"\"" + k + "\":" + q(m.take(80)) }
+      .map { case (k, m) =>
+        // take(80) operates on UTF-16 units and can leave a dangling high
+        // surrogate; drop it so even an escaped lone \uD8xx never reaches
+        // a strict parser.
+        val t = m.take(80)
+        val trimmed =
+          if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
+        s"\"" + k + "\":" + q(trimmed)
+      }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${allErrs.size},"queries":$slowest,"errors":$errsCompact,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     println(line)

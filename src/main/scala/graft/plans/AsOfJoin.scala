@@ -273,12 +273,19 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       if (forward) ""
       else s"$lastMatch = $rHead; $lastMatchKey = $rHeadKey; $lastMatchTime = $rHeadTime;"
     val matchSel =
+      // Tolerance distance via compareUnsigned: the match invariant puts
+      // the candidate's time on the correct side of the probe time
+      // (rHeadTime >= ltime forward / lastMatchTime <= ltime backward),
+      // so the true distance is non-negative and < 2^64 — the raw Long
+      // subtraction wraps to exactly that distance as an UNSIGNED value
+      // even when the signed subtraction overflows (Long.MIN/MAX
+      // sentinel times). Same arithmetic in the interpreted path.
       if (forward)
         s"""if ($rHead != null && $rt.keyOrd().compare($rHeadKey, $lkey) == 0 &&
-           |    ($noTolJ || $rHeadTime - $ltime <= $tolL)) { $matched = $rHead; }""".stripMargin
+           |    ($noTolJ || Long.compareUnsigned($rHeadTime - $ltime, $tolL) <= 0)) { $matched = $rHead; }""".stripMargin
       else
         s"""if ($lastMatch != null && $rt.keyOrd().compare($lastMatchKey, $lkey) == 0 &&
-           |    ($noTolJ || $ltime - $lastMatchTime <= $tolL)) { $matched = $lastMatch; }""".stripMargin
+           |    ($noTolJ || Long.compareUnsigned($ltime - $lastMatchTime, $tolL) <= 0)) { $matched = $lastMatch; }""".stripMargin
 
     s"""
        |if (!$rInit) { $rInit = true; $advanceRight(); }
@@ -425,14 +432,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             if (fwd) {
               // forward match is rHead itself (smallest time >=(>) ltime
               // for this key) — NOT consumed: it may match later probes
+              // compareUnsigned: rHeadTime >= ltime here, so the raw
+              // subtraction is the exact distance as an unsigned value
+              // even when signed arithmetic overflows (sentinel times)
               if (rHead != null && keyOrd.compare(rHeadKey, lKey) == 0 &&
-                  (!hasTol || rHeadTime - ltime <= tol)) {
+                  (!hasTol || java.lang.Long.compareUnsigned(rHeadTime - ltime, tol) <= 0)) {
                 rHead
               } else {
                 nullRight
               }
             } else if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
-                (!hasTol || ltime - lastMatchTime <= tol)) {
+                (!hasTol || java.lang.Long.compareUnsigned(ltime - lastMatchTime, tol) <= 0)) {
               // lastMatch's time <=(<) some earlier probe time <= ltime for
               // the same key (probe times ascend within a key), so only the
               // key — and, when bounded, the tolerance against THIS probe's
@@ -518,18 +528,31 @@ object AsOfJoinOps {
     * shuffled, the right trade when the probe side is the 100 TB skewed
     * stream and the quote side is a per-key reference table. Same
     * regime as ops/SkewOps' salted aggregation (q90).
+    *
+    * The salt hashes `saltOn` (default: the probe time column — no
+    * schema knowledge needed, and correctness never depends on the
+    * choice since the quote side is replicated to every bucket).
+    * DEGENERACY: when a hot key's probe rows share IDENTICAL values in
+    * the salted columns (batch-stamped events, coarse clocks), they all
+    * hash to ONE bucket and the spread is a no-op exactly when it's
+    * needed — pass a per-row-unique column (an event id, an offset) in
+    * `saltOn` to guarantee the spread: `saltOn = Seq(timeCol, idCol)`.
     */
   def asofJoinSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTimeCol: String, rightTimeCol: String,
                      strict: Boolean = false, toleranceUs: Option[Long] = None,
-                     forward: Boolean = false, saltBuckets: Int = 8): DataFrame = {
+                     forward: Boolean = false, saltBuckets: Int = 8,
+                     saltOn: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode, hash, lit, pmod}
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
     require(keys.nonEmpty, "salting a keyless as-of is meaningless — it has one group")
     val salt = "__asof_salt"
     require(!left.columns.contains(salt) && !right.columns.contains(salt),
       s"column name $salt is reserved by asofJoinSalted")
-    val saltedLeft = left.withColumn(salt, pmod(hash(col(leftTimeCol)), lit(saltBuckets)))
+    val saltSrc = if (saltOn.nonEmpty) saltOn else Seq(leftTimeCol)
+    saltSrc.foreach(c => require(left.columns.contains(c),
+      s"saltOn column $c is not a probe-side column"))
+    val saltedLeft = left.withColumn(salt, pmod(hash(saltSrc.map(col): _*), lit(saltBuckets)))
     val saltedRight = right.withColumn(salt,
       explode(lit((0 until saltBuckets).toArray)))
     val joined = asofJoin(saltedLeft, saltedRight, keys :+ salt,

@@ -20,7 +20,7 @@ class AsOfPropertySpec extends AnyFunSuite {
   import spark.implicits._
 
   private def check(p: Prop): Unit = {
-    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(5), p)
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), p)
     assert(res.passed, res.status.toString)
   }
 
@@ -96,7 +96,11 @@ class AsOfPropertySpec extends AnyFunSuite {
           val plain = norm(AsOfJoinOps.asofJoin(pdf, qdf, Seq("kk"), "pt", "qt", strict, tol, fwd))
           val salted = norm(AsOfJoinOps.asofJoinSalted(pdf, qdf, Seq("kk"), "pt", "qt",
             strict, tol, fwd, saltBuckets = 3))
-          plain == salted
+          // saltOn with a per-row-unique column (the tied-timestamp
+          // degeneracy escape hatch) must also be row-identical
+          val saltedById = norm(AsOfJoinOps.asofJoinSalted(pdf, qdf, Seq("kk"), "pt", "qt",
+            strict, tol, fwd, saltBuckets = 3, saltOn = Seq("pt", "pid")))
+          plain == salted && plain == saltedById
         }
       }
     })
