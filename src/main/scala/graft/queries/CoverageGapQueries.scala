@@ -331,6 +331,63 @@ object CoverageGapQueries extends QueryModule {
         FROM b
         GROUP BY 1
         ORDER BY 1"""),
-      doc = "F4 seeded 75/25 split (all coverages.R:192-199), md5-bucketed — deterministic and oracle-matched")
+      doc = "F4 seeded 75/25 split (all coverages.R:192-199), md5-bucketed — deterministic and oracle-matched"),
+
+    // ---------------------------------------------------------------- q158
+    // The deterministic feature matrix FEEDING the K1 model fit, as an
+    // oracle-checked query (all coverages.R:288-294 is pure relational;
+    // only the fit itself is model-dependent). Same pipeline shape as
+    // the coverage task: wide pivot (measures × pinned categories,
+    // min_by-pinned collisions, zero-filled — RelationalOps.pivotWide,
+    // the op q77 gates in isolation) → count feature → data-derived
+    // label (n_purchases vs the global per-user mean, scale-free at any
+    // SF). Output is EXACTLY the labeled frame CoverageModel.fit
+    // consumes (label col `coverage`, every other column numeric);
+    // assemble (VectorAssembler) lives INSIDE the fitted pipeline — the
+    // relational boundary ends here, which is why this gates and q46
+    // (the fit) stays rows-only. 150 user rows: label join broadcasts,
+    // the pivot is one hash-agg pass over events.
+    "q158_feature_matrix" -> NamedQuery(
+      fn = (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        val wide = graft.ops.RelationalOps.pivotWide(
+          keys = Seq("user_id"), nameCol = "event_type", names = types,
+          measures = Seq("value"), orderCol = "event_id")(ev)
+        val label = ev.groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+          .withColumn("coverage",
+            when(col("n_purchases").cast("double") >=
+              avg(col("n_purchases")).over(Window.partitionBy()), "heavy")
+              .otherwise("light"))
+        wide.join(broadcast(label), Seq("user_id"))
+          .select((Seq("user_id", "coverage", "n_purchases") ++
+            types.map(t => s"value_$t")).map(col): _*)
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+        wide AS (
+          SELECT user_id,
+                 COALESCE(arg_min(value, event_id) FILTER (WHERE event_type = 'click'), 0) AS value_click,
+                 COALESCE(arg_min(value, event_id) FILTER (WHERE event_type = 'error'), 0) AS value_error,
+                 COALESCE(arg_min(value, event_id) FILTER (WHERE event_type = 'purchase'), 0) AS value_purchase,
+                 COALESCE(arg_min(value, event_id) FILTER (WHERE event_type = 'signup'), 0) AS value_signup,
+                 COALESCE(arg_min(value, event_id) FILTER (WHERE event_type = 'view'), 0) AS value_view
+          FROM ev GROUP BY user_id),
+        lab AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+          FROM ev GROUP BY user_id),
+        lab2 AS (
+          SELECT user_id, n_purchases,
+                 CASE WHEN CAST(n_purchases AS DOUBLE) >= AVG(n_purchases) OVER () THEN 'heavy'
+                      ELSE 'light' END AS coverage
+          FROM lab)
+        SELECT w.user_id, l.coverage, l.n_purchases,
+               w.value_click, w.value_error, w.value_purchase, w.value_signup, w.value_view
+        FROM wide w JOIN lab2 l USING (user_id)
+        ORDER BY w.user_id"""),
+      doc = "K1 input boundary: pivot->fill->label feature matrix feeding CoverageModel.fit, oracle-gated (all coverages.R:288-294)")
   )
 }

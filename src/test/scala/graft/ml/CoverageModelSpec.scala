@@ -78,6 +78,21 @@ class CoverageModelSpec extends AnyFunSuite {
     assert(first === snapshot, s"confusion matrix drifted; got:\n${first.mkString("\n")}")
   }
 
+  test("q158 feature matrix feeds CoverageModel.fit directly (K1 input boundary)") {
+    // q158 is the oracle-gated relational half of the ML path; this
+    // pins the contract seam: its output frame (label col `coverage`,
+    // everything else numeric) must be consumable by fit() unchanged,
+    // with every numeric column picked up as a feature.
+    val matrix = graft.SparkEntry.queries("q158_feature_matrix")(spark, "/root/testdata/sf0.001")
+      .drop("user_id") // id is a key, not a feature
+    val fitted = CoverageModel.fit(matrix, numTrees = 5)
+    assert(fitted.featureCols.toSet ===
+      Set("n_purchases", "value_click", "value_error", "value_purchase",
+        "value_signup", "value_view"))
+    val scored = fitted.predict(matrix)
+    assert(scored.count() === matrix.count())
+  }
+
   test("confusion matrix rows sum to class counts (K3)") {
     val fitted = CoverageModel.fit(labeled, numTrees = 10)
     val scored = fitted.predict(labeled)
