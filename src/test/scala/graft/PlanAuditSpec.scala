@@ -481,4 +481,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_kmv_distinct"), s"KMV not partial-aggregated in:\n$p")
     assert(!p.contains("Join"), s"unexpected join in:\n$p")
   }
+
+  test("q159 Mahalanobis pruning filters BELOW the per-cell aggregate (fan-out cut in-plan)") {
+    val p = plan("q159_field_control_pruned")
+    // the 12σ predicate (maha_sq < 144.0) must exist as a Filter...
+    val fi = p.indexOf("< 144.0")
+    assert(fi >= 0, s"pruning predicate not in plan:\n$p")
+    // ...and sit BENEATH the per-cell sum: plan text is top-down, so the
+    // aggregate must appear before (above) the filter — the shuffle and
+    // the exp then see only surviving rows (SURVEY §4's 10-50× cut)
+    val ai = p.indexOf("HashAggregate")
+    assert(ai >= 0 && fi > ai, s"maha filter not below the aggregate:\n$p")
+    // the grid fan-out itself is a broadcast nested-loop (no shuffle of
+    // the 100 TB probe side to build the grid product)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"grid fan-out not broadcast:\n$p")
+  }
 }
