@@ -79,15 +79,28 @@ object Tables {
     * TIMESTAMP, `ts_ns`/`ts_us` are DERIVED columns
     * (`unix_micros(ts)`), so a range predicate on them evaluates above
     * the scan — parquet row-group pruning does not see it. For a
-    * selective time-range scan at scale, filter the raw column instead
-    * (`load(s, d, "events").filter(col("ts") >=
-    * timestamp_micros(lit(lowUs)))` — pushable) and normalize after;
-    * the engine's own gate queries use the time columns only in join
-    * predicates and window frames, where no scan pushdown exists to
-    * lose.
+    * selective time-range scan at scale use [[eventsInRange]], which
+    * filters the RAW column (pushable) and normalizes after.
     */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(load(s, d, "events"))
+
+  /** `events` restricted to `[lowUs, highUs)` (epoch micros) with the
+    * range predicate applied to the RAW `ts` column BEFORE
+    * normalization, whatever physical type the file ships —
+    * [[tsLiteral]] builds literals of the matching type, so the
+    * comparison reaches the parquet scan as a pushed filter and
+    * row-group statistics prune non-overlapping groups without
+    * decoding them. At 100 TB this is the difference between scanning
+    * a day and scanning a year; plan-pinned in PlanAuditSpec (q160).
+    * Output schema identical to [[events]] (`ts_ns`/`ts_us`).
+    */
+  def eventsInRange(s: SparkSession, d: String, lowUs: Long, highUs: Long): DataFrame = {
+    val raw = load(s, d, "events")
+    val dt = raw.schema("ts").dataType
+    normalizeEventTs(raw.filter(
+      col("ts") >= tsLiteral(lowUs, dt) && col("ts") < tsLiteral(highUs, dt)))
+  }
 
   /** Schema-adaptive normalization of an events frame's `ts` column to
     * exact integer epoch columns `ts_ns` (replacing `ts`, same position)

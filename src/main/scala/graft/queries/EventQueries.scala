@@ -1289,6 +1289,36 @@ object EventQueries extends QueryModule {
         FROM events
         GROUP BY event_type
         ORDER BY event_type"""),
-      doc = "native KMV distinct sketch (TypedImperativeAggregate) with a 4-sigma oracle band vs exact")
+      doc = "native KMV distinct sketch (TypedImperativeAggregate) with a 4-sigma oracle band vs exact"),
+
+    // ---------------------------------------------------------------- q160
+    // The pushdown-friendly time-range scan (closes the documented
+    // caveat at Tables.events): the one-week predicate rides the RAW
+    // `ts` column via Tables.eventsInRange, so it reaches the parquet
+    // scan as PushedFilters and row-group stats prune non-overlapping
+    // groups — not the derived ts_us, which would filter above the
+    // scan. Range bounds are fixed epoch-µs literals (2024-01-08 →
+    // 2024-01-15, inside every SF's 30-day span); daily rollup after.
+    // Plan-pinned in PlanAuditSpec: PushedFilters carries the ts range.
+    "q160_time_range_scan" -> NamedQuery(
+      fn = (s, d) => {
+        Tables.eventsInRange(s, d, 1704672000000000L, 1705276800000000L)
+          .withColumn("day", expr("ts_us div 86400000000"))
+          .groupBy("day", "event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy("day", "event_type")
+      },
+      oracle = Some("""
+        SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+               COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE epoch_us(ts) >= 1704672000000000 AND epoch_us(ts) < 1705276800000000
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      doc = "time-range scan with the predicate pushed to the raw ts column (row-group pruning at scale)")
   )
 }

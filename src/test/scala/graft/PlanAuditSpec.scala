@@ -482,6 +482,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"unexpected join in:\n$p")
   }
 
+  test("q160 time-range predicate reaches the events scan as PushedFilters on raw ts") {
+    val p = plan("q160_time_range_scan")
+    // the range must be in the scan's PushedFilters — on the RAW ts
+    // column, not the derived ts_us (which would evaluate above the
+    // scan and read every row group)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts,".r.findFirstIn(p).isDefined,
+      s"ts lower bound not pushed to the scan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(ts,".r.findFirstIn(p).isDefined,
+      s"ts upper bound not pushed to the scan:\n$p")
+  }
+
   test("q159 Mahalanobis pruning filters BELOW the per-cell aggregate (fan-out cut in-plan)") {
     val p = plan("q159_field_control_pruned")
     // the 12σ predicate (maha_sq < 144.0) must exist as a Filter...
