@@ -42,18 +42,45 @@ object TrackingOps {
       .select("gameId", "playId", "nflId", "displayName", "subFrame", "xi", "yi")
   }
 
-  /** §1.1's grouped-sub-frame escape hatch, used where it is genuinely
-    * warranted: longest consecutive run of strictly-increasing speed per
-    * player-play — an inherently sequential scan a window can't express
-    * cleanly. Implemented as a SECONDARY SORT (hash-repartition on the
-    * group key, sortWithinPartitions on (key, frameId) — Spark's sort
-    * spills to disk) followed by a streaming boundary scan with O(1)
-    * state: unlike `flatMapGroups` + an in-memory per-group sort, an
-    * unbounded timeline can never materialize in one task's heap. Every
-    * other operator in the engine stays relational (the preferred
-    * rewrite, SURVEY.md §2.L).
+  /** Longest consecutive run of strictly-increasing speed per
+    * player-play, as PURE Catalyst gaps-and-islands windows (the
+    * preferred relational rewrite, SURVEY.md §2.L — oracle-gated as
+    * q161): every window partitions on the group key and orders by
+    * frameId, so the whole op is ONE exchange + ONE sort —
+    *   rn        = row position in the timeline,
+    *   brk       = 1 where the streak resets (s not above its lag —
+    *               null-speed rows reset too, matching the scan form),
+    *   start_rn  = running max of rn at reset rows = current island's
+    *               first position,
+    *   streak    = rn − start_rn + 1, and the answer is max(streak) —
+    * the final groupBy rides the window's existing (g, p, n) hash
+    * partitioning, so no second shuffle (plan-pinned in q161's audit).
     */
-  def longestAccelStreak(tracking: DataFrame)(implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  def longestAccelStreak(tracking: DataFrame): DataFrame = {
+    val wRun = timeline.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tracking
+      .select(col("gameId"), col("playId"), col("nflId"), col("frameId"), col("s"))
+      .withColumn("rn", row_number().over(timeline))
+      .withColumn("brk",
+        when(col("s") > lag(col("s"), 1).over(timeline), 0).otherwise(1))
+      .withColumn("start_rn", max(when(col("brk") === 1, col("rn"))).over(wRun))
+      .withColumn("streak", col("rn") - col("start_rn") + 1)
+      .groupBy("gameId", "playId", "nflId")
+      .agg(max(col("streak")).as("longest_accel_streak"))
+  }
+
+  /** The same operator through §1.1's grouped-scan escape hatch, kept
+    * as the pattern demonstration (and spec cross-check) for operators
+    * that genuinely have no window form: a SECONDARY SORT
+    * (hash-repartition on the group key, sortWithinPartitions on
+    * (key, frameId) — Spark's sort spills to disk) followed by a
+    * streaming boundary scan with O(1) state, so an unbounded timeline
+    * never materializes in one task's heap. For THIS operator the
+    * windows form above is equivalent (TrackingOpsSpec pins both forms
+    * row-identical on 50k-frame shuffled timelines) and preferred —
+    * it stays inside Catalyst/codegen and needs no Dataset encoder.
+    */
+  def longestAccelStreakScan(tracking: DataFrame)(implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     tracking
       .select(col("gameId"), col("playId"), col("nflId"), col("frameId"), col("s"))

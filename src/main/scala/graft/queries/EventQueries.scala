@@ -1319,6 +1319,44 @@ object EventQueries extends QueryModule {
         WHERE epoch_us(ts) >= 1704672000000000 AND epoch_us(ts) < 1705276800000000
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
-      doc = "time-range scan with the predicate pushed to the raw ts column (row-group pruning at scale)")
+      doc = "time-range scan with the predicate pushed to the raw ts column (row-group pruning at scale)"),
+
+    // ---------------------------------------------------------------- q161
+    // Gaps-and-islands through the gate: TrackingOps.longestAccelStreak
+    // (longest strictly-increasing run per timeline) on the events
+    // stream — user_id as the timeline key, event_id as the frame
+    // order, value as the monotone measure (null values reset the run
+    // in all three implementations: windows, scan, DuckDB). All three
+    // windows ride ONE (key, order) sort and the final max-aggregate
+    // reuses the window's hash partitioning — one exchange total,
+    // plan-pinned. Closes the last spec-only non-trivial op.
+    "q161_longest_streak" -> NamedQuery(
+      fn = (s, d) => {
+        val ev = Tables.events(s, d).select(
+          lit(1L).as("gameId"), lit(1L).as("playId"),
+          col("user_id").as("nflId"), col("event_id").as("frameId"),
+          col("value").as("s"))
+        graft.football.TrackingOps.longestAccelStreak(ev)
+          .select(col("nflId").as("user_id"),
+            col("longest_accel_streak").cast("long").as("longest_streak"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT user_id,
+                 CASE WHEN value > lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
+                      THEN 0 ELSE 1 END AS brk,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+          FROM events),
+        isl AS (
+          SELECT user_id, rn,
+                 max(CASE WHEN brk = 1 THEN rn END)
+                   OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS start_rn
+          FROM t)
+        SELECT user_id, CAST(max(rn - start_rn + 1) AS BIGINT) AS longest_streak
+        FROM isl
+        GROUP BY user_id
+        ORDER BY user_id"""),
+      doc = "gaps-and-islands longest increasing run (TrackingOps.longestAccelStreak) with a DuckDB islands oracle")
   )
 }

@@ -493,6 +493,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"ts upper bound not pushed to the scan:\n$p")
   }
 
+  test("q161 streak windows + final max ride ONE exchange (agg reuses window partitioning)") {
+    val p = plan("q161_longest_streak")
+    assert(p.contains("row_number"))
+    // all three window functions and the final aggregate share the
+    // (gameId, playId, nflId) hash partitioning — a second exchange
+    // would mean the gaps-and-islands rewrite lost its one-sort shape
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
   test("q159 Mahalanobis pruning filters BELOW the per-cell aggregate (fan-out cut in-plan)") {
     val p = plan("q159_field_control_pruned")
     // the 12σ predicate (maha_sq < 144.0) must exist as a Filter...

@@ -37,7 +37,7 @@ class TrackingOpsSpec extends AnyFunSuite {
     assert(up.select(sum(col("xi"))).head().getDouble(0) === 12.0)
   }
 
-  test("longestAccelStreak finds the sequential run a window can't (secondary sort)") {
+  test("longestAccelStreak finds the longest increasing run (gaps-and-islands windows)") {
     import spark.implicits._
     implicit val s = spark
     // speeds: 1,2,3,1,2 → longest increasing run = 3
@@ -53,9 +53,12 @@ class TrackingOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(2) -> r.getInt(3)).toMap
     assert(streaks(7L) === 3)
     assert(streaks(8L) === 1)
+    val scanned = TrackingOps.longestAccelStreakScan(df)
+      .collect().map(r => r.getLong(2) -> r.getInt(3)).toMap
+    assert(scanned === streaks)
   }
 
-  test("longestAccelStreak on large shuffled timelines matches the direct scan") {
+  test("windows and secondary-sort streak forms match brute force on large shuffled timelines") {
     import spark.implicits._
     implicit val s = spark
     // 50k-frame timelines (far beyond any real play) in SHUFFLED input
@@ -80,6 +83,9 @@ class TrackingOpsSpec extends AnyFunSuite {
     val got = TrackingOps.longestAccelStreak(df)
       .collect().map(r => r.getLong(2) -> r.getInt(3)).toMap
     assert(got === expected)
+    val gotScan = TrackingOps.longestAccelStreakScan(df)
+      .collect().map(r => r.getLong(2) -> r.getInt(3)).toMap
+    assert(gotScan === expected)
   }
 
   test("derivedSpeed recovers constant velocity from positions") {
