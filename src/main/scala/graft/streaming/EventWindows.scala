@@ -44,7 +44,22 @@ object EventWindows {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Sliding 5-minute windows every minute. */
+  /** Sliding 5-minute windows every minute. Output-mode contract:
+    *
+    *  - **Append** is the PRODUCTION path for 24/7 ingest: each
+    *    (window, user) row is emitted exactly once, when the watermark
+    *    passes the window end, and its state-store rows are evicted at
+    *    that same moment — so state is bounded by the watermark horizon
+    *    (≤ (10 min + 5 min) / 1 min in-flight windows per active key)
+    *    regardless of stream length. EventWindowsSpec pins the eviction
+    *    via state-operator metrics (rows removed, bounded total).
+    *  - **Complete** (the q80 oracle harness) retains every window ever
+    *    created and re-emits the full result each batch: exact and
+    *    replay-friendly for a FINITE file replay, unbounded for a
+    *    production stream. The gate keeps it because window
+    *    finalization then never depends on a trailing no-data batch
+    *    advancing the watermark.
+    */
   def slidingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")

@@ -166,6 +166,37 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(out.select("event_type").collect().map(_.getString(0)).toSet === Set("click", "view"))
   }
 
+  test("append-mode sliding windows emit finalized rows once and EVICT their state (production path)") { withNoDataBatches {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventWindows.Event]
+    val q = EventWindows.slidingCounts(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sliding_append_out").start()
+    // batch 1: one event at 10:10:30 → 5 in-flight windows, none final
+    input.addData(EventWindows.Event(1, ts(10, 30), 7, "click", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sliding_append_out").count() === 0,
+      "no window may emit before the watermark passes its end")
+    // batch 2: an event at 11:00 pushes the watermark to 10:50 — past
+    // every first-event window end (10:11..10:15): those 5 windows must
+    // emit exactly once AND leave the state store
+    input.addData(EventWindows.Event(2, Timestamp.valueOf("2024-01-01 11:00:00"), 7, "click", 1.0))
+    q.processAllAvailable()
+    val finalState = q.recentProgress.reverse
+      .find(p => p.stateOperators.nonEmpty).get.stateOperators(0)
+    q.stop()
+    val out = spark.table("sliding_append_out").collect()
+    assert(out.length === 5, s"expected the 5 finalized windows, got ${out.toSeq}")
+    assert(out.forall(_.getLong(2) === 1L))
+    // eviction pin: finalized windows were REMOVED from the store; only
+    // the advancer event's 5 in-flight windows remain — bounded state
+    val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    assert(removed >= 5L, s"expected >=5 evicted state rows, got $removed")
+    assert(finalState.numRowsTotal === 5L,
+      s"state not bounded to in-flight windows: ${finalState.numRowsTotal}")
+  } }
+
   test("watermark drops events later than 10 minutes (J: late-data semantics)") { withNoDataBatches {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
