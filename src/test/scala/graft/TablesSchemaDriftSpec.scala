@@ -80,6 +80,27 @@ class TablesSchemaDriftSpec extends AnyFunSuite {
     }
   }
 
+  test("eventsInRange keeps the same [lo, hi) slice for all three physical ts types") {
+    // same parquet-round-trip per encoding the live refreshes have
+    // shipped: LONG nanos (BIGINT file column), TIMESTAMP, TIMESTAMP_NTZ
+    // — the raw-column range filter must select identical instants and
+    // the output must match the events() loader schema
+    val lo = instantsUs(0) + 1 // excludes the first instant
+    val hi = instantsUs(2)     // [lo, hi) excludes the last
+    for ((df, name) <- Seq((longNanosDf, "longnanos"), (ltzDf, "ltz"), (ntzDf, "ntz"))) {
+      val full = df
+        .withColumn("user_id", lit(1L)).withColumn("event_type", lit("click"))
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      val dir = java.nio.file.Paths.get("target", s"evrange-$name")
+      full.coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("events.parquet").toString)
+      val got = Tables.eventsInRange(spark, dir.toString, lo, hi)
+      assert(got.columns.contains("ts_us") && got.columns.contains("ts_ns"), name)
+      assert(got.select("ts_us").collect().map(_.getLong(0)).toSeq ===
+        Seq(instantsUs(1)), name)
+    }
+  }
+
   test("an unrecognized ts type fails fast, naming the drift") {
     import spark.implicits._
     val bad = Seq((0L, "2023-11-14")).toDF("event_id", "ts")
