@@ -36,7 +36,13 @@ object Audit {
     "q116_triangle_census", "q133_dq_audit", "q136_bigram_pmi",
     "q137_group_kfold", "q140_curriculum_cut",
     "q144_pq_adc_topk", "q145_ann_recall", "q146_kl_drift",
-    "q152_bm25_topk")
+    "q152_bm25_topk",
+    // q156: probe×centroid scoring is a deliberate broadcast product
+    // (centroid table is constant-size); q159: the 120×53 grid fan-out
+    // broadcasts the GRID, tracking side never shuffles (plan-pinned in
+    // PlanAuditSpec — the Mahalanobis filter cuts the product below
+    // the aggregate)
+    "q156_ivf_multiprobe", "q159_field_control_pruned")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,
