@@ -461,13 +461,17 @@ object EventQueries extends QueryModule {
 
     // --------------------------------------------------------------- q157
     // q95's skew-resilient form: the SAME as-of semantics through
-    // AsOfJoinOps.asofJoinSalted — probe side salted into 8 sub-keys on
-    // a hash of the probe time, quote side replicated per bucket, merge
-    // on (user, salt). One hot user's probe volume spreads across 8
-    // tasks instead of serializing on one (AQE's skew splitting never
-    // rewrites custom execs, so the operator carries its own medicine —
-    // same regime as q90's salted aggregation). Oracle: DuckDB's native
-    // ASOF again — salting must be row-invisible.
+    // AsOfJoinOps.asofJoinSalted — probe side salted into 8 sub-keys,
+    // quote side replicated per bucket, merge on (user, salt). One hot
+    // user's probe volume spreads across 8 tasks instead of
+    // serializing on one (AQE's skew splitting never rewrites custom
+    // execs, so the operator carries its own medicine — same regime as
+    // q90's salted aggregation). The salt mixes the PER-ROW-UNIQUE
+    // event_id with the probe time (saltOn) — the production form that
+    // stays a real spread even when a hot key's timestamps tie
+    // (batch-stamped events would collapse a time-only salt into one
+    // bucket). Oracle: DuckDB's native ASOF again — salting must be
+    // row-invisible.
     "q157_asof_salted" -> NamedQuery(
       fn = (s, d) => {
         val e = Tables.events(s, d)
@@ -478,7 +482,8 @@ object EventQueries extends QueryModule {
           .agg(max(col("value")).as("signup_value"))
           .withColumnRenamed("q_user", "user_id")
         val joined = graft.plans.AsOfJoinOps.asofJoinSalted(
-          probes, quotes, Seq("user_id"), "ts_us", "q_ts", saltBuckets = 8)
+          probes, quotes, Seq("user_id"), "ts_us", "q_ts", saltBuckets = 8,
+          saltOn = Seq("ts_us", "event_id"))
         require(joined.columns.toSeq ==
           Seq("event_id", "user_id", "ts_us", "user_id", "q_ts", "signup_value"),
           s"unexpected salted as-of output order: " + joined.columns.mkString(","))
