@@ -131,6 +131,50 @@ object PipelineQueries extends QueryModule {
         ORDER BY kind"""),
       doc = "multimodal mapPartitions decode plumbing, stub-oracled (north-star)"),
 
+    // --------------------------------------------------------------- q162
+    // REAL binary ingest through Spark's core `binaryFile` source — the
+    // actual multimodal ingest boundary (image/audio shards as opaque
+    // files on storage), where q61's syntheticMedia is the post-ingest
+    // stand-in. Staging: one .bin per sampled doc, written
+    // executor-side via foreachPartition (local FS here; shared/object
+    // storage on a cluster — no driver-side loop, no collect). Read:
+    // binaryFile gives (path, length, content); the gate checks
+    // byte-exact round-trip via per-file length + md5(content) against
+    // DuckDB hashing the same utf8 bytes. The %10 sample bounds the
+    // file count (50 at sf0.01) — the small-files regime itself is the
+    // point: at 100 TB you ingest shards this way, then IMMEDIATELY
+    // compact to parquet/struct rows (q61's shape) because a
+    // per-object file listing is the scan bottleneck, not the bytes.
+    "q162_binary_ingest" -> NamedQuery(
+      fn = (s, d) => {
+        // capture the dir as a String: Path isn't Serializable and the
+        // lambda ships to executors
+        val dir = TempPaths.dir(s, "q162_media").getAbsolutePath
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 10 === 0)
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+        s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+          .load(dir)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+            col("length").as("n_bytes"),
+            md5(col("content")).as("content_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents
+        WHERE doc_id % 10 = 0
+        ORDER BY doc_id"""),
+      doc = "binary-file ingest round-trip (core binaryFile source), byte-exact vs DuckDB (A-family + multimodal boundary)"),
+
     // ---------------------------------------------------------------- q62
     // Cube + grouping_id over (priority, status) — closes the §2.D
     // "grouping sets / cube" free-extension row (rollup is q20).
