@@ -175,6 +175,68 @@ object PipelineQueries extends QueryModule {
         ORDER BY doc_id"""),
       doc = "binary-file ingest round-trip (core binaryFile source), byte-exact vs DuckDB (A-family + multimodal boundary)"),
 
+    // --------------------------------------------------------------- q163
+    // A1/A2 CSV through the gate (spec-only until round 8): documents —
+    // the table with the HOSTILE content for a delimited format
+    // (commas, quotes, newlines in text) — written as quoted/escaped
+    // CSV and read back through TextSources.csv with an explicit
+    // schema (+ multiLine for embedded newlines), then every column of
+    // every row folded into a per-row md5 the driver hash-compares
+    // against DuckDB computing the same fold over the PARQUET truth.
+    // Any character the CSV writer/reader mangles — a lost quote, a
+    // split row, a re-typed number — lands in the row hash. At 100 TB:
+    // multiLine forces whole-file parse tasks (no intra-file split),
+    // which is why parquet is the engine's interchange and CSV the
+    // ingest boundary; the explicit schema skips the inference pass.
+    "q163_csv_roundtrip" -> NamedQuery(
+      fn = (s, d) => {
+        val dir = TempPaths.dir(s, "q163_csv").getAbsolutePath
+        val truth = Tables.documents(s, d)
+        truth.write.mode("overwrite")
+          .option("header", "true").option("escape", "\"").csv(dir)
+        val back = graft.sources.TextSources.csv(s, truth.schema,
+          Map("multiLine" -> "true", "escape" -> "\""), dir)
+        back.select(col("doc_id"),
+            md5(concat_ws("#", col("doc_id"), col("lang"), col("source"),
+              col("n_chars"), col("text"))).as("row_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || '#' || lang || '#' || source || '#'
+                   || CAST(n_chars AS VARCHAR) || '#' || text) AS row_md5
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "A1/A2 CSV write->read round-trip (quoted/escaped/multiLine) hash-matched per row vs the parquet truth"),
+
+    // --------------------------------------------------------------- q164
+    // A5 TSV through the gate — q163's shape at sep='\t' via
+    // TextSources.tsv (the reference's remote-TSV fixture path, Field
+    // Control.R:108-118). Embedded tabs in text ride the same RFC
+    // quoting; the per-row fold hash-matches the parquet truth, so the
+    // separator change is proven lossless, not assumed.
+    "q164_tsv_roundtrip" -> NamedQuery(
+      fn = (s, d) => {
+        val dir = TempPaths.dir(s, "q164_tsv").getAbsolutePath
+        val truth = Tables.documents(s, d)
+        truth.write.mode("overwrite")
+          .option("header", "true").option("escape", "\"").option("sep", "\t")
+          .csv(dir)
+        val back = graft.sources.TextSources.tsv(s, truth.schema,
+          Map("multiLine" -> "true", "escape" -> "\""), dir)
+        back.select(col("doc_id"),
+            md5(concat_ws("#", col("doc_id"), col("lang"), col("source"),
+              col("n_chars"), col("text"))).as("row_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || '#' || lang || '#' || source || '#'
+                   || CAST(n_chars AS VARCHAR) || '#' || text) AS row_md5
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "A5 TSV write->read round-trip hash-matched per row vs the parquet truth"),
+
     // ---------------------------------------------------------------- q62
     // Cube + grouping_id over (priority, status) — closes the §2.D
     // "grouping sets / cube" free-extension row (rollup is q20).

@@ -14,7 +14,15 @@ object TextSources {
 
   /** A1/A2 (Tutorial.R:11-19): headered CSV with explicit schema. */
   def csv(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
-    spark.read.schema(schema).option("header", "true").csv(paths: _*)
+    csv(spark, schema, Map.empty[String, String], paths: _*)
+
+  /** A1/A2 with parser options (e.g. `multiLine` for embedded
+    * newlines, `escape` for RFC-4180 quote-escaping — the settings a
+    * text corpus needs; q163 gates the round-trip).
+    */
+  def csv(spark: SparkSession, schema: StructType, options: Map[String, String],
+          paths: String*): DataFrame =
+    spark.read.schema(schema).option("header", "true").options(options).csv(paths: _*)
 
   /** A3 (Tutorial.R:15-20): the weekly-file union as one glob scan. */
   def csvGlob(spark: SparkSession, schema: StructType, glob: String): DataFrame =
@@ -22,7 +30,13 @@ object TextSources {
 
   /** A5 (Field Control.R:108-118): tab-separated fixture. */
   def tsv(spark: SparkSession, schema: StructType, path: String): DataFrame =
-    spark.read.schema(schema).option("header", "true").option("sep", "\t").csv(path)
+    tsv(spark, schema, Map.empty[String, String], path)
+
+  /** A5 with parser options (see the csv overload; q164 gates this). */
+  def tsv(spark: SparkSession, schema: StructType, options: Map[String, String],
+          path: String): DataFrame =
+    spark.read.schema(schema).option("header", "true").options(options)
+      .option("sep", "\t").csv(path)
 
   /** JSON-lines scan (testdata `events.props` shape as a file format). */
   def jsonLines(spark: SparkSession, schema: StructType, path: String): DataFrame =
