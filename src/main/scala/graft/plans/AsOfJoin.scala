@@ -565,7 +565,7 @@ object AsOfJoinOps {
     tmp.select(joined.columns.indices
         .filterNot(i => i == lSaltIdx || i == rSaltIdx)
         .map(i => col(s"__c$i")): _*)
-      .toDF(left.columns ++ right.columns: _*)
+      .toDF((left.columns ++ right.columns).toIndexedSeq: _*)
   }
 
   /** Broadcast as-of join — the dim-sized-right composition of
@@ -622,7 +622,8 @@ object AsOfJoinOps {
         "for a large right side, or raise maxRightRows if the frame is " +
         "provably dim-sized")
     // time first so sort_array orders the quotes by it
-    val ordered = rightTimeCol +: right.columns.filterNot(c => keys.contains(c) || c == rightTimeCol)
+    val ordered = (rightTimeCol +: right.columns.filterNot(c =>
+      keys.contains(c) || c == rightTimeCol)).toIndexedSeq
     val qarr = sort_array(collect_list(struct(ordered.map(col): _*))).as("__qarr")
     val qagg =
       if (keys.nonEmpty) right.groupBy(keys.map(col): _*).agg(qarr)
