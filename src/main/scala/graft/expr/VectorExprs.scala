@@ -71,6 +71,8 @@ object GraftFunctions {
       .toAggregateExpression()
   private[expr] def kmvBuilder(exprs: Seq[Expression]): Expression =
     KmvDistinct(Cast(exprs(0), LongType), exprs(1)).toAggregateExpression()
+  private[expr] def heavyHittersBuilder(exprs: Seq[Expression]): Expression =
+    SpaceSaving(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression()
   // Spark's own runtime-filter expressions, exposed by name so
   // ops.BloomOps can plant the identical codegen'd probe explicitly.
   private[expr] def bloomAggBuilder(exprs: Seq[Expression]): Expression =
@@ -86,6 +88,8 @@ object GraftFunctions {
       "top_k_pairs", topKBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_distinct", kmvBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters", heavyHittersBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -116,6 +120,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
       (exprs: Seq[Expression]) => GraftFunctions.kmvBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[SpaceSaving].getName, "heavy_hitters"),
+      (exprs: Seq[Expression]) => GraftFunctions.heavyHittersBuilder(exprs)))
     e.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(

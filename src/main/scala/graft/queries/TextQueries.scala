@@ -275,6 +275,37 @@ object TextQueries extends QueryModule {
         JOIN sizes s1 ON s1.doc_id = p.d1
         JOIN sizes s2 ON s2.doc_id = p.d2
         ORDER BY p.d1, p.d2"""),
-      doc = "cross-doc winnowing overlap: MOSS-style shared-fingerprint pairs with a stop-fingerprint cap")
+      doc = "cross-doc winnowing overlap: MOSS-style shared-fingerprint pairs with a stop-fingerprint cap"),
+
+    // --------------------------------------------------------------- q165
+    // The third native sketch through the gate: space-saving heavy
+    // hitters (expr/SpaceSaving, a TypedImperativeAggregate) over the
+    // corpus token stream — constant-memory dominant-token profiling,
+    // the op that replaces a vocabulary-sized exact aggregation at
+    // 100 TB. The capacity (64) exceeds this corpus's vocabulary, so
+    // the sketch runs in its EXACT mode (every est = the true count,
+    // every err = 0 — the bit-stable mode, mirroring q155's <k KMV
+    // case) and DuckDB can hash-match est/err against exact GROUP BY
+    // counts directly. The eviction path's guarantees are order-
+    // dependent within published bands and are pinned by
+    // SpaceSavingSpec under adversarial merge orders instead.
+    "q165_heavy_hitters" -> NamedQuery(
+      fn = (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(split(trim(col("text")), "\\s+")).as("item"))
+        toks.agg(expr("heavy_hitters(item, 64)").as("hh"))
+          .selectExpr("explode(hh) AS e")
+          .select(col("e.item").as("tok"), col("e.est").as("est"), col("e.err").as("err"))
+          .orderBy("tok")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents)
+        SELECT tok, COUNT(*) AS est, CAST(0 AS BIGINT) AS err
+        FROM t
+        GROUP BY tok
+        ORDER BY tok"""),
+      doc = "native space-saving heavy-hitters aggregate, exact-mode hash-matched vs DuckDB group counts")
   )
 }

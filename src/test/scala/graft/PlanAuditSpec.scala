@@ -503,6 +503,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly one hash exchange:\n$p")
   }
 
+  test("q165 heavy-hitters runs as partial+final native aggregate (k-entry buffers)") {
+    val p = plan("q165_heavy_hitters")
+    assert(p.contains("partial_heavy_hitters"), s"sketch not partial-aggregated in:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+  }
+
   test("q159 Mahalanobis pruning filters BELOW the per-cell aggregate (fan-out cut in-plan)") {
     val p = plan("q159_field_control_pruned")
     // the 12σ predicate (maha_sq < 144.0) must exist as a Filter...
