@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -21,6 +22,9 @@ import graft.TestSpark
   */
 class StreamingRecoverySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
 
   /** Same rationale as EventWindowsSpec: the harness session disables
     * no-data micro-batches; restart semantics are a production
@@ -59,6 +63,43 @@ class StreamingRecoverySpec extends AnyFunSuite {
     // each id exactly once: a lost file shows as a gap, a replayed
     // file as a duplicate — both fail this exact-sequence compare
     assert(got === (1L to 6L))
+  }
+
+  test("the RocksDB state store runs the stateful shapes with identical results (production backend)") {
+    // The default HDFSBackedStateStore keeps every key in executor
+    // heap — fine locally, the thing that OOMs first at 100 TB state.
+    // RocksDB (spilling, incremental-checkpoint) is the production
+    // provider; this pins that our stateful shapes produce identical
+    // results under it, so flipping the conf in a deployment is safe.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val default = spark.conf.get(key,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    def runOnce(name: String): Set[(Timestamp, String, Long)] = {
+      val input = MemoryStream[EventWindows.Event]
+      input.addData(
+        EventWindows.Event(1, ts(0, 10), 1, "click", 1.0),
+        EventWindows.Event(2, ts(0, 40), 1, "click", 2.0),
+        EventWindows.Event(3, ts(1, 5), 2, "view", 3.0),
+        EventWindows.Event(4, ts(1, 30), 2, "view", 1.0))
+      val q = EventWindows.tumblingCounts(input.toDF())
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    }
+    val onHeap = runOnce("ss_default_out")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val onRocks = runOnce("ss_rocksdb_out")
+      assert(onRocks === onHeap, "RocksDB and default providers disagree")
+      assert(onRocks === Set(
+        (ts(0), "click", 2L),
+        (ts(1), "view", 2L)))
+    } finally spark.conf.set(key, default)
   }
 
   test("windowed aggregation state survives a restart (watermark + counts from the store)") { withNoDataBatches {
