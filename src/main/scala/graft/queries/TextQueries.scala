@@ -306,6 +306,50 @@ object TextQueries extends QueryModule {
         FROM t
         GROUP BY tok
         ORDER BY tok"""),
-      doc = "native space-saving heavy-hitters aggregate, exact-mode hash-matched vs DuckDB group counts")
+      doc = "native space-saving heavy-hitters aggregate, exact-mode hash-matched vs DuckDB group counts"),
+
+    // --------------------------------------------------------------- q166
+    // q165's GROUPED production shape: per-source dominant tokens via
+    // one keyed aggregate — each group's buffer is ≤ k entries, so the
+    // shuffle moves O(sources × k) whatever the corpus size (the
+    // per-tenant/per-domain profiling query a 100 TB pipeline runs
+    // daily). Still the exact mode (per-source vocabulary < 64), so
+    // est/err hash-match DuckDB's per-source counts; the top-3
+    // projection exercises the sketch's (est desc, item asc) result
+    // order through element_at.
+    "q166_heavy_hitters_by_source" -> NamedQuery(
+      fn = (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("item"))
+        toks.groupBy("source")
+          .agg(expr("heavy_hitters(item, 64)").as("hh"))
+          .select(col("source"),
+            col("hh")(0).getField("item").as("top1"),
+            col("hh")(0).getField("est").as("n1"),
+            col("hh")(1).getField("item").as("top2"),
+            col("hh")(1).getField("est").as("n2"),
+            col("hh")(2).getField("item").as("top3"),
+            col("hh")(2).getField("est").as("n3"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        c AS (
+          SELECT source, tok, COUNT(*) AS n,
+                 row_number() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, tok) AS r
+          FROM t GROUP BY source, tok)
+        SELECT source,
+               MAX(CASE WHEN r = 1 THEN tok END) AS top1,
+               MAX(CASE WHEN r = 1 THEN n END) AS n1,
+               MAX(CASE WHEN r = 2 THEN tok END) AS top2,
+               MAX(CASE WHEN r = 2 THEN n END) AS n2,
+               MAX(CASE WHEN r = 3 THEN tok END) AS top3,
+               MAX(CASE WHEN r = 3 THEN n END) AS n3
+        FROM c
+        GROUP BY source
+        ORDER BY source"""),
+      doc = "per-source heavy hitters (grouped native sketch, O(sources x k) shuffle), exact-mode vs DuckDB ranked counts")
   )
 }
