@@ -10,11 +10,15 @@ import org.apache.spark.sql.SparkSession
   * EVERYTHING registered, so a newly added query with a regressed plan
   * is visible even before it gets a dedicated pin.
   *
+  * Since round 9 this is a GATE, not a diagnostic: unexplained flags
+  * fail `AuditGateSpec` (sbt test) and exit this main non-zero — a new
+  * query with a regressed plan cannot land green. Deliberate exceptions
+  * stay in the curated lists below, each documented at its definition
+  * site.
+  *
   * `sbt "runMain graft.Audit [sfDir]"` — prints one line per query:
   * codegen-node count plus any flags; a summary block lists flagged
-  * queries. Exit code stays 0 (diagnostic, not a gate): some flags are
-  * deliberate (the O(n^2) correctness baselines use guarded
-  * cross-joins; tiny-frame global windows are documented inline).
+  * queries; exit code 1 if any.
   */
 object Audit {
   // deliberate exceptions, each documented at its definition site:
@@ -42,12 +46,83 @@ object Audit {
     // broadcasts the GRID, tracking side never shuffles (plan-pinned in
     // PlanAuditSpec — the Mahalanobis filter cuts the product below
     // the aggregate)
-    "q156_ivf_multiprobe", "q159_field_control_pruned")
+    "q156_ivf_multiprobe", "q159_field_control_pruned",
+    // q158: 1-row global-mean scalar attach onto the per-user label
+    // frame (same F5-class bounded pattern as q133/q136/q146/q152);
+    // q168: the guarantee scoreboard crosses four 1-row aggregates
+    // (token total, entry count, violation counts) — all bounded
+    "q158_feature_matrix", "q168_heavy_hitters_bounds")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,
   // bounded by the pivoted-domain size, not a regression
   private val expectedSortAgg = Set("q77_pivot_measures")
+
+  // populated only after a documented review: a global (unpartitioned)
+  // window is acceptable solely on frames already aggregated to a
+  // bounded DOMAIN (not merely "aggregated" — a per-timestamp or
+  // per-user frame is still row-scale):
+  //  - q25: order-priority grain (≤ 5 rows by enum domain)
+  //  - q110/q140: source grain (the mixture/curriculum tables ARE
+  //    per-source, documented at their definition sites)
+  //  - q99: hour-bucket totals inside PrefixSum.scalableRunningSum —
+  //    the result's own output grain; the row-scale sweep is keyed
+  private val expectedGlobalWindow = Set(
+    "q25_freq_ratio", "q110_budget_mixture", "q140_curriculum_cut",
+    "q99_concurrency")
+
+  final case class QueryAudit(name: String, codegen: Int, flags: List[String])
+
+  /** The detector: scale-killer flags for one executed-plan string.
+    * `name` is consulted against the curated exception lists; pass a
+    * name outside the catalog to audit an arbitrary plan with no
+    * exemptions (how AuditGateSpec proves the detector fires red).
+    */
+  def flagsFor(name: String, p: String): List[String] = {
+    var flags = List.empty[String]
+    if (p.contains("CartesianProduct") && !expectedCross(name)) flags ::= "cartesian"
+    if (p.contains("BroadcastNestedLoopJoin") && !expectedCross(name))
+      flags ::= "bnl-join"
+    // SortAggregate appears when an agg buffer can't hash (string /
+    // complex buffer types) — a per-partition sort at scale
+    if (p.contains("SortAggregate") && !expectedSortAgg(name)) flags ::= "sort-agg"
+    // a Window with an empty partition spec sorts EVERYTHING into one
+    // task; only acceptable on provably tiny frames. The reliable
+    // physical signature is the Window's child exchange being
+    // SinglePartition (an order-only windowspecdefinition still prints
+    // a column first, so text-matching the spec can't tell the two
+    // apart — the round-8 detector missed real global windows that way).
+    val lines = p.linesIterator.toVector
+    val globalWin = lines.zipWithIndex.exists { case (l, i) =>
+      l.contains("Window [") &&
+        lines.slice(i + 1, i + 4).exists(_.contains("Exchange SinglePartition"))
+    }
+    if (globalWin && !expectedGlobalWindow(name)) flags ::= "global-window"
+    flags
+  }
+
+  /** Plan every registered query and audit it. Any query that fails to
+    * PLAN is itself a flag (`ERROR: ...`). The session should have AQE
+    * disabled: the adaptive wrapper defers physical finalization to
+    * execution time, which hides WholeStageCodegen spans (and join
+    * selections) from an unexecuted plan's toString.
+    */
+  def sweep(spark: SparkSession, sfDir: String): Seq[QueryAudit] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val a =
+        try {
+          val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+          // codegen stages print as "*(id) Op" prefixes; distinct ids =
+          // WholeStageCodegen span count
+          val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(p).map(_.group(1)).toSet.size
+          QueryAudit(name, codegen, flagsFor(name, p))
+        } catch {
+          case e: Throwable =>
+            QueryAudit(name, 0, List(s"ERROR: ${String.valueOf(e.getMessage).take(120)}"))
+        }
+      spark.sharedState.cacheManager.clearCache()
+      a
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -56,49 +131,24 @@ object Audit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
-    // AQE off for the audit ONLY: the adaptive wrapper defers physical
-    // finalization to execution time, which hides WholeStageCodegen spans
-    // (and join selections) from an unexecuted plan's toString. The
-    // static plan is what codegen/aggregate selection is decided on.
+    // AQE off for the audit — see `sweep`
     builder.config("spark.sql.adaptive.enabled", "false")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    var flagged = List.empty[(String, List[String])]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val qe = fn(spark, sfDir).queryExecution
-        val p = qe.executedPlan.toString
-        // codegen stages print as "*(id) Op" prefixes; distinct ids =
-        // WholeStageCodegen span count
-        val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(p).map(_.group(1)).toSet.size
-        var flags = List.empty[String]
-        if (p.contains("CartesianProduct")) flags ::= "cartesian"
-        if (p.contains("BroadcastNestedLoopJoin") && !expectedCross(name))
-          flags ::= "bnl-join"
-        // SortAggregate appears when an agg buffer can't hash (string /
-        // complex buffer types) — a per-partition sort at scale
-        if (p.contains("SortAggregate") && !expectedSortAgg(name)) flags ::= "sort-agg"
-        // a Window with an empty partition spec sorts EVERYTHING into
-        // one task; only acceptable on provably tiny frames
-        if (p.contains("windowspecdefinition(") &&
-            "windowspecdefinition\\([a-z_]".r.findFirstIn(p).isEmpty)
-          flags ::= "global-window"
-        if (flags.nonEmpty) flagged ::= (name, flags)
-        println(f"$name%-28s codegen=$codegen%-3d ${flags.mkString(" ")}")
-      } catch {
-        case e: Throwable =>
-          flagged ::= (name, List("ERROR"))
-          println(f"$name%-28s ERROR ${e.getMessage.take(80)}")
-      }
-      spark.sharedState.cacheManager.clearCache()
+    val results = sweep(spark, sfDir)
+    results.foreach { a =>
+      println(f"${a.name}%-28s codegen=${a.codegen}%-3d ${a.flags.mkString(" ")}")
     }
     println()
+    val flagged = results.filter(_.flags.nonEmpty)
     if (flagged.isEmpty) println("[audit] no flags")
     else {
-      println(s"[audit] ${flagged.size} flagged (deliberate shapes listed in Audit.expectedCross):")
-      flagged.reverse.foreach { case (n, f) => println(s"  $n: ${f.mkString(", ")}") }
+      println(s"[audit] GATE FAIL — ${flagged.size} unexplained flags " +
+        "(deliberate shapes belong in Audit.expectedCross/expectedSortAgg):")
+      flagged.foreach { a => println(s"  ${a.name}: ${a.flags.mkString(", ")}") }
     }
     spark.stop()
+    if (flagged.nonEmpty) sys.exit(1)
   }
 }

@@ -100,40 +100,52 @@ object Bench {
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of stdout and
-    // json-parses the line it finds there. A 150+-query map is ~4.5 KB,
-    // so printing the full map truncates its own opening brace out of
-    // the window and the driver records parsed:null (observed in
-    // BENCH_r04/r05). Print a line that FITS: the total plus the 40
-    // slowest queries at millisecond precision (~1.3 KB — room to spare
-    // even after sbt's "[success]" footer), and persist the complete
-    // per-query map to BENCH_FULL.json in the repo (committed, so every
-    // round's full data survives) plus /tmp/bench_full.json for the
-    // driver's historical pickup location.
+    // json-parses the line it finds there. A 150+-query map with FULL
+    // names is ~4.5 KB, so printing it truncates its own opening brace
+    // out of the window and the driver records parsed:null (observed in
+    // BENCH_r04/r05) — and the round-8 fallback (40 slowest only) cost
+    // round-over-round comparisons real information (round-8 verdict
+    // task 6). Round 9: the clean-run line carries the COMPLETE map,
+    // made to fit by keying on the query NUMBER (q01..q166 are
+    // contiguous and unique) with integer-millisecond values —
+    // ~1.6 KB for 166 queries, inside the tail window even after sbt's
+    // "[success]" footer. "q_key"/"q_unit" document the encoding in the
+    // line itself; BENCH_FULL.json keeps the full-name float map.
     // Locale-pinned formatting: f"%.3f" uses the JVM default locale and a
     // comma-decimal locale (de_DE) would emit "12,098" — unparseable JSON.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val slowest = ok.sortBy(-_._2).take(40)
-      .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    // The compact line must fit the driver's ~2000-char tail window even
-    // on a bad round: a 42-error round at ~150 chars each is ~6 KB of
-    // errors alone (observed: BENCH_r06 parsed:null). Cap the embedded
-    // errors at 8 entries x 80 chars and carry the true count in
-    // n_errors; BENCH_FULL.json keeps every error untruncated.
     val allErrs = results.collect { case (k, _, Some(m)) => (k, m) }
-    val errsCompact = allErrs.take(8)
-      .map { case (k, m) =>
-        // take(80) operates on UTF-16 units and can leave a dangling high
-        // surrogate; drop it so even an escaped lone \uD8xx never reaches
-        // a strict parser.
-        val t = m.take(80)
-        val trimmed =
-          if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
-        s"\"" + k + "\":" + q(trimmed)
+    val line =
+      if (allErrs.isEmpty) {
+        val qnum = "^q0*(\\d+)".r
+        val compact = ok.map { case (k, v, _) =>
+          val n = qnum.findFirstMatchIn(k).map(_.group(1)).getOrElse(k)
+          s"\"" + n + "\":" + math.round(v * 1000)
+        }.mkString("{", ",", "}")
+        val sfName = sfDir.split('/').last
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":0,"q_key":"query number (q01..)","q_unit":"ms","queries":$compact,"sf":"$sfName","full":"BENCH_FULL.json"}"""
+      } else {
+        // Error rounds fall back to the named slowest-40 + capped errors
+        // (a 42-error round at ~150 chars each is ~6 KB of errors alone —
+        // observed: BENCH_r06 parsed:null). n_errors carries the true
+        // count; BENCH_FULL.json keeps every error untruncated.
+        val slowest = ok.sortBy(-_._2).take(40)
+          .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+          .mkString("{", ",", "}")
+        val errsCompact = allErrs.take(8)
+          .map { case (k, m) =>
+            // take(80) operates on UTF-16 units and can leave a dangling
+            // high surrogate; drop it so even an escaped lone \uD8xx never
+            // reaches a strict parser.
+            val t = m.take(80)
+            val trimmed =
+              if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
+            s"\"" + k + "\":" + q(trimmed)
+          }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${allErrs.size},"queries":$slowest,"errors":$errsCompact,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
       }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${allErrs.size},"queries":$slowest,"errors":$errsCompact,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     println(line)
     // The committed repo copy is each round's FULL-suite record; an
     // args-restricted profiling run must not overwrite it with a subset

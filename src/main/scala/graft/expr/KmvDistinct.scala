@@ -33,9 +33,11 @@ case class KmvDistinct(
     kExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]] with FoldableK {
 
-  private lazy val k: Int = kExpr.eval(InternalRow.empty).asInstanceOf[Int]
+  private lazy val k: Int = kValue
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = checkK()
   private val norm: Double = math.pow(2.0, 60)
 
   override def children: Seq[Expression] = Seq(hash, kExpr)

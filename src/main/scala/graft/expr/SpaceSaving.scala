@@ -43,9 +43,11 @@ case class SpaceSaving(
     kExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, (Long, Long)]] {
+  extends TypedImperativeAggregate[mutable.HashMap[String, (Long, Long)]] with FoldableK {
 
-  private lazy val k: Int = kExpr.eval(InternalRow.empty).asInstanceOf[Int]
+  private lazy val k: Int = kValue
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = checkK()
 
   override def children: Seq[Expression] = Seq(item, kExpr)
   override def nullable: Boolean = false

@@ -27,9 +27,11 @@ case class TopKPairs(
     kExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] with FoldableK {
 
-  private lazy val k: Int = kExpr.eval(InternalRow.empty).asInstanceOf[Int]
+  private lazy val k: Int = kValue
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = checkK()
 
   override def children: Seq[Expression] = Seq(score, payload, kExpr)
   override def nullable: Boolean = false

@@ -256,7 +256,19 @@ object CoverageGapQueries extends QueryModule {
     // K1-K3 through the driver gate: seeded RF on an order-priority
     // classification shaped like the coverage task (features → fit →
     // score → confusion counts). Model internals are engine-specific →
-    // rows-only check; determinism within Spark is seed-pinned.
+    // no hash oracle is POSSIBLE; but since round 9 the query asserts
+    // its own invariants driver-visibly (a failure surfaces as a query
+    // error in CORRECTNESS, not a silent rows>0 pass):
+    //  - feature importances: non-negative, sum to 1, at least one
+    //    feature actually used (a silently broken/empty feature matrix
+    //    yields a degenerate importance vector);
+    //  - predictions: ≥ 2 distinct labels (an all-null feature matrix
+    //    collapses every prediction to the majority class);
+    //  - accuracy: ≥ 0.8 × majority-class frequency (the floor any
+    //    non-broken fit clears; o_orderpriority is near-independent of
+    //    the features, so demanding >majority would flake by design).
+    // The deterministic RELATIONAL scaffold up to the fit boundary —
+    // pinned md5 split + per-split class counts — is hash-gated by q167.
     "q46_rf_confusion" -> NamedQuery(
       fn = (s, d) => {
         val labeled = Tables.orders(s, d)
@@ -267,13 +279,62 @@ object CoverageGapQueries extends QueryModule {
             year(col("o_orderdate")).cast("double").as("order_year"),
             (col("o_custkey") % 100).cast("double").as("cust_bucket"))
         val fitted = graft.ml.CoverageModel.fit(labeled, seed = 123L, numTrees = 10)
+        val imp = fitted.importances
+        require(imp.forall(_._2 >= 0.0) && math.abs(imp.map(_._2).sum - 1.0) < 1e-6,
+          s"q46: degenerate feature importances $imp")
+        require(imp.exists(_._2 > 0.0), "q46: no feature used by the forest")
         val scored = fitted.predict(labeled)
+        val stats = scored.agg(
+          countDistinct(col("predicted_coverage")).as("n_pred"),
+          sum(when(col("coverage") === col("predicted_coverage"), 1L).otherwise(0L)).as("hit"),
+          count(lit(1)).as("n")).head()
+        require(stats.getLong(0) >= 2,
+          "q46: constant prediction — feature matrix likely broken")
+        val acc = stats.getLong(1).toDouble / stats.getLong(2)
+        val maj = labeled.groupBy("coverage").count()
+          .agg(max(col("count"))).head().getLong(0).toDouble / stats.getLong(2)
+        require(acc >= 0.8 * maj,
+          f"q46: accuracy $acc%.4f below 0.8x majority baseline $maj%.4f")
         scored.groupBy("coverage", "predicted_coverage")
           .agg(count(lit(1)).as("n"))
           .orderBy("coverage", "predicted_coverage")
       },
       oracle = None,
-      doc = "K1-K3 RF fit/score/confusion via spark.ml (rows-only check)"),
+      doc = "K1-K3 RF fit/score/confusion via spark.ml (self-asserting: importance/prediction/accuracy invariants; scaffold gated by q167)"),
+
+    // --------------------------------------------------------------- q167
+    // The deterministic confusion-matrix SCAFFOLD, oracle-gated (round-9
+    // verdict task 3): everything about q46's pipeline that is pure
+    // relational algebra — the pinned md5-bucket 75/25 split (q27's
+    // replayable method, partition-count-independent where randomSplit
+    // is not) and the per-(split, label) row counts with exact-decimal
+    // feature mass. These are the row sums of any confusion matrix on
+    // that split and the exact frame the fit consumes; only tree
+    // internals remain ungated (asserted in-band by q46 itself).
+    "q167_confusion_scaffold" -> NamedQuery(
+      fn = (s, d) => {
+        val h = md5(concat_ws("#", lit("graft-q167-123"), col("o_orderkey").cast("string")))
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 0)
+          .withColumn("split",
+            when(conv(substring(h, 1, 2), 16, 10).cast("int") < 192, "train")
+              .otherwise("test"))
+          .groupBy(col("split"), col("o_orderpriority").as("coverage"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+          .orderBy("split", "coverage")
+      },
+      oracle = Some("""
+        SELECT CASE WHEN CAST('0x' || substr(md5('graft-q167-123' || '#' || CAST(o_orderkey AS VARCHAR)), 1, 2) AS INT) < 192
+                    THEN 'train' ELSE 'test' END AS split,
+               o_orderpriority AS coverage,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderkey % 10 = 0
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      doc = "K1 scaffold gate: pinned md5 75/25 split + per-(split,label) counts and exact feature mass (the confusion row sums)"),
 
     // ---------------------------------------------------------------- q58
     // Statistical aggregates (§2.D extension; profiling surface):
@@ -354,12 +415,17 @@ object CoverageGapQueries extends QueryModule {
         val wide = graft.ops.RelationalOps.pivotWide(
           keys = Seq("user_id"), nameCol = "event_type", names = types,
           measures = Seq("value"), orderCol = "event_id")(ev)
-        val label = ev.groupBy("user_id")
+        val perUser = ev.groupBy("user_id")
           .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+        // global mean as a 1-row scalar attach (broadcast cross join, the
+        // F5-class bounded pattern) — a global WINDOW here would drag the
+        // whole per-user frame into one task at scale
+        val thr = perUser.agg(avg(col("n_purchases")).as("thr"))
+        val label = perUser.crossJoin(broadcast(thr))
           .withColumn("coverage",
-            when(col("n_purchases").cast("double") >=
-              avg(col("n_purchases")).over(Window.partitionBy()), "heavy")
+            when(col("n_purchases").cast("double") >= col("thr"), "heavy")
               .otherwise("light"))
+          .drop("thr")
         wide.join(broadcast(label), Seq("user_id"))
           .select((Seq("user_id", "coverage", "n_purchases") ++
             types.map(t => s"value_$t")).map(col): _*)

@@ -583,11 +583,12 @@ object EventQueries extends QueryModule {
     // make the curve honest: an hour with no session endpoints still
     // reports the carried-in live count (a long session spanning quiet
     // hours shows concurrency 1 there, not a missing row), and an hour
-    // that only ends sessions reports the pre-decrement carry. The
-    // global-order window is the one intentionally non-keyed step: the
-    // endpoint+marker stream is |sessions|×2 + |hours| rows (already
-    // aggregated), orders of magnitude smaller than events; at larger
-    // scale the same sweep runs per shard key (e.g. per tenant/day).
+    // that only ends sessions reports the pre-decrement carry. Round 9:
+    // the sweep runs as PrefixSum.scalableRunningSum — within-hour
+    // running sums stay KEYED on the hour bucket; only the hour-grain
+    // totals frame (the result's own grain) crosses one partition — so
+    // the op survives an endpoint stream of any size, not just one
+    // "orders of magnitude smaller than events".
     "q99_concurrency" -> NamedQuery(
       fn = (s, d) => {
         val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -609,10 +610,9 @@ object EventQueries extends QueryModule {
           .unionByName(sessions.select((col("t1") + 1L).as("ts"), lit(-1L).as("delta")))
           .unionByName(markers)
           .groupBy("ts").agg(sum(col("delta")).as("d"))
-        val sweep = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
-        deltas
-          .withColumn("live", sum(col("d")).over(sweep))
-          .withColumn("hour_bucket", expr(s"ts div ${HourUs}L"))
+        graft.ops.PrefixSum.scalableRunningSum(deltas,
+            bucket = expr(s"ts div ${HourUs}L"), bucketName = "hour_bucket",
+            orderCols = Seq("ts"), valueCol = "d", outCol = "live")
           .groupBy("hour_bucket")
           .agg(max(col("live")).as("peak_concurrent"))
           .orderBy("hour_bucket")

@@ -14,6 +14,25 @@ import graft.Tables
   */
 object PipelineQueries extends QueryModule {
 
+  /** Null-safe per-row fold for the q163/q164 round-trip gates: every
+    * documents column cast to string with a chr(1) sentinel for NULL, so
+    * concat_ws (which skips nulls) and DuckDB's || (which propagates
+    * them) compute the SAME bytes whatever the corpus contains.
+    */
+  private def rowFoldCols(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Column] =
+    Seq("doc_id", "lang", "source", "n_chars", "text")
+      .map(c => coalesce(df.col(c).cast("string"), lit("\u0001")))
+
+  private val rowFoldOracle: String = """
+    SELECT doc_id,
+           md5(coalesce(CAST(doc_id AS VARCHAR), chr(1)) || '#'
+               || coalesce(lang, chr(1)) || '#'
+               || coalesce(source, chr(1)) || '#'
+               || coalesce(CAST(n_chars AS VARCHAR), chr(1)) || '#'
+               || coalesce(text, chr(1))) AS row_md5
+    FROM documents
+    ORDER BY doc_id"""
+
   def queries: Seq[(String, NamedQuery)] = Seq(
 
     // ---------------------------------------------------------------- q59
@@ -148,8 +167,10 @@ object PipelineQueries extends QueryModule {
     "q162_binary_ingest" -> NamedQuery(
       fn = (s, d) => {
         // capture the dir as a String: Path isn't Serializable and the
-        // lambda ships to executors
-        val dir = TempPaths.dir(s, "q162_media").getAbsolutePath
+        // lambda ships to executors. freshDir: the file set must mirror
+        // THIS dataset — a stale doc_*.bin from an earlier run against a
+        // different (or larger) dataset would ride the glob into the gate.
+        val dir = TempPaths.freshDir(s, "q162_media").getAbsolutePath
         Tables.documents(s, d).select(col("doc_id"), col("text"))
           .filter(col("doc_id") % 10 === 0)
           .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -192,21 +213,22 @@ object PipelineQueries extends QueryModule {
       fn = (s, d) => {
         val dir = TempPaths.dir(s, "q163_csv").getAbsolutePath
         val truth = Tables.documents(s, d)
+        // nullValue sentinel on BOTH sides: Spark's CSV reader otherwise
+        // reads an empty field back as null, and concat_ws would then
+        // silently skip it while the oracle's || propagates NULL — the
+        // round-trip contract must not depend on the corpus having no
+        // null/empty values.
         truth.write.mode("overwrite")
-          .option("header", "true").option("escape", "\"").csv(dir)
+          .option("header", "true").option("escape", "\"")
+          .option("nullValue", "\\N").csv(dir)
         val back = graft.sources.TextSources.csv(s, truth.schema,
-          Map("multiLine" -> "true", "escape" -> "\""), dir)
+          Map("multiLine" -> "true", "escape" -> "\"",
+              "nullValue" -> "\\N", "emptyValue" -> ""), dir)
         back.select(col("doc_id"),
-            md5(concat_ws("#", col("doc_id"), col("lang"), col("source"),
-              col("n_chars"), col("text"))).as("row_md5"))
+            md5(concat_ws("#", rowFoldCols(back): _*)).as("row_md5"))
           .orderBy("doc_id")
       },
-      oracle = Some("""
-        SELECT doc_id,
-               md5(CAST(doc_id AS VARCHAR) || '#' || lang || '#' || source || '#'
-                   || CAST(n_chars AS VARCHAR) || '#' || text) AS row_md5
-        FROM documents
-        ORDER BY doc_id"""),
+      oracle = Some(rowFoldOracle),
       doc = "A1/A2 CSV write->read round-trip (quoted/escaped/multiLine) hash-matched per row vs the parquet truth"),
 
     // --------------------------------------------------------------- q164
@@ -221,20 +243,15 @@ object PipelineQueries extends QueryModule {
         val truth = Tables.documents(s, d)
         truth.write.mode("overwrite")
           .option("header", "true").option("escape", "\"").option("sep", "\t")
-          .csv(dir)
+          .option("nullValue", "\\N").csv(dir)
         val back = graft.sources.TextSources.tsv(s, truth.schema,
-          Map("multiLine" -> "true", "escape" -> "\""), dir)
+          Map("multiLine" -> "true", "escape" -> "\"",
+              "nullValue" -> "\\N", "emptyValue" -> ""), dir)
         back.select(col("doc_id"),
-            md5(concat_ws("#", col("doc_id"), col("lang"), col("source"),
-              col("n_chars"), col("text"))).as("row_md5"))
+            md5(concat_ws("#", rowFoldCols(back): _*)).as("row_md5"))
           .orderBy("doc_id")
       },
-      oracle = Some("""
-        SELECT doc_id,
-               md5(CAST(doc_id AS VARCHAR) || '#' || lang || '#' || source || '#'
-                   || CAST(n_chars AS VARCHAR) || '#' || text) AS row_md5
-        FROM documents
-        ORDER BY doc_id"""),
+      oracle = Some(rowFoldOracle),
       doc = "A5 TSV write->read round-trip hash-matched per row vs the parquet truth"),
 
     // ---------------------------------------------------------------- q62

@@ -52,6 +52,18 @@ object TempPaths {
     d
   }
 
+  /** A session dir as in `dir`, but with any contents from a previous
+    * run in the same session removed first — for staging steps whose
+    * file SET must exactly mirror the current input (a stale file from
+    * an earlier, larger dataset would survive a glob read and produce
+    * rows the oracle doesn't have).
+    */
+  def freshDir(s: SparkSession, name: String): java.io.File = {
+    val f = dir(s, name)
+    Option(f.listFiles()).foreach(_.foreach(delete))
+    f
+  }
+
   // also the vacuum primitive (q131): retention = recursive delete of
   // superseded snapshot dirs
   def delete(f: java.io.File): Unit = {

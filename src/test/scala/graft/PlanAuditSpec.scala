@@ -511,14 +511,28 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q159 Mahalanobis pruning filters BELOW the per-cell aggregate (fan-out cut in-plan)") {
     val p = plan("q159_field_control_pruned")
-    // the 12σ predicate (maha_sq < 144.0) must exist as a Filter...
-    val fi = p.indexOf("< 144.0")
-    assert(fi >= 0, s"pruning predicate not in plan:\n$p")
-    // ...and sit BENEATH the per-cell sum: plan text is top-down, so the
-    // aggregate must appear before (above) the filter — the shuffle and
-    // the exp then see only surviving rows (SURVEY §4's 10-50× cut)
-    val ai = p.indexOf("HashAggregate")
-    assert(ai >= 0 && fi > ai, s"maha filter not below the aggregate:\n$p")
+    val lines = p.linesIterator.toVector
+    // the 12σ predicate must survive in the plan. The maha_sq NAME is
+    // collapsed into the inlined quadratic form by the optimizer, and
+    // Catalyst pushes the predicate into the BroadcastNestedLoopJoin's
+    // join CONDITION (strictly better than a post-join Filter: rows die
+    // during the grid fan-out) — accept either placement, anchored on
+    // the 12² bound, which no other literal in this plan shares.
+    val fIdx = lines.indexWhere(l =>
+      (l.contains("Filter") || l.contains("BroadcastNestedLoopJoin")) &&
+        """<\s*144(\.0+)?\b""".r.findFirstIn(l).isDefined)
+    assert(fIdx >= 0, s"maha pruning predicate not in plan (Filter or BNLJ condition):\n$p")
+    // ...and sit BENEATH the per-cell control sum specifically: plan text
+    // is top-down, so the grid-cell-keyed sum aggregate must appear
+    // before (above) the filter — the shuffle and the exp then see only
+    // surviving rows (SURVEY §4's 10-50× cut). Matching the grid keys +
+    // sum guards against an unrelated earlier HashAggregate making the
+    // ordering check vacuous.
+    val aIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("keys=") &&
+        l.contains("sum") && l.contains("grid_x") && l.contains("grid_y"))
+    assert(aIdx >= 0, s"per-cell sum HashAggregate not in plan:\n$p")
+    assert(fIdx > aIdx, s"maha filter not below the per-cell aggregate:\n$p")
     // the grid fan-out itself is a broadcast nested-loop (no shuffle of
     // the 100 TB probe side to build the grid product)
     assert(p.contains("BroadcastNestedLoopJoin"), s"grid fan-out not broadcast:\n$p")

@@ -65,4 +65,32 @@ class SpaceSavingSpec extends AnyFunSuite {
       .selectExpr("transform(hh, e -> e.item) AS names").head().getSeq[String](0)
     assert(arr === Seq("a", "x", "z")) // ties on est=4 break by item asc
   }
+
+  test("invalid k fails at ANALYSIS time with a named message, not deep in update()") {
+    import spark.implicits._
+    val df = Seq("a", "b").toDF("item")
+    // k = 0 and k = -3: the eviction path would otherwise throw
+    // NoSuchElementException from evictMin on an empty map mid-job
+    for (bad <- Seq("0", "-3")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.agg(expr(s"heavy_hitters(item, $bad)")).collect()
+      }
+      assert(e.getMessage.contains("k > 0"), s"k=$bad: ${e.getMessage}")
+    }
+    // non-foldable k (a column) is a planning-time error too
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a", 3)).toDF("item", "kcol")
+        .agg(expr("heavy_hitters(item, kcol)")).collect()
+    }
+    assert(e2.getMessage.contains("foldable"), e2.getMessage)
+    // same trait guards the other two sketches in the trio
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("v").agg(expr("kmv_distinct(v, 0)")).collect()
+    }
+    assert(e3.getMessage.contains("k > 0"), e3.getMessage)
+    val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1.0, 2L)).toDF("s", "p").agg(expr("top_k_pairs(s, p, -1)")).collect()
+    }
+    assert(e4.getMessage.contains("k > 0"), e4.getMessage)
+  }
 }
