@@ -51,10 +51,10 @@ object LakehouseQueries extends QueryModule {
               col("event_type").as("last_type"),
               col("value").as("last_value")).as("st"))
             .groupBy("user_id").agg(max(col("st")).as("st"))
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try s.readStream.schema(raw.schema)
+        // foreachBatch has no watermark — nothing emits from a no-data
+        // batch, so the GateRun scope is pure overhead removal
+        graft.streaming.GateRun.withStreamGateConfs(s) {
+          val q = s.readStream.schema(raw.schema)
             .option("maxFilesPerTrigger", 1).parquet(slices)
             .writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
               val b = packed(batch)
@@ -67,8 +67,8 @@ object LakehouseQueries extends QueryModule {
               merged.write.mode("overwrite").parquet(dir)
               committed = Some(dir)
             }.start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try q.processAllAvailable() finally q.stop()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.read.parquet(committed.get)
           .select(col("user_id"), col("st.last_event_id").as("last_event_id"),
             col("st.last_type").as("last_type"), col("st.last_value").as("last_value"))

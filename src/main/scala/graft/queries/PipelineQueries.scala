@@ -89,17 +89,13 @@ object PipelineQueries extends QueryModule {
             sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
           .select(unix_micros(col("window.start")).as("window_start_us"),
             col("event_type"), col("n_events"), col("sum_value"))
-        // 8 state partitions (read once at query start): the windowed
-        // aggregate's state store pays a per-partition commit each
-        // batch — 32 partitions only multiply that overhead at this
-        // state size (same measurement as q74).
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try windowed.writeStream.outputMode(OutputMode.Complete)
+        // Complete mode: the final data batch already holds the full
+        // answer — GateRun drops the trailing no-data batch too.
+        graft.streaming.GateRun.withStreamGateConfs(s) {
+          val q = windowed.writeStream.outputMode(OutputMode.Complete)
             .format("memory").queryName("q60_stream_hourly").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try q.processAllAvailable() finally q.stop()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table("q60_stream_hourly").orderBy("window_start_us", "event_type")
       },
       oracle = Some("""
@@ -451,19 +447,15 @@ object PipelineQueries extends QueryModule {
           s.readStream.schema(raw.schema).parquet(s"$dir/*.parquet"))
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
           .as[EventWindows.Event]
-        // State-store partition count is captured from shuffle.partitions
-        // at query START and every partition pays a per-batch store
-        // commit: 8 partitions is plenty at this state size — 32 only
-        // multiplies commit overhead. Restore right after start (the
-        // setting is read once).
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try EventWindows.sessionize(stream).toDF()
+        // Sentinel events close every session inside the data batch —
+        // the GateRun scope (8 state partitions, no-data batches off)
+        // never touches emission here.
+        graft.streaming.GateRun.withStreamGateConfs(s) {
+          val q = EventWindows.sessionize(stream).toDF()
             .writeStream.outputMode(OutputMode.Append)
             .format("memory").queryName("q74_stream_sessions").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try q.processAllAvailable() finally q.stop()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table("q74_stream_sessions")
           .filter(col("session_start_us") < sentinelUs)
           .orderBy("user_id", "session_start_us")
@@ -540,14 +532,13 @@ object PipelineQueries extends QueryModule {
         val stream = Tables.tsAsTimestamp(
           s.readStream.schema(schema).parquet(dir.toString))
         val joined = EventWindows.clickToPurchase(stream)
-        // join state is keyed by user_id: 8 store partitions (see q74)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try joined.writeStream.outputMode(OutputMode.Append)
+        // inner-join rows emit as matches arrive (watermark = cleanup
+        // only), so the GateRun scope is emission-safe
+        graft.streaming.GateRun.withStreamGateConfs(s) {
+          val q = joined.writeStream.outputMode(OutputMode.Append)
             .format("memory").queryName("q78_stream_attribution").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try q.processAllAvailable() finally q.stop()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table("q78_stream_attribution")
           .orderBy("user_id", "click_id", "purchase_id")
       },
@@ -582,13 +573,11 @@ object PipelineQueries extends QueryModule {
           .agg(count(lit(1)).as("n_events"))
           .select(unix_micros(col("window.start")).as("window_start_us"),
             col("user_id"), col("n_events"))
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try windowed.writeStream.outputMode(OutputMode.Complete)
+        graft.streaming.GateRun.withStreamGateConfs(s) {
+          val q = windowed.writeStream.outputMode(OutputMode.Complete)
             .format("memory").queryName("q80_stream_sliding").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try q.processAllAvailable() finally q.stop()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table("q80_stream_sliding").orderBy("window_start_us", "user_id")
       },
       oracle = Some("""
@@ -620,13 +609,11 @@ object PipelineQueries extends QueryModule {
         val deduped = EventWindows
           .dedupStream(stream, keyCols = Seq("user_id", "event_type"))
           .select(col("fp"), unix_micros(col("ts")).as("ts_us"))
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try deduped.writeStream.outputMode(OutputMode.Append)
+        graft.streaming.GateRun.withStreamGateConfs(s) {
+          val q = deduped.writeStream.outputMode(OutputMode.Append)
             .format("memory").queryName("q81_stream_dedup").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try q.processAllAvailable() finally q.stop()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table("q81_stream_dedup").orderBy("fp", "ts_us")
       },
       oracle = Some("""
@@ -659,13 +646,11 @@ object PipelineQueries extends QueryModule {
           .agg(
             count(lit(1)).as("n_events"),
             sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try joined.writeStream.outputMode(OutputMode.Complete)
+        graft.streaming.GateRun.withStreamGateConfs(s) {
+          val q = joined.writeStream.outputMode(OutputMode.Complete)
             .format("memory").queryName("q109_stream_static_join").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try q.processAllAvailable() finally q.stop()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table("q109_stream_static_join").orderBy("c_mktsegment", "event_type")
       },
       oracle = Some("""
@@ -733,17 +718,17 @@ object PipelineQueries extends QueryModule {
         val stream = Tables.tsAsTimestamp(
           s.readStream.schema(raw.schema).parquet(s"$dir/*.parquet"))
         val joined = EventWindows.clickToPurchaseOuter(stream)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try joined.writeStream.outputMode(OutputMode.Append)
+        // flush protocol is sentinel-driven by design ("no reliance on a
+        // no-data micro-batch") — GateRun makes that literal
+        graft.streaming.GateRun.withStreamGateConfs(s) {
+          val q = joined.writeStream.outputMode(OutputMode.Append)
             .format("memory").queryName("q123_stream_outer_join").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try {
-          q.processAllAvailable()
-          sentinel("sentinel2.parquet", maxUs + 4L * 3600 * 1000000L)
-          q.processAllAvailable()
-        } finally q.stop()
+          try {
+            q.processAllAvailable()
+            sentinel("sentinel2.parquet", maxUs + 4L * 3600 * 1000000L)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
         s.table("q123_stream_outer_join")
           .filter(col("user_id") >= 0L)
           .orderBy("user_id", "click_id", "purchase_id")
@@ -784,13 +769,11 @@ object PipelineQueries extends QueryModule {
           .withWatermark("ts", "10 minutes")
           .dropDuplicatesWithinWatermark("user_id", "event_type")
           .select("user_id", "event_type")
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try deduped.writeStream.outputMode(OutputMode.Append)
+        graft.streaming.GateRun.withStreamGateConfs(s) {
+          val q = deduped.writeStream.outputMode(OutputMode.Append)
             .format("memory").queryName("q153_stream_dedup_wm").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try q.processAllAvailable() finally q.stop()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table("q153_stream_dedup_wm").orderBy("user_id", "event_type")
       },
       oracle = Some("""

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared conf scope for the streaming gate queries' run-to-completion
+  * harness. Two levers against the per-query scheduler floor (measured
+  * round 9: ~11 s across the nine streaming gate queries at ANY SF —
+  * pure micro-batch overhead, not data):
+  *
+  *  - `parts` state partitions: the count is captured from
+  *    shuffle.partitions at query START and every partition pays a
+  *    per-batch state-store commit — 8 is plenty at gate state sizes,
+  *    32 only multiplies commit overhead (measured round 2);
+  *  - no-data micro-batches DISABLED for the body's lifetime: every
+  *    gate query emits inside data batches (sentinel flushes — q74/
+  *    q123, match-time emission — q78/q81/q153, or Complete mode —
+  *    q60/q80/q109), so the trailing watermark-advance batch only adds
+  *    a full re-plan + per-partition state commit per query. A query
+  *    whose OUTPUT depends on a trailing no-data batch (e.g. an
+  *    append-mode windowed aggregate flushed by watermark alone, with
+  *    no sentinel) must NOT use this scope — emission would silently
+  *    wait for data that never comes.
+  *
+  * Unlike the old inline pattern (restore right after start), the conf
+  * must stay set for the query's LIFETIME: noDataMicroBatches is read
+  * at every trigger decision, not once at start.
+  */
+object GateRun {
+
+  def withStreamGateConfs[T](s: SparkSession, parts: Int = 8)(body: => T): T = {
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ckptKey = "spark.sql.streaming.checkpointLocation"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.getOption(noDataKey)
+    val prevCkpt = s.conf.getOption(ckptKey)
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s.conf.set(noDataKey, "false")
+    // Checkpoint (offset WAL + state deltas) on tmpfs when available:
+    // these writes are rename-committed and fsync'd, and /tmp here is
+    // ext4 — each batch pays several forced disk syncs for a gate run
+    // whose checkpoint is deliberately throwaway. A FRESH dir per run:
+    // a base + queryName checkpoint surviving into a second invocation
+    // would make the restarted query replay nothing into an empty
+    // memory sink. Production runs set a durable checkpointLocation
+    // explicitly and never pass through this scope.
+    val shm = new java.io.File("/dev/shm")
+    val base = new java.io.File(
+      if (shm.isDirectory && shm.canWrite) shm else new java.io.File(sys.props("java.io.tmpdir")),
+      s"graft_gate_ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
+    base.mkdirs()
+    s.conf.set(ckptKey, base.getAbsolutePath)
+    try body
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None    => s.conf.unset(noDataKey)
+      }
+      prevCkpt match {
+        case Some(v) => s.conf.set(ckptKey, v)
+        case None    => s.conf.unset(ckptKey)
+      }
+      graft.queries.TempPaths.delete(base)
+    }
+  }
+}
