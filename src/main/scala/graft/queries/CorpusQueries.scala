@@ -19,6 +19,35 @@ object CorpusQueries extends QueryModule {
   private val cleanedSql =
     "regexp_replace(regexp_replace(regexp_replace(text, 'https?://\\S+', ' ', 'g'), '\\S+@\\S+\\.\\S+', ' ', 'g'), '[0-9]+', ' ', 'g')"
 
+  /** The q169/q170 shared artifact: the verified near-dup edge table,
+    * derived once per (session, dataset) and written partitioned by an
+    * 8-way d1 bucket. `rebuild = true` (the write-side gate q169)
+    * always re-derives; otherwise a dataset-keyed marker skips the
+    * build so consumers (q170) pay only the parquet read — the driver
+    * iterates queries in Map order, so the consumer must be able to
+    * build on first touch. Returns the table path.
+    */
+  private def edgeArtifact(s: SparkSession, d: String, rebuild: Boolean = false): String = {
+    val dir = TempPaths.dir(s, "q169_edge_artifact")
+    val table = new java.io.File(dir, "edges")
+    val dsKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val marker = new java.io.File(dir, s"_built_$dsKey")
+    if (rebuild || !marker.exists()) {
+      implicit val sp: SparkSession = s
+      // dataset switched (or write-side gate): stale markers go first so
+      // a failed write can't leave a fresh marker over an old table
+      Option(dir.listFiles()).foreach(_.filter(_.getName.startsWith("_built_")).foreach(_.delete()))
+      graft.ops.DedupOps.neardupEdges(
+          Tables.documents(s, d), "text", Seq("lang", "source"), 0.5)
+        .withColumn("bucket", pmod(col("d1"), lit(8)))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(table.getAbsolutePath)
+      marker.createNewFile(): Unit
+    }
+    table.getAbsolutePath
+  }
+
   def queries: Seq[(String, NamedQuery)] = Seq(
 
     // ---------------------------------------------------------------- q47
@@ -225,6 +254,132 @@ object CorpusQueries extends QueryModule {
         GROUP BY cluster
         ORDER BY cluster"""),
       doc = "duplicate clusters: iterative components vs recursive-CTE oracle (north-star)"),
+
+    // --------------------------------------------------------------- q169
+    // The dedup family's ARTIFACT pattern (round-9 verdict task 7):
+    // q50/q55/q116/q117/q122 each re-derive neardupEdges from scratch —
+    // correct for isolated gating, but production derives the verified
+    // edge table ONCE, writes it partitioned, and every consumer reads
+    // the artifact (the same write-once/read-many shape q88 gates for
+    // facts). q169 is the write side: edges partitioned by a d1 bucket
+    // (8-way — bounded file count here; date/scope partitions at
+    // 100 TB), then read BACK in full and hash-matched against the
+    // same-derivation oracle — the round trip proves the layout loses
+    // nothing. The artifact is session-scoped and dataset-keyed
+    // (edgeArtifact) so q170 can consume it in any driver order.
+    "q169_dedup_edges_write" -> NamedQuery(
+      fn = (s, d) => {
+        val table = edgeArtifact(s, d, rebuild = true)
+        s.read.parquet(table)
+          .select("d1", "d2", "jacc")
+          .orderBy("d1", "d2")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, lang, source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, lang, source, seed,
+                 min((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+     + seed * CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT)) % 2305843009213693951) AS mh
+          FROM toks CROSS JOIN generate_series(0, 7) s(seed)
+          GROUP BY 1, 2, 3, 4),
+        bands AS (
+          SELECT doc_id, lang, source, seed // 2 AS band,
+                 md5(CAST(min(mh) AS VARCHAR) || '#' || CAST(max(mh) AS VARCHAR)) AS band_hash
+          FROM sig
+          GROUP BY doc_id, lang, source, seed // 2),
+        candidates AS (
+          SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+          FROM bands b1 JOIN bands b2
+            ON b1.lang = b2.lang AND b1.source = b2.source
+           AND b1.band = b2.band AND b1.band_hash = b2.band_hash
+           AND b1.doc_id < b2.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        inter AS (
+          SELECT c.d1, c.d2, COUNT(*) AS cnt
+          FROM candidates c
+          JOIN toks t1 ON t1.doc_id = c.d1
+          JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+          GROUP BY 1, 2)
+        SELECT d1, d2,
+               round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) AS jacc
+        FROM inter
+        JOIN sizes n1 ON d1 = n1.doc_id
+        JOIN sizes n2 ON d2 = n2.doc_id
+        WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5
+        ORDER BY d1, d2"""),
+      doc = "dedup artifact write side: verified edge table written partitioned once, full read-back hash-matched (write-once/read-many)"),
+
+    // --------------------------------------------------------------- q170
+    // The artifact's CONSUMER side: connected components computed from
+    // the q169 edge TABLE (a parquet read — no re-tokenization, no
+    // re-banding, no re-verification), hash-matched against the q55
+    // recursive-CTE oracle. Together with q169 this is the production
+    // split: derive+write once, then every graph consumer (components
+    // here; triangles/PageRank/collapse in real pipelines) starts from
+    // the compact artifact. Bench shows the point: q170's passes skip
+    // the whole LSH pipeline q55 re-pays.
+    "q170_dedup_components_read" -> NamedQuery(
+      fn = (s, d) => {
+        val pairs = s.read.parquet(edgeArtifact(s, d)).select("d1", "d2")
+        val docs = Tables.documents(s, d).select("doc_id")
+        graft.ops.DedupOps.duplicateClusters(pairs, docs, maxIter = 15)
+          .groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+          .orderBy("cluster")
+      },
+      oracle = Some("""
+        WITH RECURSIVE toks AS (
+          SELECT DISTINCT doc_id, lang, source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, lang, source, seed,
+                 min((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+     + seed * CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT)) % 2305843009213693951) AS mh
+          FROM toks CROSS JOIN generate_series(0, 7) s(seed)
+          GROUP BY 1, 2, 3, 4),
+        bands AS (
+          SELECT doc_id, lang, source, seed // 2 AS band,
+                 md5(CAST(min(mh) AS VARCHAR) || '#' || CAST(max(mh) AS VARCHAR)) AS band_hash
+          FROM sig
+          GROUP BY doc_id, lang, source, seed // 2),
+        candidates AS (
+          SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+          FROM bands b1 JOIN bands b2
+            ON b1.lang = b2.lang AND b1.source = b2.source
+           AND b1.band = b2.band AND b1.band_hash = b2.band_hash
+           AND b1.doc_id < b2.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        inter AS (
+          SELECT c.d1, c.d2, COUNT(*) AS cnt
+          FROM candidates c
+          JOIN toks t1 ON t1.doc_id = c.d1
+          JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT d1, d2
+          FROM inter
+          JOIN sizes n1 ON d1 = n1.doc_id
+          JOIN sizes n2 ON d2 = n2.doc_id
+          WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5),
+        edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL
+          SELECT d2, d1 FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT doc_id, doc_id AS lab FROM documents
+          UNION
+          SELECT e.dst AS doc_id, r.lab
+          FROM reach r JOIN edges e ON e.src = r.doc_id),
+        labels AS (
+          SELECT doc_id, MIN(lab) AS cluster FROM reach GROUP BY doc_id)
+        SELECT cluster, COUNT(*) AS n_docs
+        FROM labels
+        GROUP BY cluster
+        ORDER BY cluster"""),
+      doc = "dedup artifact consumer side: components from the written edge table (no re-derivation), vs recursive-CTE oracle"),
 
     // ---------------------------------------------------------------- q73
     // Incremental dedup — the continuous-ingest shape: a NEW batch
