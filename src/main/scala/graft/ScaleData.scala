@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derived scale-up generator for the round-9 sf1 scale-proof:
+  * replicates the driver's sf0.1 testdata `factor`× with disjoint
+  * key ranges so every referential relationship (orders→customer,
+  * lineitem→orders/part/supplier, events.user_id→customer) holds
+  * WITHIN each replica and never across — cardinalities, join fan-outs,
+  * and group sizes all scale linearly, which is exactly the property a
+  * scaling-exponent measurement needs. Dims (region, nation) stay
+  * fixed, as they would at any SF.
+  *
+  * Documents get replica-salted TOKENS (`tok` → `tok_rK`) so the
+  * near-dup corpus scales honestly: in-replica duplicate structure is
+  * identical to sf0.1 while cross-replica Jaccard is 0 — without the
+  * salt, every replica of a document is an exact duplicate of 9
+  * others and the dedup graph quadratically densifies BY CONSTRUCTION,
+  * which would measure the synthetic data, not the plan. n_chars is
+  * recomputed (it equals length(text) in the source data). Embedding
+  * vectors are replicated as-is (10× points per IVF cell; ties on
+  * exact distance resolve by the id tiebreaks every ANN query pins).
+  *
+  * `sbt "runMain graft.ScaleData /root/testdata/sf0.1 <dstDir> 10"`
+  * This is builder tooling for SCALING.md measurements, not part of
+  * the query surface; the driver's own testdata stays authoritative
+  * for the correctness gate at sf0.001/0.01/0.1.
+  */
+object ScaleData {
+
+  // disjoint-shift bases, each a clean decade above the sf0.1 max key
+  private val C = 100000L   // customer / events.user_id
+  private val O = 1000000L  // orders / lineitem.l_orderkey
+  private val P = 100000L   // part
+  private val S = 10000L    // supplier
+  private val E = 1000000L  // events.event_id
+  private val D = 100000L   // documents
+  private val V = 100000L   // embeddings
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.drop(1).headOption.getOrElse("/root/repo/scaledata/sf1")
+    val factor = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(dst).mkdirs()
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+
+    // single FILE per table, exactly like the driver's layout — both the
+    // Tables loader and tools/check_oracle read "<dir>/<t>.parquet" as a
+    // plain parquet file (duckdb's read_parquet rejects directories)
+    def writeSingle(df: DataFrame, t: String): Unit = {
+      val tmp = s"$dst/_tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $t"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dst/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.queries.TempPaths.delete(new java.io.File(tmp))
+      println(s"[scaledata] $t -> $dst/$t.parquet")
+    }
+
+    def replicate(t: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
+      val base = read(t)
+      val out = (0 until factor).map(r => shift(base, r)).reduce(_.unionByName(_))
+      writeSingle(out, t)
+    }
+
+    // dims: fixed at any SF
+    Seq("region", "nation").foreach(t => writeSingle(read(t), t))
+
+    replicate("customer") { (df, r) => df.withColumn("c_custkey", col("c_custkey") + lit(r * C)) }
+    replicate("supplier") { (df, r) => df.withColumn("s_suppkey", col("s_suppkey") + lit(r * S)) }
+    replicate("part") { (df, r) => df.withColumn("p_partkey", col("p_partkey") + lit(r * P)) }
+    replicate("orders") { (df, r) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(r * O))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * C))
+    }
+    replicate("lineitem") { (df, r) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(r * O))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * P))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * S))
+    }
+    replicate("events") { (df, r) =>
+      df.withColumn("event_id", col("event_id") + lit(r * E))
+        .withColumn("user_id", col("user_id") + lit(r * C))
+    }
+    replicate("documents") { (df, r) =>
+      val salted =
+        if (r == 0) df
+        else df.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_r$r"))
+      salted
+        .withColumn("doc_id", col("doc_id") + lit(r * D))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    replicate("embeddings") { (df, r) => df.withColumn("vec_id", col("vec_id") + lit(r * V)) }
+
+    spark.stop()
+  }
+}

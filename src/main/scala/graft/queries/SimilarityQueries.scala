@@ -30,6 +30,19 @@ object SimilarityQueries extends QueryModule {
       .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
   }
 
+  /** IVF cell count, DATA-SCALED (round-9 sf1 scale-proof): a constant
+    * nlist makes in-cell work quadratic — points-per-cell grows with N
+    * while the probe count grows with N too, so q40/q156 measured 16–20×
+    * for 10× data. nlist = max(8, ceil(sqrt(N))) is the standard IVF
+    * sizing rule: cell size ~ sqrt(N), total candidate pairs ~ N^1.5.
+    * One bounded 1-row driver pull (F5-class), mirrored in the oracle
+    * as a LIMIT subexpression.
+    */
+  private def ivfNlist(v: DataFrame): Int = {
+    val n = v.count()
+    math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+  }
+
   /** Integer-weight pseudo-random hyperplane p as a float-array literal:
     * w[p][k] = (7k + 3p) mod 11 − 5 (exactly representable in float, so
     * Spark and the DuckDB oracle agree bit-for-bit).
@@ -162,7 +175,7 @@ object SimilarityQueries extends QueryModule {
     "q40_ivf_ann" -> NamedQuery(
       fn = (s, d) => {
         val v = vecs(s, d)
-        val cents = v.orderBy("vec_id").limit(8)
+        val cents = v.orderBy("vec_id").limit(ivfNlist(v))
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"), col("nrm").as("cent_nrm"))
         // assign: nearest centroid by rounded cosine, ties to lowest cent_id
         val assigned = RelationalOps.topKPerGroup(
@@ -189,7 +202,8 @@ object SimilarityQueries extends QueryModule {
           FROM embeddings),
         cents AS (
           SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
-          FROM v ORDER BY vec_id LIMIT 8),
+          FROM v ORDER BY vec_id
+          LIMIT greatest(8, CAST(ceil(sqrt((SELECT COUNT(*) FROM v))) AS BIGINT))),
         assigned AS (
           SELECT vec_id, cell, emb, nrm
           FROM (SELECT v.vec_id, c.cent_id AS cell, v.emb, v.nrm,
@@ -751,7 +765,7 @@ object SimilarityQueries extends QueryModule {
     "q156_ivf_multiprobe" -> NamedQuery(
       fn = (s, d) => {
         val v = vecs(s, d)
-        val cents = v.orderBy("vec_id").limit(8)
+        val cents = v.orderBy("vec_id").limit(ivfNlist(v))
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
             col("nrm").as("cent_nrm"))
         val scoredC = v.crossJoin(broadcast(cents))
@@ -785,7 +799,8 @@ object SimilarityQueries extends QueryModule {
           FROM embeddings),
         cents AS (
           SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
-          FROM v ORDER BY vec_id LIMIT 8),
+          FROM v ORDER BY vec_id
+          LIMIT greatest(8, CAST(ceil(sqrt((SELECT COUNT(*) FROM v))) AS BIGINT))),
         scored AS (
           SELECT v.vec_id, c.cent_id, v.emb, v.nrm,
                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
