@@ -51,7 +51,12 @@ object Audit {
     // frame (same F5-class bounded pattern as q133/q136/q146/q152);
     // q168: the guarantee scoreboard crosses four 1-row aggregates
     // (token total, entry count, violation counts) — all bounded
-    "q158_feature_matrix", "q168_heavy_hitters_bounds")
+    "q158_feature_matrix", "q168_heavy_hitters_bounds",
+    // q171: bounded id-sampled probe set broadcast against the corpus
+    // (dense leg) — the q144/q145 sampled-query-set audit pattern —
+    // plus the 1-row BM25 corpus-stats attach; q172: 1-row LM
+    // totals/vocab attach (F5-class bounded)
+    "q171_rrf_fusion", "q172_dsir_weights")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,

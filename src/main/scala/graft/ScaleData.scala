@@ -50,6 +50,14 @@ object ScaleData {
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try generate(spark, src, dst, factor)
+    finally spark.stop()
+  }
+
+  /** Session-agnostic core (ScaleDataSpec drives it on the shared test
+    * session, which must not be stopped).
+    */
+  def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     new java.io.File(dst).mkdirs()
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
@@ -104,7 +112,5 @@ object ScaleData {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
     replicate("embeddings") { (df, r) => df.withColumn("vec_id", col("vec_id") + lit(r * V)) }
-
-    spark.stop()
   }
 }

@@ -1231,6 +1231,135 @@ object CorpusQueries extends QueryModule {
               FROM scores)
         WHERE rnk <= 20
         ORDER BY rnk"""),
-      doc = "Okapi BM25 top-20 for the corpus's 3 highest-df terms: sparse retrieval beside the dense ANN path")
+      doc = "Okapi BM25 top-20 for the corpus's 3 highest-df terms: sparse retrieval beside the dense ANN path"),
+
+    // --------------------------------------------------------------- q171
+    // Hybrid retrieval fusion — Reciprocal Rank Fusion (Cormack et al.
+    // 2009, the fusion every BM25+dense RAG stack ships): for each
+    // probe document, a LEXICAL ranking (BM25 of the probe's tokens
+    // against the candidate corpus — q152's scoring recipe) and a DENSE
+    // ranking (embedding cosine — q37/q40's recipe, vec_id keys
+    // doc_id's embedding) are fused as rrf = Σ 1/(60 + rank), top-5
+    // per probe. Every piece is keyed or bounded: probes are a bounded
+    // id-sampled set (broadcast — the q144/q145 audit pattern), the
+    // lexical leg joins probe tokens to candidate postings ON THE
+    // TOKEN, the dense leg is probe×corpus with the probe side
+    // broadcast, rank windows partition by probe. Parity: ln/idf and
+    // cosine round to 6 (Registry recipe), ranks are ints, rrf is the
+    // same IEEE division tree on both engines, tie-breaks pinned to
+    // the candidate id.
+    "q171_rrf_fusion" -> NamedQuery(
+      fn = (s, d) => {
+        val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+        graft.expr.GraftFunctions.register(s)
+        val vecs = Tables.embeddings(s, d)
+          .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+        // candidate universe: documents that HAVE an embedding
+        val cands = Tables.documents(s, d)
+          .join(vecs.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+        val probes = vecs.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+        // dense leg: cosine rank per probe
+        val dense = vecs.crossJoin(broadcast(probes))
+          .withColumn("cos", round(
+            expr("vec_dot(embedding, p_emb)") / (col("nrm") * col("p_nrm")), 6))
+          .withColumn("r_dense", row_number().over(
+            Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)))
+          .select(col("probe_id"), col("vec_id").as("doc_id"), col("r_dense"))
+        // lexical leg: probe doc's distinct tokens as the query, BM25
+        // (k1=1.2, b=0.75) against candidate postings — keyed on tok
+        val toks = cands.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val stats = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot_len"))
+        val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val ptoks = toks.join(probes.select(col("probe_id").as("doc_id")), Seq("doc_id"))
+          .select(col("doc_id").as("probe_id"), col("tok")).distinct()
+        val terms = tf
+          .join(broadcast(ptoks), Seq("tok"))
+          .join(broadcast(dfq), Seq("tok"))
+          .join(len, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("avglen", col("tot_len").cast("double") / col("n_docs"))
+          .withColumn("idf", round(log(
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6))
+          .withColumn("tfc", (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len").cast("double") / col("avglen")))))
+          .withColumn("term", round(col("idf") * col("tfc"), 6))
+        val lex = terms.groupBy("probe_id", "doc_id")
+          .agg(sum(col("term").cast(dec6)).cast("double").as("bm25"))
+          .withColumn("r_lex", row_number().over(
+            Window.partitionBy("probe_id").orderBy(col("bm25").desc, col("doc_id").asc)))
+          .select("probe_id", "doc_id", "r_lex")
+        // fuse: a doc absent from one leg contributes 0 from it
+        val fused = dense.join(lex, Seq("probe_id", "doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)), 6))
+        graft.ops.RelationalOps.topKPerGroup(
+            Seq("probe_id"), Seq(col("rrf").desc, col("doc_id").asc), 5)(fused)
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+          .select("probe_id", "rnk", "doc_id", "rrf")
+          .orderBy("probe_id", "rnk")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        probes AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+                   FROM v WHERE vec_id % 100 = 0),
+        dense AS (
+          SELECT probe_id, vec_id AS doc_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY
+                   round(list_dot_product(emb, p_emb) / (nrm * p_nrm), 6) DESC,
+                   vec_id ASC) AS r_dense
+          FROM v CROSS JOIN probes),
+        cands AS (
+          SELECT d.doc_id, d.text FROM documents d JOIN v ON v.vec_id = d.doc_id),
+        toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM cands),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        len AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS tot_len FROM len),
+        dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        ptoks AS (
+          SELECT DISTINCT t.doc_id AS probe_id, t.tok
+          FROM toks t JOIN probes p ON p.probe_id = t.doc_id),
+        terms AS (
+          SELECT q.probe_id, t.doc_id,
+                 round(round(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+                       * ((t.tf * 2.2)
+                          / (t.tf + 1.2 * (0.25 + 0.75
+                             * (l.len / (CAST(s.tot_len AS DOUBLE) / s.n_docs))))), 6) AS term
+          FROM tf t
+          JOIN ptoks q USING (tok)
+          JOIN dfq f USING (tok)
+          JOIN len l USING (doc_id)
+          CROSS JOIN stats s),
+        lex AS (
+          SELECT probe_id, doc_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY
+                   CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) DESC, doc_id ASC) AS r_lex
+          FROM (SELECT probe_id, doc_id, term FROM terms)
+          GROUP BY probe_id, doc_id),
+        fused AS (
+          SELECT COALESCE(d.probe_id, x.probe_id) AS probe_id,
+                 COALESCE(d.doc_id, x.doc_id) AS doc_id,
+                 round(COALESCE(1.0 / (60 + d.r_dense), 0)
+                     + COALESCE(1.0 / (60 + x.r_lex), 0), 6) AS rrf
+          FROM dense d FULL OUTER JOIN lex x
+            ON d.probe_id = x.probe_id AND d.doc_id = x.doc_id)
+        SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf
+        FROM (SELECT probe_id, doc_id, rrf,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY rrf DESC, doc_id ASC) AS rnk
+              FROM fused)
+        WHERE rnk <= 5
+        ORDER BY probe_id, rnk"""),
+      doc = "hybrid retrieval: RRF fusion of BM25 (lexical) and cosine (dense) rankings, top-5 per probe (RAG retrieval stack)")
   )
 }

@@ -780,6 +780,53 @@ object PipelineQueries extends QueryModule {
         SELECT DISTINCT user_id, event_type
         FROM events
         ORDER BY user_id, event_type"""),
-      doc = "streaming dedup with watermark state eviction (dropDuplicatesWithinWatermark) vs batch (§2.J ninth shape)")
+      doc = "streaming dedup with watermark state eviction (dropDuplicatesWithinWatermark) vs batch (§2.J ninth shape)"),
+
+    // --------------------------------------------------------------- q173
+    // transformWithState through the gate — Spark 4's NEW arbitrary-
+    // state API (StatefulProcessor: named state variables, per-state
+    // TTL, timers; the successor to q74's flatMapGroupsWithState) in
+    // its stateful-map shape: every event emitted enriched with the
+    // per-user running count + running max so far
+    // (EventWindows.RunningTotalsProcessor). Requires the RocksDB
+    // state-store provider (the API refuses HDFS-backed stores) —
+    // scoped via GateRun's extra confs. No watermark/sentinels needed:
+    // output is emitted for every input row inside the data batch.
+    // Count and max are increment/selection ops — bit-exact vs the
+    // batch running-window oracle, no float accumulation.
+    "q173_stream_transform_state" -> NamedQuery(
+      fn = (s, d) => {
+        import graft.streaming.EventWindows
+        implicit val sp = s
+        import s.implicits._
+        val dir = TempPaths.stageFile(s, "q173_events", s"$d/events.parquet", "events.parquet").toPath
+        val schema = Tables.load(s, d, "events").schema
+        val stream = Tables.tsAsTimestamp(
+          s.readStream.schema(schema).parquet(dir.toString))
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .as[EventWindows.Event]
+        graft.streaming.GateRun.withStreamGateConfs(s, extra = Map(
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+          val q = EventWindows.runningTotals(stream).toDF()
+            .writeStream.outputMode(OutputMode.Append)
+            .format("memory").queryName("q173_stream_transform_state").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table("q173_stream_transform_state")
+          .orderBy("user_id", "run_n")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+          FROM events)
+        SELECT user_id, event_id,
+               CAST(row_number() OVER w AS BIGINT) AS run_n,
+               MAX(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_max
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ORDER BY user_id, run_n"""),
+      doc = "transformWithState (Spark 4 StatefulProcessor + RocksDB store): per-user running enrichment vs batch windows (§2.J tenth shape)")
   )
 }

@@ -792,6 +792,89 @@ object PretrainQueries extends QueryModule {
         FROM ranked
         WHERE rnk <= 5
         ORDER BY source, rnk"""),
-      doc = "A-ES weighted sample: ln(u)/w keys from md5, top-5 per source, replayable (north-star)")
+      doc = "A-ES weighted sample: ln(u)/w keys from md5, top-5 per source, replayable (north-star)"),
+
+    // --------------------------------------------------------------- q172
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every raw
+    // document by how target-like it is under bag-of-unigrams language
+    // models — logw(doc) = Σ_tok tf · (ln p_target(tok) − ln p_raw(tok))
+    // with add-1 smoothing over the raw vocabulary — then keep the
+    // top-100 by (logw desc, doc_id). The TARGET here is data-derived
+    // and deterministic: the src0/src1 slice stands in for the
+    // high-quality domain sample DSIR is seeded with. Composition of
+    // the q70 (unigram logprob) and q146 (distribution contrast)
+    // machinery into the published selection op. Scale: both LMs are
+    // keyed token aggregates; the target LM and vocab total are
+    // bounded (vocab-sized / 1-row) broadcasts; the per-doc sum is one
+    // keyed agg in DECIMAL(18,6) — no sort until the final bounded
+    // top-k. Parity: ln-ratio rounds to 6 per token (Registry
+    // transcendental rule), decimal per-doc sums.
+    "q172_dsir_weights" -> NamedQuery(
+      fn = (s, d) => {
+        val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val rawCnt = toks.groupBy("tok").agg(count(lit(1)).as("c_raw"))
+        val tgtCnt = toks.filter(col("source").isin("src0", "src1"))
+          .groupBy("tok").agg(count(lit(1)).as("c_tgt"))
+        // smoothing denominator uses the RAW vocabulary (V) on both
+        // sides so unseen-in-target tokens get mass 1/(tot_tgt + V)
+        val stats = rawCnt.agg(
+          sum(col("c_raw")).as("tot_raw"),
+          count(lit(1)).as("v"))
+        val tgtTot = tgtCnt.agg(sum(col("c_tgt")).as("tot_tgt"))
+        val lm = rawCnt.join(tgtCnt, Seq("tok"), "left")
+          .na.fill(0L, Seq("c_tgt"))
+          .crossJoin(broadcast(stats)).crossJoin(broadcast(tgtTot))
+          .withColumn("lnr", round(
+            log((col("c_tgt") + lit(1)).cast("double") / (col("tot_tgt") + col("v"))) -
+            log((col("c_raw") + lit(1)).cast("double") / (col("tot_raw") + col("v"))), 6))
+          .select("tok", "lnr")
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        graft.expr.GraftFunctions.register(s)
+        // selection via the native partial top-k (k-sized buffers per
+        // partition, payload tiebreak = doc_id — q152's pattern), never
+        // a corpus-wide sort; semantics = row_number() <= 100 exactly
+        tf.join(broadcast(lm), Seq("tok"))
+          .groupBy("doc_id")
+          .agg(sum((col("tf") * col("lnr")).cast(dec6)).cast("double").as("logw"))
+          .agg(expr("top_k_pairs(logw, doc_id, 100)").as("topk"))
+          .select(posexplode(col("topk")).as(Seq("pos", "p")))
+          .select((col("pos") + 1).cast("long").as("rnk"),
+            col("p.payload").as("doc_id"), col("p.score").as("logw"))
+          .orderBy("rnk")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        raw_cnt AS (SELECT tok, COUNT(*) AS c_raw FROM toks GROUP BY 1),
+        tgt_cnt AS (SELECT tok, COUNT(*) AS c_tgt FROM toks
+                    WHERE source IN ('src0', 'src1') GROUP BY 1),
+        stats AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS tot_raw,
+                         COUNT(*) AS v FROM raw_cnt),
+        tgt_tot AS (SELECT CAST(COALESCE(SUM(c_tgt), 0) AS BIGINT) AS tot_tgt FROM tgt_cnt),
+        lm AS (
+          SELECT r.tok,
+                 round(ln((COALESCE(t.c_tgt, 0) + 1.0) / (g.tot_tgt + s.v))
+                     - ln((r.c_raw + 1.0) / (s.tot_raw + s.v)), 6) AS lnr
+          FROM raw_cnt r
+          LEFT JOIN tgt_cnt t USING (tok)
+          CROSS JOIN stats s CROSS JOIN tgt_tot g),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        w AS (
+          SELECT doc_id,
+                 CAST(SUM(CAST(tf * lnr AS DECIMAL(18,6))) AS DOUBLE) AS logw
+          FROM tf JOIN lm USING (tok)
+          GROUP BY doc_id)
+        SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, logw
+        FROM (SELECT doc_id, logw,
+                     row_number() OVER (ORDER BY logw DESC, doc_id ASC) AS rnk
+              FROM w)
+        WHERE rnk <= 100
+        ORDER BY rnk"""),
+      doc = "DSIR importance weights: per-doc target-vs-raw unigram log-ratio, top-100 resample selection (pretraining data curation)")
   )
 }

@@ -35,6 +35,58 @@ object EventWindows {
     i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
 
+  // ---- transformWithState (Spark 4's arbitrary-state API) -------------
+
+  final case class RunState(n: Long, mx: Double)
+
+  final case class RunningOut(user_id: Long, event_id: Long,
+                              run_n: Long, run_max: Double)
+
+  /** Per-user running event count + running max enrichment on the NEW
+    * `StatefulProcessor` API (the Spark-4 successor to
+    * flatMapGroupsWithState: named state variables, per-state TTL,
+    * timers; requires the RocksDB state store provider). Emits one row
+    * PER INPUT EVENT carrying the state so far — the stateful-map shape
+    * (fraud-score accumulation, per-entity enrichment) that the
+    * aggregate-shaped operators can't express. Batch-internal order is
+    * pinned by the (µs, event_id) sort, same as sessionize; count and
+    * max are selection/increment ops, so results are bit-exact against
+    * a batch window oracle (no float accumulation). TTLConfig.NONE here
+    * because the gate replay is finite; a 24/7 run sets a TTL so idle
+    * keys age out of RocksDB.
+    */
+  class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, RunningOut] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState, TimeMode}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var st: ValueState[RunState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RunState]("run", Encoders.product[RunState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[RunningOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var cur = if (st.exists()) st.get() else RunState(0L, Double.NegativeInfinity)
+      val out = sorted.map { e =>
+        cur = RunState(cur.n + 1, math.max(cur.mx, e.value))
+        RunningOut(user, e.event_id, cur.n, cur.mx)
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  /** q173's operator: the processor above over a keyed event stream. */
+  def runningTotals(events: Dataset[Event])(implicit spark: SparkSession): Dataset[RunningOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Tumbling 1-minute event-time counts with a 10-minute watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

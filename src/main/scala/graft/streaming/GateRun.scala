@@ -27,7 +27,18 @@ import org.apache.spark.sql.SparkSession
   */
 object GateRun {
 
-  def withStreamGateConfs[T](s: SparkSession, parts: Int = 8)(body: => T): T = {
+  def withStreamGateConfs[T](s: SparkSession, parts: Int = 8,
+                             extra: Map[String, String] = Map.empty)(body: => T): T = {
+    val prevExtra = extra.keys.map(k => k -> s.conf.getOption(k)).toMap
+    extra.foreach { case (k, v) => s.conf.set(k, v) }
+    try withStreamGateConfsBase(s, parts)(body)
+    finally prevExtra.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  private def withStreamGateConfsBase[T](s: SparkSession, parts: Int)(body: => T): T = {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ckptKey = "spark.sql.streaming.checkpointLocation"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integrity pins for the sf-scale-up generator (SCALING.md "sf1
+  * scale-proof"): a factor-2 derivation of sf0.001 must scale every
+  * fact table exactly linearly, keep every referential join resolvable
+  * in-replica, keep dims fixed, and keep replica token universes
+  * disjoint (the property that stops the near-dup graph densifying
+  * quadratically by construction).
+  */
+class ScaleDataSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val dst = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scaledata_spec_${spark.sparkContext.applicationId}")
+    ScaleData.generate(spark, "/root/testdata/sf0.001", dir.getAbsolutePath, 2)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => graft.queries.TempPaths.delete(dir)))
+    dir.getAbsolutePath
+  }
+
+  private def n(t: String): Long = spark.read.parquet(s"$dst/$t.parquet").count()
+  private def src(t: String): Long =
+    spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").count()
+
+  test("fact tables scale exactly 2x, dims stay fixed") {
+    Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings").foreach { t =>
+      assert(n(t) === 2 * src(t), t)
+    }
+    Seq("region", "nation").foreach(t => assert(n(t) === src(t), t))
+  }
+
+  test("referential joins resolve in-replica (no orphans)") {
+    val o = spark.read.parquet(s"$dst/orders.parquet")
+    val c = spark.read.parquet(s"$dst/customer.parquet")
+    val l = spark.read.parquet(s"$dst/lineitem.parquet")
+    val e = spark.read.parquet(s"$dst/events.parquet")
+    import org.apache.spark.sql.functions.col
+    assert(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count() === 0)
+    assert(l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti").count() === 0)
+    assert(e.join(c, e("user_id") === c("c_custkey"), "left_anti").count() === 0)
+    // keys stay unique after shifting
+    assert(o.select("o_orderkey").distinct().count() === o.count())
+    assert(c.select("c_custkey").distinct().count() === c.count())
+  }
+
+  test("replica token universes are disjoint (vocab doubles, texts salted)") {
+    import org.apache.spark.sql.functions._
+    val d0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val d2 = spark.read.parquet(s"$dst/documents.parquet")
+    val v0 = d0.select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val v2 = d2.select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    assert(v2 === 2 * v0, s"vocab $v0 -> $v2")
+    // n_chars contract holds in the derived data too
+    assert(d2.filter(col("n_chars") =!= length(col("text"))).count() === 0)
+  }
+}
