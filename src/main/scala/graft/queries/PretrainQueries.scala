@@ -788,7 +788,7 @@ object PretrainQueries extends QueryModule {
                                     ORDER BY sel_key DESC, doc_id ASC) AS rnk
           FROM keyed)
         SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars,
-               round(sel_key * 1000000.0, 6) AS key_x1e6
+               round(sel_key * 1000000.0, 6) + 0.0 AS key_x1e6
         FROM ranked
         WHERE rnk <= 5
         ORDER BY source, rnk"""),
