@@ -116,16 +116,25 @@ object Bench {
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val allErrs = results.collect { case (k, _, Some(m)) => (k, m) }
-    val line =
-      if (allErrs.isEmpty) {
+    val sfName = sfDir.split('/').last
+    // the driver's stdout tail window is ~2000 chars and sbt's
+    // "[success]" footer eats ~80 of it; a complete line that would
+    // overflow (suite growth, slow-SF 5-digit ms values) must fall back
+    // to the named-slowest-40 format rather than truncate its own
+    // opening brace back into the r04/r05 parsed:null failure
+    val TailBudget = 1880
+    val compactFull: Option[String] =
+      if (allErrs.nonEmpty) None
+      else {
         val qnum = "^q0*(\\d+)".r
         val compact = ok.map { case (k, v, _) =>
           val n = qnum.findFirstMatchIn(k).map(_.group(1)).getOrElse(k)
           s"\"" + n + "\":" + math.round(v * 1000)
         }.mkString("{", ",", "}")
-        val sfName = sfDir.split('/').last
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":0,"q_key":"query number (q01..)","q_unit":"ms","queries":$compact,"sf":"$sfName","full":"BENCH_FULL.json"}"""
-      } else {
+        val l = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":0,"q_key":"query number (q01..)","q_unit":"ms","queries":$compact,"sf":"$sfName","full":"BENCH_FULL.json"}"""
+        if (l.length <= TailBudget) Some(l) else None
+      }
+    val line = compactFull.getOrElse {
         // Error rounds fall back to the named slowest-40 + capped errors
         // (a 42-error round at ~150 chars each is ~6 KB of errors alone —
         // observed: BENCH_r06 parsed:null). n_errors carries the true
@@ -144,7 +153,9 @@ object Bench {
             s"\"" + k + "\":" + q(trimmed)
           }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${allErrs.size},"queries":$slowest,"errors":$errsCompact,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+        // sf spelled as basename in BOTH formats so a comparison keyed
+        // on the parsed field never sees two spellings for one SF
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":${allErrs.size},"queries":$slowest,"errors":$errsCompact,"sf":"$sfName","full":"BENCH_FULL.json"}"""
       }
     println(line)
     // The committed repo copy is each round's FULL-suite record; an

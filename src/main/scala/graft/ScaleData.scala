@@ -62,6 +62,23 @@ object ScaleData {
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 
+    // The disjoint-replica guarantee holds only while every source key
+    // stays below its shift base — feeding a bigger source (e.g. a
+    // derived sf1 back in) would silently alias keys across replicas
+    // and corrupt every measurement downstream. Fail loudly instead.
+    Seq(
+      ("customer", "c_custkey", C), ("orders", "o_orderkey", O),
+      ("orders", "o_custkey", C), ("lineitem", "l_orderkey", O),
+      ("part", "p_partkey", P), ("supplier", "s_suppkey", S),
+      ("events", "event_id", E), ("events", "user_id", C),
+      ("documents", "doc_id", D), ("embeddings", "vec_id", V)
+    ).foreach { case (t, k, base) =>
+      val mx = read(t).agg(max(col(k))).head().getLong(0)
+      require(mx < base,
+        s"ScaleData: $t.$k max $mx >= shift base $base — replicas would collide; " +
+          "raise the base or use a smaller source")
+    }
+
     // single FILE per table, exactly like the driver's layout — both the
     // Tables loader and tools/check_oracle read "<dir>/<t>.parquet" as a
     // plain parquet file (duckdb's read_parquet rejects directories)

@@ -23,6 +23,20 @@ object PipelineQueries extends QueryModule {
     Seq("doc_id", "lang", "source", "n_chars", "text")
       .map(c => coalesce(df.col(c).cast("string"), lit("\u0001")))
 
+  /** The round-trip gates' null sentinel can collide with DATA: a field
+    * whose literal value is the two-char string \N would round-trip to
+    * NULL. No sentinel string is collision-proof in principle, so make
+    * the precondition explicit -- fail with the reason instead of a
+    * confusing hash diff (same pattern as q165's vocab guard).
+    */
+  private def assertNoSentinelCollision(df: org.apache.spark.sql.DataFrame): Unit = {
+    val hit = df.filter(
+      Seq("lang", "source", "text").map(c => df.col(c) === "\\N").reduce(_ || _)).count()
+    require(hit == 0,
+      s"q163/q164 round-trip gate: $hit rows contain the literal string \\N, " +
+        "which collides with the CSV nullValue sentinel; change the sentinel for this corpus")
+  }
+
   private val rowFoldOracle: String = """
     SELECT doc_id,
            md5(coalesce(CAST(doc_id AS VARCHAR), chr(1)) || '#'
@@ -209,6 +223,7 @@ object PipelineQueries extends QueryModule {
       fn = (s, d) => {
         val dir = TempPaths.dir(s, "q163_csv").getAbsolutePath
         val truth = Tables.documents(s, d)
+        assertNoSentinelCollision(truth)
         // nullValue sentinel on BOTH sides: Spark's CSV reader otherwise
         // reads an empty field back as null, and concat_ws would then
         // silently skip it while the oracle's || propagates NULL — the
@@ -237,6 +252,7 @@ object PipelineQueries extends QueryModule {
       fn = (s, d) => {
         val dir = TempPaths.dir(s, "q164_tsv").getAbsolutePath
         val truth = Tables.documents(s, d)
+        assertNoSentinelCollision(truth)
         truth.write.mode("overwrite")
           .option("header", "true").option("escape", "\"").option("sep", "\t")
           .option("nullValue", "\\N").csv(dir)

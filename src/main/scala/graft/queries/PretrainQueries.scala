@@ -823,7 +823,9 @@ object PretrainQueries extends QueryModule {
         val stats = rawCnt.agg(
           sum(col("c_raw")).as("tot_raw"),
           count(lit(1)).as("v"))
-        val tgtTot = tgtCnt.agg(sum(col("c_tgt")).as("tot_tgt"))
+        // coalesce mirrors the oracle: an empty target slice must yield
+        // tot_tgt = 0 (real ln(1/(0+V)) weights), not NULL-poison every lnr
+        val tgtTot = tgtCnt.agg(coalesce(sum(col("c_tgt")), lit(0L)).as("tot_tgt"))
         val lm = rawCnt.join(tgtCnt, Seq("tok"), "left")
           .na.fill(0L, Seq("c_tgt"))
           .crossJoin(broadcast(stats)).crossJoin(broadcast(tgtTot))

@@ -298,9 +298,11 @@ object TextQueries extends QueryModule {
         // rather than as a confusing hash diff (the sketch would switch
         // to its approximate eviction mode, which is gated by q168's
         // error-bound check, not by hash parity).
+        // vocab == k is still exact: the k-th distinct item inserts while
+        // buf.size == k-1; eviction starts at the (k+1)-th
         val vocab = toks.agg(countDistinct(col("item"))).head().getLong(0)
-        require(vocab < 64,
-          s"q165 exact-mode gate requires corpus vocabulary < 64, got $vocab: " +
+        require(vocab <= 64,
+          s"q165 exact-mode gate requires corpus vocabulary <= 64, got $vocab: " +
             "heavy_hitters would enter its approximate eviction mode; raise k or re-pin the oracle")
         toks.agg(expr("heavy_hitters(item, 64)").as("hh"))
           .selectExpr("explode(hh) AS e")
@@ -333,8 +335,8 @@ object TextQueries extends QueryModule {
         // per-source exact-mode precondition (see q165)
         val maxVocab = toks.groupBy("source").agg(countDistinct(col("item")).as("v"))
           .agg(max(col("v"))).head().getLong(0)
-        require(maxVocab < 64,
-          s"q166 exact-mode gate requires per-source vocabulary < 64, got max $maxVocab: " +
+        require(maxVocab <= 64,
+          s"q166 exact-mode gate requires per-source vocabulary <= 64, got max $maxVocab: " +
             "heavy_hitters would enter its approximate eviction mode; raise k or re-pin the oracle")
         toks.groupBy("source")
           .agg(expr("heavy_hitters(item, 64)").as("hh"))
