@@ -1023,6 +1023,76 @@ object CorpusQueries extends QueryModule {
         ORDER BY doc_id"""),
       doc = "decontam v2: longest consecutive eval-gram run per train doc (islands, one keyed window)"),
 
+    // --------------------------------------------------------------- q174
+    // Corpus-INTERNAL exact-substring repetition (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better" —
+    // the ExactSubstr statistic): q141 finds spans shared with an EVAL
+    // set; this finds spans repeated anywhere in the corpus itself,
+    // the memorization-risk stat that drives substring-level dedup.
+    // Suffix-array-free formulation that distributes: every 5-gram
+    // position, 5-grams occurring more than once anywhere (self OR
+    // cross-doc) flag their positions, consecutive flagged positions
+    // chain into maximal repeated spans via the islands trick. The
+    // repeated-gram table is vocabulary-scale so it is NOT broadcast —
+    // the position join is keyed on the gram; islands are one keyed
+    // window per doc. span_toks = run_len + 4 (a run of k overlapping
+    // 5-grams covers k+4 tokens).
+    "q174_exact_substr" -> NamedQuery(
+      fn = (s, d) => {
+        val arrs = Tables.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("arr"))
+          .filter(size(col("arr")) >= 5)
+        val grams = arrs.select(col("doc_id"), size(col("arr")).as("n_toks"),
+            posexplode(expr(
+              "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))")))
+          .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("i"), col("col").as("gram"))
+        val repeated = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > 1).select("gram")
+        val hits = grams.join(repeated, Seq("gram")).select("doc_id", "n_toks", "i")
+        val runs = hits.withColumn("grp",
+            col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+          .groupBy(col("doc_id"), col("n_toks"), col("grp"))
+          .agg(count(lit(1)).as("run_len"))
+        runs.groupBy("doc_id", "n_toks")
+          .agg(count(lit(1)).as("n_runs"),
+            (max(col("run_len")) + lit(4L)).as("max_span_toks"),
+            sum(col("run_len")).as("n_rep_grams"))
+          .withColumn("rep_frac",
+            round(col("n_rep_grams").cast("double") / (col("n_toks") - 4), 6))
+          .select("doc_id", "n_runs", "max_span_toks", "n_rep_grams", "rep_frac")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH arrs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents),
+        pos AS (
+          SELECT doc_id, len(arr) AS n_toks, arr, unnest(range(1, len(arr) - 3)) AS i
+          FROM arrs WHERE len(arr) >= 5),
+        grams AS (
+          SELECT doc_id, n_toks, CAST(i AS BIGINT) AS i,
+                 array_to_string(list_slice(arr, i, i + 4), ' ') AS gram
+          FROM pos),
+        repeated AS (
+          SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+        hits AS (
+          SELECT doc_id, n_toks, i FROM grams JOIN repeated USING (gram)),
+        runs AS (
+          SELECT doc_id, n_toks,
+                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM hits),
+        rl AS (
+          SELECT doc_id, n_toks, grp, COUNT(*) AS run_len
+          FROM runs GROUP BY 1, 2, 3)
+        SELECT doc_id, COUNT(*) AS n_runs,
+               MAX(run_len) + 4 AS max_span_toks,
+               CAST(SUM(run_len) AS BIGINT) AS n_rep_grams,
+               round(CAST(SUM(run_len) AS DOUBLE) / (n_toks - 4), 6) AS rep_frac
+        FROM rl
+        GROUP BY doc_id, n_toks
+        ORDER BY doc_id"""),
+      doc = "ExactSubstr repetition: maximal repeated 5-gram spans anywhere in the corpus per doc (memorization-risk stat)"),
+
     // --------------------------------------------------------------- q143
     // Zipf power-law fit per source — the corpus-health statistic (a
     // natural corpus has slope ≈ −1; template/boilerplate-heavy sources
