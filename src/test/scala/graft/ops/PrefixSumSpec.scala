@@ -37,6 +37,24 @@ class PrefixSumSpec extends AnyFunSuite {
     for (w <- Seq(1L, 7L, 10L, 1000L)) check(rows, w)
   }
 
+  test("randomized: equivalence holds for arbitrary data and bucket widths") {
+    // deterministic LCG (no Math.random in tests that must replay)
+    var seed = 0x5eedL
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (round <- 1 to 5) {
+      val n = 50 + next(150)
+      // distinct ts including negatives (bucket div truncates toward
+      // zero for negatives — the equivalence must survive that too)
+      val ts = scala.collection.mutable.LinkedHashSet.empty[Long]
+      while (ts.size < n) ts += (next(10000) - 5000).toLong
+      val rows = ts.toSeq.map(t => (t, (next(41) - 20).toLong))
+      check(rows, bucketWidth = 1L + next(97))
+    }
+  }
+
   test("keyed plan shape: the row-scale window is partitioned by the bucket") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, 1L)).toDF("ts", "v")
