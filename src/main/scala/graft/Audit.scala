@@ -56,7 +56,10 @@ object Audit {
     // (dense leg) — the q144/q145 sampled-query-set audit pattern —
     // plus the 1-row BM25 corpus-stats attach; q172: 1-row LM
     // totals/vocab attach (F5-class bounded)
-    "q171_rrf_fusion", "q172_dsir_weights")
+    "q171_rrf_fusion", "q172_dsir_weights",
+    // q179: 1-row count-min counter-table attach onto the per-token
+    // frame (F5-class bounded — the sketch is d×w longs by construction)
+    "q179_count_min_gate")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,

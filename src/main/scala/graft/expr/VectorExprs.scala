@@ -73,6 +73,8 @@ object GraftFunctions {
     KmvDistinct(Cast(exprs(0), LongType), exprs(1)).toAggregateExpression()
   private[expr] def heavyHittersBuilder(exprs: Seq[Expression]): Expression =
     SpaceSaving(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression()
+  private[expr] def countMinBuilder(exprs: Seq[Expression]): Expression =
+    CountMin(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression()
   // Spark's own runtime-filter expressions, exposed by name so
   // ops.BloomOps can plant the identical codegen'd probe explicitly.
   private[expr] def bloomAggBuilder(exprs: Seq[Expression]): Expression =
@@ -90,6 +92,8 @@ object GraftFunctions {
       "kmv_distinct", kmvBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "heavy_hitters", heavyHittersBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_min", countMinBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -124,6 +128,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[SpaceSaving].getName, "heavy_hitters"),
       (exprs: Seq[Expression]) => GraftFunctions.heavyHittersBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[CountMin].getName, "count_min"),
+      (exprs: Seq[Expression]) => GraftFunctions.countMinBuilder(exprs)))
     e.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(

@@ -1430,6 +1430,48 @@ object CorpusQueries extends QueryModule {
               FROM fused)
         WHERE rnk <= 5
         ORDER BY probe_id, rnk"""),
-      doc = "hybrid retrieval: RRF fusion of BM25 (lexical) and cosine (dense) rankings, top-5 per probe (RAG retrieval stack)")
+      doc = "hybrid retrieval: RRF fusion of BM25 (lexical) and cosine (dense) rankings, top-5 per probe (RAG retrieval stack)"),
+
+    // --------------------------------------------------------------- q177
+    // Tokenizer-coverage / OOV-rate audit (north-star): per-doc fraction
+    // of token OCCURRENCES outside the corpus top-16 vocabulary — the
+    // metric that decides whether a tokenizer's vocab budget fits a new
+    // corpus slice before committing a training run. Two stages, both
+    // keyed on `tok`: an exact frequency aggregation whose top-k is a
+    // TakeOrderedAndProject (no global sort), then a BROADCAST left
+    // join of the k-row vocab back onto the token stream — the 100 TB
+    // shape, since the vocab side is bounded by construction. Boundary
+    // ties at rank k are pinned by the (n DESC, tok ASC) total order on
+    // both sides.
+    "q177_oov_rate" -> NamedQuery(
+      fn = (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc).limit(16)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate", round(col("n_oov").cast("double") / col("n_tokens"), 6))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+            ORDER BY n DESC, tok ASC LIMIT 16)),
+        j AS (
+          SELECT t.doc_id, v.tok AS vtok
+          FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(COUNT(*) FILTER (vtok IS NULL) AS BIGINT) AS n_oov,
+               round(CAST(COUNT(*) FILTER (vtok IS NULL) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        FROM j GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "tokenizer-coverage audit: per-doc OOV occurrence rate vs the corpus top-k vocabulary, broadcast vocab join (north-star)")
   )
 }

@@ -1362,6 +1362,66 @@ object EventQueries extends QueryModule {
         FROM isl
         GROUP BY user_id
         ORDER BY user_id"""),
-      doc = "gaps-and-islands longest increasing run (TrackingOps.longestAccelStreak) with a DuckDB islands oracle")
+      doc = "gaps-and-islands longest increasing run (TrackingOps.longestAccelStreak) with a DuckDB islands oracle"),
+
+    // --------------------------------------------------------------- q175
+    // Interval union / coverage (§2.E extension; the "total active time"
+    // primitive): each event opens an interval [ts, ts + value minutes);
+    // overlapping intervals per user merge into blocks. Sweep-line form:
+    // a running max of PRIOR interval ends marks block starts, a running
+    // sum of block-start flags numbers the blocks, then two keyed
+    // aggregations. One shuffle by user_id, every window inside that
+    // same partitioning — the O(n log n) shape that replaces the
+    // pairwise overlap self-join (O(n²) per user) a naive port would
+    // write; at 100 TB only the sweep survives. All time math is exact
+    // integer μs; the minutes→μs conversion floors on BOTH sides
+    // (Spark's double→long cast truncates, DuckDB's CAST rounds — the
+    // explicit floor removes the engine difference).
+    "q175_interval_union" -> NamedQuery(
+      fn = (s, d) => {
+        val iv = graft.Tables.events(s, d).select(
+          col("user_id"), col("event_id"), col("ts_us").as("s_us"),
+          (col("ts_us") + floor(col("value") * lit(60000000.0)).cast("long")).as("e_us"))
+        val ord = Window.partitionBy("user_id")
+          .orderBy(col("s_us"), col("e_us"), col("event_id"))
+        val prevMax = max(col("e_us"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+        val blocks = iv
+          .withColumn("new_block",
+            when(prevMax.isNull || col("s_us") > prevMax, 1L).otherwise(0L))
+          .withColumn("block", sum(col("new_block"))
+            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("block"))
+          .agg(min(col("s_us")).as("b_start"), max(col("e_us")).as("b_end"))
+        blocks.groupBy("user_id")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(col("b_end") - col("b_start")).as("covered_us"),
+            max(col("b_end") - col("b_start")).as("longest_us"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH iv AS (
+          SELECT user_id, event_id, epoch_us(ts) AS s_us,
+                 epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e_us
+          FROM events),
+        mk AS (
+          SELECT user_id, s_us, e_us, event_id,
+                 max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM iv),
+        blk AS (
+          SELECT user_id, s_us, e_us,
+                 sum(CASE WHEN pmax IS NULL OR s_us > pmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS block
+          FROM mk),
+        agg AS (
+          SELECT user_id, block, min(s_us) AS b_start, max(e_us) AS b_end
+          FROM blk GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_blocks,
+               CAST(SUM(b_end - b_start) AS BIGINT) AS covered_us,
+               MAX(b_end - b_start) AS longest_us
+        FROM agg GROUP BY user_id ORDER BY user_id"""),
+      doc = "interval union / coverage per user: sweep-line merge of overlapping intervals in one keyed shuffle (§2.E extension)")
   )
 }

@@ -877,6 +877,56 @@ object PretrainQueries extends QueryModule {
               FROM w)
         WHERE rnk <= 100
         ORDER BY rnk"""),
-      doc = "DSIR importance weights: per-doc target-vs-raw unigram log-ratio, top-100 resample selection (pretraining data curation)")
+      doc = "DSIR importance weights: per-doc target-vs-raw unigram log-ratio, top-100 resample selection (pretraining data curation)"),
+
+    // --------------------------------------------------------------- q178
+    // Sliding context-window chunking (north-star): split each doc into
+    // token windows of W = 32 with stride S = 24 (8-token overlap) — the
+    // training-example extraction step between curation and packing
+    // (q63 packs whole docs; this is the long-doc path where one doc
+    // becomes many attention windows). Pure per-row column algebra:
+    // chunk count from the arithmetic ceil form, `sequence` + `explode`
+    // for indices, `slice` for the window — no shuffle at all until the
+    // final presentation sort, so it scales embarrassingly. The last
+    // chunk is allowed short (covers the tail); chunk identity is the
+    // md5 of the space-joined window, the key downstream chunk-level
+    // dedup would consume.
+    "q178_context_chunks" -> NamedQuery(
+      fn = (s, d) => {
+        val W = 32
+        val S = 24
+        tokenArrays(s, d)
+          .withColumn("n_toks", size(col("arr")))
+          .withColumn("n_chunks",
+            when(col("n_toks") <= W, lit(1L))
+              .otherwise(ceil((col("n_toks") - lit(W)).cast("double") / lit(S.toDouble)) + 1L))
+          .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+          .withColumn("chunk", slice(col("arr"), (col("chunk_idx") * S + 1).cast("int"), lit(W)))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).cast("long").as("chunk_len"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= 32 THEN 1
+                      ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+          FROM d),
+        c AS (
+          SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx, toks FROM m),
+        sl AS (
+          SELECT doc_id, chunk_idx,
+                 toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)] AS chunk
+          FROM c)
+        SELECT doc_id, chunk_idx,
+               CAST(len(chunk) AS BIGINT) AS chunk_len,
+               md5(array_to_string(chunk, ' ')) AS chunk_hash
+        FROM sl
+        ORDER BY doc_id, chunk_idx"""),
+      doc = "sliding context-window chunking (W=32, stride 24): per-doc training-window extraction, shuffle-free (north-star)")
   )
 }

@@ -825,6 +825,83 @@ object SimilarityQueries extends QueryModule {
         SELECT v.vec_id, nn.nn_id, nn.nn_cos
         FROM v LEFT JOIN nn ON v.vec_id = nn.vec_id
         ORDER BY v.vec_id"""),
-      doc = "multi-probe IVF (nprobe=2): the boundary-recovery knob, candidate set exactly 2x q40's")
+      doc = "multi-probe IVF (nprobe=2): the boundary-recovery knob, candidate set exactly 2x q40's"),
+
+    // --------------------------------------------------------------- q176
+    // SemDedup (Abbas et al. 2023): semantic dedup over embeddings —
+    // assign every vector to its nearest IVF centroid, build the
+    // cosine-similarity graph ONLY within each cell, connect components,
+    // keep one representative (min vec_id) per cluster. The cell scoping
+    // IS the algorithm's scale move (and its approximation — cross-cell
+    // near-dups are deliberately missed), so the oracle replicates it
+    // exactly. Components reuse DedupOps.duplicateClusters (checkpointed
+    // min-label rounds) against a recursive-CTE oracle, as in q55.
+    // τ = 0.35: the testdata's random-ish embedding geometry caps
+    // pairwise cosine at ~0.51, so 0.35 plays the role 0.9+ plays for
+    // real sentence-embedding models (non-vacuous: ~50 edges at sf0.01,
+    // ~570 at sf0.1).
+    "q176_semdedup_keeplist" -> NamedQuery(
+      fn = (s, d) => {
+        implicit val sp = s
+        val v = vecs(s, d)
+        val cents = v.orderBy("vec_id").limit(ivfNlist(v))
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+            col("nrm").as("cent_nrm"))
+        val assigned = RelationalOps.topKPerGroup(
+          Seq("vec_id"), Seq(col("cent_cos").desc, col("cent_id").asc), 1)(
+          v.crossJoin(broadcast(cents))
+            .withColumn("cent_cos",
+              round(expr("vec_dot(embedding, cent_emb)") / (col("nrm") * col("cent_nrm")), 6)))
+          .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
+        val a = assigned.select(col("cell"), col("vec_id").as("d1"),
+          col("embedding").as("emb1"), col("nrm").as("n1"))
+        val b = assigned.select(col("cell"), col("vec_id").as("d2"),
+          col("embedding").as("emb2"), col("nrm").as("n2"))
+        val edges = a.join(b, Seq("cell")).filter(col("d1") < col("d2"))
+          .filter(round(expr("vec_dot(emb1, emb2)") / (col("n1") * col("n2")), 6) >= 0.35)
+          .select("d1", "d2")
+        val ids = v.select(col("vec_id").as("doc_id"))
+        graft.ops.DedupOps.duplicateClusters(edges, ids)
+          .select(col("doc_id").as("vec_id"), col("cluster"),
+            (col("doc_id") === col("cluster")).as("keep"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+          FROM v ORDER BY vec_id
+          LIMIT greatest(8, CAST(ceil(sqrt((SELECT COUNT(*) FROM v))) AS BIGINT))),
+        assigned AS (
+          SELECT vec_id, cell, emb, nrm
+          FROM (SELECT v.vec_id, c.cent_id AS cell, v.emb, v.nrm,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY round(list_dot_product(v.emb, c.cent_emb) / (v.nrm * c.cent_nrm), 6) DESC,
+                                  c.cent_id ASC) AS rn
+                FROM v CROSS JOIN cents c)
+          WHERE rn = 1),
+        p AS (
+          SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.35),
+        edges AS (
+          SELECT d1 AS src, d2 AS dst FROM p
+          UNION ALL
+          SELECT d2, d1 FROM p),
+        reach(vec_id, lab) AS (
+          SELECT vec_id, vec_id AS lab FROM v
+          UNION
+          SELECT e.dst AS vec_id, r.lab
+          FROM reach r JOIN edges e ON e.src = r.vec_id),
+        labels AS (
+          SELECT vec_id, MIN(lab) AS cluster FROM reach GROUP BY vec_id)
+        SELECT vec_id, cluster, (vec_id = cluster) AS keep
+        FROM labels
+        ORDER BY vec_id"""),
+      doc = "SemDedup keep-list: IVF-cell-scoped cosine graph -> components -> one representative per cluster (north-star)")
   )
 }

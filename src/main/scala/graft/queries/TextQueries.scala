@@ -426,6 +426,67 @@ object TextQueries extends QueryModule {
                CAST(0 AS BIGINT) AS n_heavy_missing,
                CAST(0 AS BIGINT) AS n_band_violations
         FROM n"""),
-      doc = "approximate heavy-hitters gate: space-saving presence + error-band guarantees as relational assertions vs exact counts (eviction path exercised)")
+      doc = "approximate heavy-hitters gate: space-saving presence + error-band guarantees as relational assertions vs exact counts (eviction path exercised)"),
+
+    // --------------------------------------------------------------- q179
+    // The fourth native sketch through the gate: count-min
+    // (expr/CountMin, d = 4 × w = 32 counters) over the corpus token
+    // stream, answering point-frequency queries in constant memory —
+    // the companion to q165's "which items dominate". Count-min's
+    // counter table is a deterministic function of the input MULTISET
+    // (update = increment, merge = element-wise add), so unlike
+    // space-saving's eviction mode the approximate path itself is
+    // bit-stable under any partitioning — and the oracle can recompute
+    // every bucket sum RELATIONALLY from exact counts (same
+    // Carter-Wegman md5 double-hash as the minhash family) and
+    // hash-match the estimates exactly. w = 32 < vocabulary forces real
+    // collisions: the gate exercises genuine over-counts and proves the
+    // one-sided guarantee (est ≥ true, est ≤ true + ε·n) rather than a
+    // degenerate exact mode.
+    "q179_count_min_gate" -> NamedQuery(
+      fn = (s, d) => {
+        val w = 32
+        val toks = Tables.documents(s, d)
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val sk = toks.agg(expr(s"count_min(tok, $w)").as("cm"))
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("true_n"))
+        // the same md5 double-hash, as Catalyst columns (DedupOps idiom)
+        val h1 = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+        val h2 = conv(substring(md5(col("tok")), 17, 15), 16, 10).cast("long")
+        def bucket(r: Int) =
+          (h1 + lit(r.toLong) * h2) % lit(graft.expr.CountMin.Prime) % lit(w.toLong)
+        val est = least((0 until graft.expr.CountMin.Depth).map(r =>
+          element_at(col("cm"), (lit(r * w) + bucket(r) + 1).cast("int"))): _*)
+        exact.crossJoin(broadcast(sk))
+          .withColumn("est", est)
+          .select(col("tok"), col("true_n"), col("est"),
+            (col("est") - col("true_n")).as("overcount"))
+          .orderBy("tok")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        exact AS (SELECT tok, COUNT(*) AS true_n FROM t GROUP BY tok),
+        h AS (
+          SELECT tok, true_n,
+                 CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h1,
+                 CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT) AS h2
+          FROM exact),
+        g AS (
+          SELECT tok, true_n, r,
+                 (h1 + r * h2) % 2305843009213693951 % 32 AS bucket
+          FROM h CROSS JOIN generate_series(0, 3) s(r)),
+        cells AS (
+          SELECT r, bucket, CAST(SUM(true_n) AS BIGINT) AS cell
+          FROM g GROUP BY r, bucket),
+        est AS (
+          SELECT g.tok, g.true_n, MIN(c.cell) AS est
+          FROM g JOIN cells c ON c.r = g.r AND c.bucket = g.bucket
+          GROUP BY g.tok, g.true_n)
+        SELECT tok, true_n, est, est - true_n AS overcount
+        FROM est
+        ORDER BY tok"""),
+      doc = "count-min sketch gate: native d x w frequency sketch whose estimates the oracle recomputes relationally — exact parity on the approximate path (north-star)")
   )
 }
