@@ -487,6 +487,109 @@ object TextQueries extends QueryModule {
         SELECT tok, true_n, est, est - true_n AS overcount
         FROM est
         ORDER BY tok"""),
-      doc = "count-min sketch gate: native d x w frequency sketch whose estimates the oracle recomputes relationally — exact parity on the approximate path (north-star)")
+      doc = "count-min sketch gate: native d x w frequency sketch whose estimates the oracle recomputes relationally — exact parity on the approximate path (north-star)"),
+
+    // --------------------------------------------------------------- q180
+    // Character-entropy quality signal (the Gopher-family filter that
+    // kills mojibake/binary-junk docs): per-doc Shannon entropy of the
+    // character distribution, in bits. One keyed aggregation to
+    // (doc_id, ch) counts, one back to doc_id — both partial-aggregated.
+    // Float-sum parity: H = −(1/nt)·Σ n·log2(n/nt) with log2 snapped to
+    // integer MILLIONTHS (round(log2·1e6, 0) — a tie there would need
+    // log2(p) to sit exactly on a half-millionth, which these
+    // irrational logs never do; the per-term round(p·lg, 6) idiom DOES
+    // land on decimal .5 ties for low-precision p and splits between
+    // Spark's HALF_UP and DuckDB's float round). The n·lg6 sum is exact
+    // long arithmetic — order-independent under any partitioning — and
+    // the single final division is one deterministic IEEE op.
+    "q180_char_entropy" -> NamedQuery(
+      fn = (s, d) => {
+        val chars = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("n"))
+        val tots = counts.groupBy("doc_id").agg(sum(col("n")).as("nt"))
+        counts.join(tots, Seq("doc_id"))
+          .withColumn("lg6",
+            round(log(2.0, col("n").cast("double") / col("nt")) * 1e6, 0).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_char_types"),
+            max(col("nt")).as("nt_max"),
+            sum(col("n") * col("lg6")).as("num"))
+          .select(col("doc_id"), col("n_char_types"),
+            col("nt_max").as("n_chars_tot"),
+            round(-col("num").cast("double") / (col("nt_max").cast("double") * 1e6), 6)
+              .as("entropy_bits"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH chars AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS ch
+          FROM documents),
+        counts AS (
+          SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY 1, 2),
+        tots AS (
+          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nt FROM counts GROUP BY 1),
+        terms AS (
+          SELECT c.doc_id, t.nt, c.n,
+                 CAST(round(log2(CAST(c.n AS DOUBLE) / t.nt) * 1e6, 0) AS BIGINT) AS lg6
+          FROM counts c JOIN tots t ON c.doc_id = t.doc_id)
+        SELECT doc_id, COUNT(*) AS n_char_types,
+               MAX(nt) AS n_chars_tot,
+               round(-CAST(SUM(n * lg6) AS DOUBLE) / (MAX(nt) * 1e6), 6) AS entropy_bits
+        FROM terms
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      doc = "character-entropy quality signal: per-doc Shannon entropy in bits, order-independent decimal sum (north-star)"),
+
+    // --------------------------------------------------------------- q181
+    // Top-2-gram repetition fraction (the Gopher repetition rule): the
+    // share of a doc's tokens covered by its single most frequent
+    // bigram — boilerplate/spam docs score high and get cut. Bigram
+    // generation is per-row array algebra (transform over an index
+    // sequence — NO shuffle until the (doc, bigram) count), the argmax
+    // is one topKPerGroup with the tie pinned (count desc, bigram asc).
+    // The `size >= 2` guard makes the contract data-independent (Spark's
+    // sequence(1, 0) would DESCEND, not return empty).
+    "q181_rep_bigram" -> NamedQuery(
+      fn = (s, d) => {
+        val bi = Tables.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("arr"))
+          .filter(size(col("arr")) >= 2)
+          .withColumn("n_tokens", size(col("arr")).cast("long"))
+          .withColumn("bg", explode(expr(
+            "transform(sequence(1, size(arr) - 1), i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))")))
+          .groupBy(col("doc_id"), col("n_tokens"), col("bg"))
+          .agg(count(lit(1)).as("n"))
+        graft.ops.RelationalOps.topKPerGroup(
+            Seq("doc_id"), Seq(col("n").desc, col("bg").asc), 1)(bi)
+          .select(col("doc_id"), col("n_tokens"),
+            col("bg").as("top_bigram"), col("n").as("top_n"),
+            round(lit(2.0) * col("n") / col("n_tokens"), 6).as("rep_fraction"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents),
+        b AS (
+          SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens,
+                 unnest(list_transform(range(1, len(arr)),
+                        i -> arr[i] || ' ' || arr[i + 1])) AS bg
+          FROM d
+          WHERE len(arr) >= 2),
+        c AS (
+          SELECT doc_id, n_tokens, bg, COUNT(*) AS n
+          FROM b GROUP BY 1, 2, 3),
+        top AS (
+          SELECT doc_id, n_tokens, bg AS top_bigram, n AS top_n,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY n DESC, bg ASC) AS rn
+          FROM c)
+        SELECT doc_id, n_tokens, top_bigram, top_n,
+               round(2.0 * top_n / n_tokens, 6) AS rep_fraction
+        FROM top
+        WHERE rn = 1
+        ORDER BY doc_id"""),
+      doc = "Gopher repetition rule: per-doc token share of the most frequent bigram, pinned argmax (north-star)")
   )
 }
