@@ -515,9 +515,15 @@ object TextQueries extends QueryModule {
           .agg(count(lit(1)).as("n_char_types"),
             max(col("nt")).as("nt_max"),
             sum(col("n") * col("lg6")).as("num"))
+          // final half-up rounding to micro-bits in PURE long arithmetic:
+          // (2·(−num) + nt) div (2·nt). A float round here re-opens the
+          // tie hazard — num/nt CAN land exactly on a half-millionth
+          // (observed at sf1), and Spark HALF_UP vs DuckDB float round
+          // then split. micro < 2^53, so micro/1e6 is the same IEEE
+          // double on both engines.
           .select(col("doc_id"), col("n_char_types"),
             col("nt_max").as("n_chars_tot"),
-            round(-col("num").cast("double") / (col("nt_max").cast("double") * 1e6), 6)
+            (expr("(2 * -num + nt_max) div (2 * nt_max)").cast("double") / 1e6)
               .as("entropy_bits"))
           .orderBy("doc_id")
       },
@@ -535,7 +541,7 @@ object TextQueries extends QueryModule {
           FROM counts c JOIN tots t ON c.doc_id = t.doc_id)
         SELECT doc_id, COUNT(*) AS n_char_types,
                MAX(nt) AS n_chars_tot,
-               round(-CAST(SUM(n * lg6) AS DOUBLE) / (MAX(nt) * 1e6), 6) AS entropy_bits
+               CAST((2 * -SUM(n * lg6) + MAX(nt)) // (2 * MAX(nt)) AS DOUBLE) / 1e6 AS entropy_bits
         FROM terms
         GROUP BY doc_id
         ORDER BY doc_id"""),
