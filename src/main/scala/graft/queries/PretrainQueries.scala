@@ -927,6 +927,107 @@ object PretrainQueries extends QueryModule {
                md5(array_to_string(chunk, ' ')) AS chunk_hash
         FROM sl
         ORDER BY doc_id, chunk_idx"""),
-      doc = "sliding context-window chunking (W=32, stride 24): per-doc training-window extraction, shuffle-free (north-star)")
+      doc = "sliding context-window chunking (W=32, stride 24): per-doc training-window extraction, shuffle-free (north-star)"),
+
+    // --------------------------------------------------------------- q182
+    // Full BPE tokenizer TRAINING (Sennrich et al.): q98 is one merge
+    // round; this runs the actual iterative algorithm — 3 rounds of
+    // (weighted adjacent-pair count → global argmax → greedy merge
+    // rewrite) over word-internal character sequences, exactly classic
+    // BPE on the word-frequency table. Relational design:
+    //  - the corpus collapses to (word, cnt) ONCE — every round after
+    //    is vocabulary-sized, keyed on the pair;
+    //  - each round's argmax is a 1-row TakeOrdered frame BROADCAST
+    //    into the rewrite (no driver pull at all — the merge table is
+    //    built by unioning the three 1-row frames);
+    //  - sequences use a DOUBLE-delimiter encoding ('|c||a||t|') so the
+    //    merge rewrite is a plain substring replace: '|a||b|'→'|ab|'.
+    //    Both engines' replace() scans left-to-right non-overlapping,
+    //    which IS greedy BPE merge order, and the doubled delimiter
+    //    makes adjacent matches share no characters ('|a||a||a|'
+    //    merges once, like BPE — a single-space encoding would consume
+    //    the shared separator and under-merge);
+    //  - each round is lazily localCheckpoint'ed (the components-loop
+    //    pattern): lineage stays flat, and no round's subtree is
+    //    recomputed by later rounds' plans.
+    "q182_bpe_train" -> NamedQuery(
+      fn = (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        var seqs = words
+          .withColumn("seq",
+            concat(lit("|"), array_join(split(col("tok"), ""), "||"), lit("|")))
+          .select("cnt", "seq")
+          .localCheckpoint(false)
+        val merges = (1 to 3).map { step =>
+          val pairs = seqs
+            .withColumn("sym", expr("split(substring(seq, 2, length(seq) - 2), '\\\\|\\\\|')"))
+            // single-symbol sequences contribute no pairs; the guard
+            // matters because Spark's sequence(1, 0) DESCENDS (q181's
+            // hazard) — DuckDB's range(1, 1) is empty and needs none
+            .filter(size(col("sym")) >= 2)
+            .select(col("cnt"), explode(expr(
+              "transform(sequence(1, size(sym) - 1), " +
+                "i -> struct(element_at(sym, i) AS l, element_at(sym, i + 1) AS r))")).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("cnt")).as("n"))
+          val top = pairs
+            .orderBy(col("n").desc, col("l").asc, col("r").asc).limit(1)
+            .localCheckpoint(false)
+          seqs = seqs.crossJoin(broadcast(top))
+            .withColumn("seq", expr(
+              "replace(seq, concat('|', l, '||', r, '|'), concat('|', l, r, '|'))"))
+            .select("cnt", "seq")
+            .localCheckpoint(false)
+          top.withColumn("step", lit(step.toLong))
+        }
+        merges.reduce(_ unionByName _)
+          .select(col("step"), col("l"), col("r"),
+            concat(col("l"), col("r")).as("merged"), col("n"))
+          .orderBy("step")
+      },
+      oracle = Some("""
+        WITH words AS (
+          SELECT tok, COUNT(*) AS cnt
+          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+          GROUP BY tok),
+        seq0 AS (
+          SELECT cnt, '|' || array_to_string(string_split(tok, ''), '||') || '|' AS seq
+          FROM words),
+        pairs0 AS (
+          SELECT sym[i] AS l, sym[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM (SELECT cnt, string_split(trim(seq, '|'), '||') AS sym FROM seq0)
+               CROSS JOIN LATERAL unnest(range(1, len(sym))) AS t(i)
+          GROUP BY 1, 2),
+        m1 AS (SELECT l, r, n FROM pairs0 ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+        seq1 AS (
+          SELECT cnt,
+                 replace(seq, '|' || (SELECT l FROM m1) || '||' || (SELECT r FROM m1) || '|',
+                              '|' || (SELECT l FROM m1) || (SELECT r FROM m1) || '|') AS seq
+          FROM seq0),
+        pairs1 AS (
+          SELECT sym[i] AS l, sym[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM (SELECT cnt, string_split(trim(seq, '|'), '||') AS sym FROM seq1)
+               CROSS JOIN LATERAL unnest(range(1, len(sym))) AS t(i)
+          GROUP BY 1, 2),
+        m2 AS (SELECT l, r, n FROM pairs1 ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+        seq2 AS (
+          SELECT cnt,
+                 replace(seq, '|' || (SELECT l FROM m2) || '||' || (SELECT r FROM m2) || '|',
+                              '|' || (SELECT l FROM m2) || (SELECT r FROM m2) || '|') AS seq
+          FROM seq1),
+        pairs2 AS (
+          SELECT sym[i] AS l, sym[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM (SELECT cnt, string_split(trim(seq, '|'), '||') AS sym FROM seq2)
+               CROSS JOIN LATERAL unnest(range(1, len(sym))) AS t(i)
+          GROUP BY 1, 2),
+        m3 AS (SELECT l, r, n FROM pairs2 ORDER BY n DESC, l ASC, r ASC LIMIT 1)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS step, l, r, l || r AS merged, n FROM m1
+          UNION ALL SELECT 2, l, r, l || r, n FROM m2
+          UNION ALL SELECT 3, l, r, l || r, n FROM m3)
+        ORDER BY step"""),
+      doc = "iterative BPE tokenizer training: 3 rounds of weighted pair-count -> broadcast argmax -> greedy merge rewrite on the word-frequency table (north-star)")
   )
 }
