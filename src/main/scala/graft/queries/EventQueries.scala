@@ -601,6 +601,11 @@ object EventQueries extends QueryModule {
             sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy("user_id", "session_id")
           .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+          // session-grain and consumed by THREE branches (start deltas,
+          // end deltas, the marker range) — without the cut the
+          // window+agg pipeline recomputes per branch (measured 2.7×
+          // on the whole query at sf0.1)
+          .localCheckpoint(false)
         val markers = sessions
           .agg(min(expr(s"t0 div ${HourUs}L")).as("h0"),
             max(expr(s"t1 div ${HourUs}L")).as("h1"))
@@ -610,6 +615,9 @@ object EventQueries extends QueryModule {
           .unionByName(sessions.select((col("t1") + 1L).as("ts"), lit(-1L).as("delta")))
           .unionByName(markers)
           .groupBy("ts").agg(sum(col("delta")).as("d"))
+          // time-grain, consumed twice inside scalableRunningSum (the
+          // offsets aggregate and the within-bucket window)
+          .localCheckpoint(false)
         graft.ops.PrefixSum.scalableRunningSum(deltas,
             bucket = expr(s"ts div ${HourUs}L"), bucketName = "hour_bucket",
             orderCols = Seq("ts"), valueCol = "d", outCol = "live")
