@@ -1339,12 +1339,18 @@ object CorpusQueries extends QueryModule {
         // lexical leg: probe doc's distinct tokens as the query, BM25
         // (k1=1.2, b=0.75) against candidate postings — keyed on tok
         val toks = cands.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        // (doc, tok) term frequencies are the ONE aggregate every leg
+        // derives from — checkpointed so the tokenize join runs once:
+        // len = Σ tf per doc, ptoks = the probe docs' (already
+        // distinct) tf rows, dfq = tf rows per tok. Before the cut the
+        // explode pipeline recomputed 3×.
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+          .localCheckpoint(false)
+        val len = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
         val stats = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot_len"))
         val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val ptoks = toks.join(probes.select(col("probe_id").as("doc_id")), Seq("doc_id"))
-          .select(col("doc_id").as("probe_id"), col("tok")).distinct()
+        val ptoks = tf.join(probes.select(col("probe_id").as("doc_id")), Seq("doc_id"))
+          .select(col("doc_id").as("probe_id"), col("tok"))
         val terms = tf
           .join(broadcast(ptoks), Seq("tok"))
           .join(broadcast(dfq), Seq("tok"))

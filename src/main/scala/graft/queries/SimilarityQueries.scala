@@ -853,6 +853,10 @@ object SimilarityQueries extends QueryModule {
             .withColumn("cent_cos",
               round(expr("vec_dot(embedding, cent_emb)") / (col("nrm") * col("cent_nrm")), 6)))
           .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
+          // vec-grain, consumed by BOTH sides of the in-cell join and
+          // the components seed — without the cut the centroid
+          // assignment (crossJoin + topKPerGroup) recomputes per branch
+          .localCheckpoint(false)
         val a = assigned.select(col("cell"), col("vec_id").as("d1"),
           col("embedding").as("emb1"), col("nrm").as("n1"))
         val b = assigned.select(col("cell"), col("vec_id").as("d2"),
