@@ -1478,6 +1478,51 @@ object CorpusQueries extends QueryModule {
                CAST(COUNT(*) FILTER (vtok IS NULL) AS BIGINT) AS n_oov,
                round(CAST(COUNT(*) FILTER (vtok IS NULL) AS DOUBLE) / COUNT(*), 6) AS oov_rate
         FROM j GROUP BY doc_id ORDER BY doc_id"""),
-      doc = "tokenizer-coverage audit: per-doc OOV occurrence rate vs the corpus top-k vocabulary, broadcast vocab join (north-star)")
+      doc = "tokenizer-coverage audit: per-doc OOV occurrence rate vs the corpus top-k vocabulary, broadcast vocab join (north-star)"),
+
+    // --------------------------------------------------------------- q184
+    // Skyline / pareto frontier (Börzsönyi et al.'s skyline operator),
+    // per (lang, source): the docs not dominated on (token count,
+    // distinct-token count) — the "best representative documents"
+    // primitive for corpus browsing and per-slice exemplar picking.
+    // Window form, no self-join: sort each scope by x desc; a doc is
+    // skyline iff y beats max(y) over STRICTLY-larger x (integer x, so
+    // the RANGE frame ending at 1 PRECEDING is exactly strictness) and
+    // y is the max within its own x (equal-(x,y) rows all stay —
+    // neither dominates). Both windows are scope-keyed — O(n log n)
+    // per scope, vs the O(n²) dominance self-join a naive port writes.
+    "q184_skyline" -> NamedQuery(
+      fn = (s, d) => {
+        val m = Tables.documents(s, d)
+          .withColumn("toks", split(trim(col("text")), "\\s+"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            size(col("toks")).cast("long").as("x"),
+            size(array_distinct(col("toks"))).cast("long").as("y"))
+        val scope = Window.partitionBy("lang", "source")
+        val strictlyLargerX = scope.orderBy(col("x").desc)
+          .rangeBetween(Window.unboundedPreceding, -1)
+        m.withColumn("pmax", max(col("y")).over(strictlyLargerX))
+          .withColumn("xmax", max(col("y")).over(Window.partitionBy("lang", "source", "x")))
+          .filter((col("pmax").isNull || col("y") > col("pmax")) && col("y") === col("xmax"))
+          .select("lang", "source", "doc_id", "x", "y")
+          .orderBy(col("lang"), col("source"), col("x").desc, col("doc_id"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT doc_id, lang, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS x,
+                 CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS y
+          FROM documents),
+        w AS (
+          SELECT *,
+                 max(y) OVER (PARTITION BY lang, source ORDER BY x DESC
+                              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+                 max(y) OVER (PARTITION BY lang, source, x) AS xmax
+          FROM m)
+        SELECT lang, source, doc_id, x, y
+        FROM w
+        WHERE (pmax IS NULL OR y > pmax) AND y = xmax
+        ORDER BY lang, source, x DESC, doc_id"""),
+      doc = "skyline operator: per-scope pareto frontier on (tokens, distinct tokens), window form without the dominance self-join (DB-classic extension)")
   )
 }

@@ -1028,6 +1028,74 @@ object PretrainQueries extends QueryModule {
           UNION ALL SELECT 2, l, r, l || r, n FROM m2
           UNION ALL SELECT 3, l, r, l || r, n FROM m3)
         ORDER BY step"""),
-      doc = "iterative BPE tokenizer training: 3 rounds of weighted pair-count -> broadcast argmax -> greedy merge rewrite on the word-frequency table (north-star)")
+      doc = "iterative BPE tokenizer training: 3 rounds of weighted pair-count -> broadcast argmax -> greedy merge rewrite on the word-frequency table (north-star)"),
+
+    // --------------------------------------------------------------- q185
+    // Per-source quality keep-rate with a Wilson 95% score interval —
+    // the statistically honest version of the q133-style DQ report: a
+    // source with 3/4 docs kept and one with 3000/4000 have the same
+    // point rate but very different evidence, and the curation decision
+    // ("drop the source?") should see the interval, not the ratio. One
+    // keyed aggregation; z = 1.96 exactly (the double literal is
+    // identical in both engines), p̂ from integer counts, and the
+    // remaining sqrt/div chain is single-expression IEEE arithmetic on
+    // identical inputs — deterministic on both sides.
+    "q185_keep_rate_ci" -> NamedQuery(
+      fn = (s, d) => {
+        import graft.ops.TextOps
+        val z = 1.96
+        val keep = (col("n_tokens") >= 20 && col("n_tokens") <= 1000) &&
+          col("stop_ratio") < 0.5 &&
+          (col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0)
+        val agg = Tables.documents(s, d)
+          .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+          .withColumn("stop_ratio",
+            TextOps.stopwordCount(col("text")).cast("double") / TextOps.tokenCount(col("text")))
+          .withColumn("avg_token_len", TextOps.avgTokenLen(col("text")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(when(keep, 1L).otherwise(0L)).as("k"))
+        val nD = col("n").cast("double")
+        val p = col("k").cast("double") / nD
+        val z2 = lit(z * z)
+        val center = p + z2 / (nD * 2d)
+        val half = lit(z) * sqrt(p * (lit(1d) - p) / nD + z2 / (nD * nD * 4d))
+        val denom = lit(1d) + z2 / nD
+        agg
+          .withColumn("keep_rate", round(p, 6))
+          .withColumn("ci_low", round((center - half) / denom, 6))
+          .withColumn("ci_high", round((center + half) / denom, 6))
+          .select("source", "n", "k", "keep_rate", "ci_low", "ci_high")
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT source,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    - len(regexp_split_to_array(trim(regexp_replace(' ' || text || ' ', ' (the|a|of|and|to|in) ', ' ', 'g')), '\s+')) AS BIGINT) AS n_stop,
+                 CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+          FROM documents),
+        agg AS (
+          SELECT source, COUNT(*) AS n,
+                 CAST(COUNT(*) FILTER (
+                   n_tokens BETWEEN 20 AND 1000
+                   AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+                   AND avg_token_len BETWEEN 2.0 AND 12.0) AS BIGINT) AS k
+          FROM m GROUP BY source)
+        SELECT source, n, k,
+               round(CAST(k AS DOUBLE) / n, 6) AS keep_rate,
+               round((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * CAST(n AS DOUBLE))
+                      - 1.96 * sqrt(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n
+                                    + 1.96 * 1.96 / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                     / (1 + 1.96 * 1.96 / CAST(n AS DOUBLE)), 6) AS ci_low,
+               round((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * CAST(n AS DOUBLE))
+                      + 1.96 * sqrt(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n
+                                    + 1.96 * 1.96 / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                     / (1 + 1.96 * 1.96 / CAST(n AS DOUBLE)), 6) AS ci_high
+        FROM agg
+        ORDER BY source"""),
+      doc = "per-source keep-rate with Wilson 95% interval: evidence-weighted DQ reporting for source-level curation decisions (north-star)")
   )
 }
