@@ -1523,6 +1523,82 @@ object CorpusQueries extends QueryModule {
         FROM w
         WHERE (pmax IS NULL OR y > pmax) AND y = xmax
         ORDER BY lang, source, x DESC, doc_id"""),
-      doc = "skyline operator: per-scope pareto frontier on (tokens, distinct tokens), window form without the dominance self-join (DB-classic extension)")
+      doc = "skyline operator: per-scope pareto frontier on (tokens, distinct tokens), window form without the dominance self-join (DB-classic extension)"),
+
+    // --------------------------------------------------------------- q187
+    // ExactSubstr REMOVAL (the action to q174's statistic — Lee et al.
+    // 2022 rewrite their corpus by cutting repeated substrings; this is
+    // that rewrite as a relational program): every token position
+    // covered by any corpus-wide repeated 5-gram is dropped, the doc is
+    // reassembled from the surviving tokens in order, and the output
+    // carries the rewritten text's md5 — gate-able content identity
+    // without shipping the text. Shapes: gram-keyed join for hits
+    // (vocabulary-scale table, NOT broadcast), a bounded 5-way position
+    // explode for coverage, doc-keyed anti-join for survivors, and an
+    // order-pinned rebuild (sort_array over (pos, tok) structs — a
+    // collect_list alone has NO deterministic order under parallel
+    // merge). Docs shorter than 5 tokens pass through untouched.
+    "q187_exact_substr_removal" -> NamedQuery(
+      fn = (s, d) => {
+        val arrs = Tables.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("arr"))
+        val grams = arrs.filter(size(col("arr")) >= 5)
+          .select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))")))
+          .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+        val repeated = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > 1).select("gram")
+        val covered = grams.join(repeated, Seq("gram"))
+          .select(col("doc_id"), explode(expr("sequence(i, i + 4)")).as("j"))
+          .distinct()
+        val toks = arrs
+          .select(col("doc_id"), size(col("arr")).cast("long").as("n_toks"),
+            posexplode(col("arr")))
+          .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("j"), col("col").as("tok"))
+        val rebuilt = toks.join(covered, Seq("doc_id", "j"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(" ", expr("transform(sort_array(collect_list(struct(j, tok))), x -> x.tok)"))
+              .as("kept_text"))
+        arrs.select(col("doc_id"), size(col("arr")).cast("long").as("n_toks"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_toks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH arrs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents),
+        grams AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 array_to_string(list_slice(arr, i, i + 4), ' ') AS gram
+          FROM (SELECT doc_id, arr, unnest(range(1, len(arr) - 3)) AS i
+                FROM arrs WHERE len(arr) >= 5)),
+        repeated AS (
+          SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+        covered AS (
+          SELECT DISTINCT doc_id, i + k AS j
+          FROM (SELECT doc_id, i FROM grams JOIN repeated USING (gram))
+               CROSS JOIN generate_series(0, 4) t(k)),
+        toks AS (
+          SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_toks,
+                 CAST(j AS BIGINT) AS j, arr[j] AS tok
+          FROM arrs CROSS JOIN LATERAL unnest(range(1, len(arr) + 1)) AS u(j)),
+        kept AS (
+          SELECT t.doc_id,
+                 COUNT(*) AS n_kept,
+                 string_agg(t.tok, ' ' ORDER BY t.j) AS kept_text
+          FROM toks t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.j = t.j
+          WHERE c.j IS NULL
+          GROUP BY t.doc_id)
+        SELECT a.doc_id, CAST(len(a.arr) AS BIGINT) AS n_toks,
+               COALESCE(k.n_kept, 0) AS n_kept,
+               md5(COALESCE(k.kept_text, '')) AS kept_md5
+        FROM arrs a LEFT JOIN kept k ON a.doc_id = k.doc_id
+        ORDER BY a.doc_id"""),
+      doc = "ExactSubstr removal: rewrite docs dropping every token inside a corpus-wide repeated 5-gram span, order-pinned rebuild with content-identity md5 (north-star)")
   )
 }

@@ -843,6 +843,47 @@ object PipelineQueries extends QueryModule {
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         ORDER BY user_id, run_n"""),
-      doc = "transformWithState (Spark 4 StatefulProcessor + RocksDB store): per-user running enrichment vs batch windows (§2.J tenth shape)")
+      doc = "transformWithState (Spark 4 StatefulProcessor + RocksDB store): per-user running enrichment vs batch windows (§2.J tenth shape)"),
+
+    // --------------------------------------------------------------- q186
+    // The ELEVENTH streaming shape: a NATIVE sketch aggregate inside
+    // Structured Streaming state — heavy_hitters (expr/SpaceSaving)
+    // per tumbling hour window. The TypedImperativeAggregate's binary
+    // buffer is what the state store checkpoints between micro-batches,
+    // so this gates the full serialize/merge/state-roundtrip path the
+    // batch gates never touch. The event-type domain is below the k=8
+    // capacity, so the sketch runs in its bit-stable EXACT mode and the
+    // windowed result hash-matches plain per-window counts (the q165
+    // contract, now under streaming state); the same query with a
+    // larger domain degrades per q168's bands, not silently.
+    "q186_stream_heavy_hitters" -> NamedQuery(
+      fn = (s, d) => {
+        val dir = TempPaths.stageFile(s, "q186_events", s"$d/events.parquet", "events.parquet").toPath
+        val schema = Tables.load(s, d, "events").schema
+        val stream = Tables.tsAsTimestamp(
+          s.readStream.schema(schema).parquet(dir.toString))
+        val windowed = stream
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(expr("heavy_hitters(event_type, 8)").as("hh"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            explode(col("hh")).as("e"))
+          .select(col("window_start_us"), col("e.item").as("item"),
+            col("e.est").as("est"), col("e.err").as("err"))
+        graft.streaming.GateRun.withStreamGateConfs(s) {
+          val q = windowed.writeStream.outputMode(OutputMode.Complete)
+            .format("memory").queryName("q186_stream_heavy_hitters").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table("q186_stream_heavy_hitters")
+          .orderBy(col("window_start_us"), col("est").desc, col("item"))
+      },
+      oracle = Some("""
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+               event_type AS item, COUNT(*) AS est, CAST(0 AS BIGINT) AS err
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, est DESC, item"""),
+      doc = "streaming heavy hitters: native space-saving sketch as windowed streaming state, exact mode hash-matched vs batch counts (§2.J eleventh shape)")
   )
 }
