@@ -1498,12 +1498,7 @@ object CorpusQueries extends QueryModule {
           .select(col("doc_id"), col("lang"), col("source"),
             size(col("toks")).cast("long").as("x"),
             size(array_distinct(col("toks"))).cast("long").as("y"))
-        val scope = Window.partitionBy("lang", "source")
-        val strictlyLargerX = scope.orderBy(col("x").desc)
-          .rangeBetween(Window.unboundedPreceding, -1)
-        m.withColumn("pmax", max(col("y")).over(strictlyLargerX))
-          .withColumn("xmax", max(col("y")).over(Window.partitionBy("lang", "source", "x")))
-          .filter((col("pmax").isNull || col("y") > col("pmax")) && col("y") === col("xmax"))
+        graft.ops.SweepOps.skyline2D(m, Seq("lang", "source"), "x", "y")
           .select("lang", "source", "doc_id", "x", "y")
           .orderBy(col("lang"), col("source"), col("x").desc, col("doc_id"))
       },

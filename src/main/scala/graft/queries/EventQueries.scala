@@ -1390,21 +1390,9 @@ object EventQueries extends QueryModule {
         val iv = graft.Tables.events(s, d).select(
           col("user_id"), col("event_id"), col("ts_us").as("s_us"),
           (col("ts_us") + floor(col("value") * lit(60000000.0)).cast("long")).as("e_us"))
-        val ord = Window.partitionBy("user_id")
-          .orderBy(col("s_us"), col("e_us"), col("event_id"))
-        val prevMax = max(col("e_us"))
-          .over(ord.rowsBetween(Window.unboundedPreceding, -1))
-        val blocks = iv
-          .withColumn("new_block",
-            when(prevMax.isNull || col("s_us") > prevMax, 1L).otherwise(0L))
-          .withColumn("block", sum(col("new_block"))
-            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("user_id"), col("block"))
-          .agg(min(col("s_us")).as("b_start"), max(col("e_us")).as("b_end"))
-        blocks.groupBy("user_id")
-          .agg(count(lit(1)).as("n_blocks"),
-            sum(col("b_end") - col("b_start")).as("covered_us"),
-            max(col("b_end") - col("b_start")).as("longest_us"))
+        graft.ops.SweepOps.intervalUnion(iv, Seq("user_id"), "s_us", "e_us", Seq("event_id"))
+          .select(col("user_id"), col("n_blocks"),
+            col("covered").as("covered_us"), col("longest").as("longest_us"))
           .orderBy("user_id")
       },
       oracle = Some("""
