@@ -59,7 +59,11 @@ object Audit {
     "q171_rrf_fusion", "q172_dsir_weights",
     // q179: 1-row count-min counter-table attach onto the per-token
     // frame (F5-class bounded — the sketch is d×w longs by construction)
-    "q179_count_min_gate")
+    "q179_count_min_gate",
+    // q188: three 1-row scalar legs (n / agree / cross-margin) crossed
+    // into the kappa row (F5-class bounded); q189: the q171/q144
+    // bounded id-sampled probe-set broadcast against the corpus
+    "q188_langid_kappa", "q189_rank_correlation")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,

@@ -906,6 +906,92 @@ object SimilarityQueries extends QueryModule {
         SELECT vec_id, cluster, (vec_id = cluster) AS keep
         FROM labels
         ORDER BY vec_id"""),
-      doc = "SemDedup keep-list: IVF-cell-scoped cosine graph -> components -> one representative per cluster (north-star)")
+      doc = "SemDedup keep-list: IVF-cell-scoped cosine graph -> components -> one representative per cluster (north-star)"),
+
+    // --------------------------------------------------------------- q189
+    // Spearman rank correlation between the two retrieval legs q171
+    // fuses — per probe, how differently do dense (cosine) and lexical
+    // (shared-token) ranking order the SAME candidate universe? The
+    // retrieval-audit number that says whether hybrid fusion is even
+    // buying diversity (rho ≈ 1 means the legs are redundant). Ranks
+    // are row_numbers with pinned tiebreaks (the deterministic-ties
+    // variant of Spearman, declared as such); rho = 1 − 6·Σd²/(n(n²−1))
+    // is exact integer arithmetic into ONE double division — emitted
+    // unrounded, bit-exact in both engines. Probe set is the q171
+    // bounded id-sample; the dense product is probe-keyed broadcast
+    // fan-out, the lexical leg is tok-keyed.
+    "q189_rank_correlation" -> NamedQuery(
+      fn = (s, d) => {
+        val v = vecs(s, d)
+        val probes = v.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+            col("nrm").as("p_nrm"))
+        val dense = v.crossJoin(broadcast(probes))
+          .withColumn("cos",
+            round(expr("vec_dot(embedding, p_emb)") / (col("nrm") * col("p_nrm")), 6))
+          .withColumn("r_dense", row_number().over(
+            Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)))
+          .select(col("probe_id"), col("vec_id").as("doc_id"), col("r_dense"))
+        val toks = Tables.documents(s, d)
+          .join(v.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+          .select(col("doc_id"),
+            explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+          .localCheckpoint(false) // doc side + probe side of the shared-token join
+        val ptoks = toks.join(probes.select(col("probe_id").as("doc_id")), Seq("doc_id"))
+          .select(col("doc_id").as("probe_id"), col("tok"))
+        val shared = toks.join(ptoks, Seq("tok"))
+          .groupBy("probe_id", "doc_id").agg(count(lit(1)).as("shared"))
+        val ranked = dense.join(shared, Seq("probe_id", "doc_id"), "left")
+          .withColumn("r_lex", row_number().over(
+            Window.partitionBy("probe_id")
+              .orderBy(coalesce(col("shared"), lit(0L)).desc, col("doc_id").asc)))
+          .withColumn("diff", col("r_dense") - col("r_lex"))
+        ranked.groupBy("probe_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("diff") * col("diff")).as("sum_d2"))
+          .withColumn("rho",
+            lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+              (col("n_docs") * (col("n_docs") * col("n_docs") - 1L)).cast("double"))
+          .select("probe_id", "n_docs", "sum_d2", "rho")
+          .orderBy("probe_id")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        probes AS (
+          SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+          FROM v WHERE vec_id % 100 = 0),
+        dense AS (
+          SELECT p.probe_id, v.vec_id AS doc_id,
+                 row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY round(list_dot_product(v.emb, p.p_emb) / (v.nrm * p.p_nrm), 6) DESC,
+                            v.vec_id ASC) AS r_dense
+          FROM v CROSS JOIN probes p),
+        toks AS (
+          SELECT DISTINCT d.doc_id, unnest(regexp_split_to_array(trim(d.text), '\s+')) AS tok
+          FROM documents d JOIN v ON v.vec_id = d.doc_id),
+        ptoks AS (
+          SELECT t.doc_id AS probe_id, t.tok
+          FROM toks t JOIN probes p ON p.probe_id = t.doc_id),
+        shared AS (
+          SELECT p.probe_id, t.doc_id, COUNT(*) AS shared
+          FROM toks t JOIN ptoks p USING (tok)
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT d.probe_id, d.doc_id, d.r_dense,
+                 row_number() OVER (PARTITION BY d.probe_id
+                   ORDER BY COALESCE(s.shared, 0) DESC, d.doc_id ASC) AS r_lex
+          FROM dense d LEFT JOIN shared s
+            ON s.probe_id = d.probe_id AND s.doc_id = d.doc_id)
+        SELECT probe_id, COUNT(*) AS n_docs,
+               CAST(SUM((r_dense - r_lex) * (r_dense - r_lex)) AS BIGINT) AS sum_d2,
+               1.0 - 6.0 * CAST(SUM((r_dense - r_lex) * (r_dense - r_lex)) AS DOUBLE)
+                     / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE) AS rho
+        FROM ranked
+        GROUP BY probe_id
+        ORDER BY probe_id"""),
+      doc = "Spearman rank correlation between dense and lexical retrieval legs per probe: the fusion-diversity audit, exact-integer rank math (retrieval audit)")
   )
 }

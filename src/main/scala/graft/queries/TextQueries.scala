@@ -596,6 +596,76 @@ object TextQueries extends QueryModule {
         FROM top
         WHERE rn = 1
         ORDER BY doc_id"""),
-      doc = "Gopher repetition rule: per-doc token share of the most frequent bigram, pinned argmax (north-star)")
+      doc = "Gopher repetition rule: per-doc token share of the most frequent bigram, pinned argmax (north-star)"),
+
+    // --------------------------------------------------------------- q188
+    // Cohen's kappa for the q31 language-ID heuristic vs the labeled
+    // lang column — chance-corrected agreement, the classifier-audit
+    // number a raw accuracy hides (a degenerate predictor scores po > 0
+    // by class imbalance alone; kappa exposes it — on this synthetic
+    // corpus the heuristic lands at exactly chance, kappa = 0, which is
+    // itself the finding). Everything reduces to ONE confusion-count
+    // frame (checkpointed, consumed by all four scalar legs); the
+    // p_o/p_e/kappa doubles are emitted UNROUNDED — ratios and
+    // arithmetic of identical integers are bit-identical IEEE in both
+    // engines, so no rounding (and no rounding-tie hazard) is needed.
+    "q188_langid_kappa" -> NamedQuery(
+      fn = (s, d) => {
+        val t = Tables.documents(s, d)
+          .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        def votes(markers: String) =
+          size(split(col("padded"), s" ($markers) ")).cast("long") - 1L
+        val counts = t
+          .withColumn("v_en", votes("the|and|of"))
+          .withColumn("v_es", votes("el|la|de"))
+          .withColumn("v_de", votes("der|die|und"))
+          .withColumn("pred_lang",
+            when(col("v_en") >= col("v_es") && col("v_en") >= col("v_de"), "en")
+              .when(col("v_es") >= col("v_de"), "es")
+              .otherwise("de"))
+          .groupBy("lang", "pred_lang").agg(count(lit(1)).as("c"))
+          .localCheckpoint(false)
+        val n = counts.agg(sum(col("c")).as("n"))
+        val agree = counts.filter(col("lang") === col("pred_lang"))
+          .agg(coalesce(sum(col("c")), lit(0L)).as("agree"))
+        val cross = counts.groupBy(col("lang").as("cls")).agg(sum(col("c")).as("n_true"))
+          .join(counts.groupBy(col("pred_lang").as("cls")).agg(sum(col("c")).as("n_pred")), Seq("cls"))
+          .agg(coalesce(sum(col("n_true") * col("n_pred")), lit(0L)).as("cross_sum"))
+        n.crossJoin(broadcast(agree)).crossJoin(broadcast(cross))
+          .withColumn("p_o", col("agree").cast("double") / col("n"))
+          .withColumn("p_e", col("cross_sum").cast("double") / (col("n") * col("n")))
+          .withColumn("kappa",
+            when(col("p_e") === 1.0, lit(null).cast("double"))
+              .otherwise((col("p_o") - col("p_e")) / (lit(1.0) - col("p_e"))))
+          .select("n", "agree", "cross_sum", "p_o", "p_e", "kappa")
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT lang,
+                 CAST(len(regexp_split_to_array(' ' || text || ' ', ' (the|and|of) ')) AS BIGINT) - 1 AS v_en,
+                 CAST(len(regexp_split_to_array(' ' || text || ' ', ' (el|la|de) ')) AS BIGINT) - 1 AS v_es,
+                 CAST(len(regexp_split_to_array(' ' || text || ' ', ' (der|die|und) ')) AS BIGINT) - 1 AS v_de
+          FROM documents),
+        counts AS (
+          SELECT lang,
+                 CASE WHEN v_en >= v_es AND v_en >= v_de THEN 'en'
+                      WHEN v_es >= v_de THEN 'es' ELSE 'de' END AS pred_lang,
+                 COUNT(*) AS c
+          FROM scored GROUP BY 1, 2),
+        nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+        ag AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS agree
+               FROM counts WHERE lang = pred_lang),
+        cr AS (
+          SELECT CAST(COALESCE(SUM(n_true * n_pred), 0) AS BIGINT) AS cross_sum
+          FROM (SELECT lang AS cls, SUM(c) AS n_true FROM counts GROUP BY 1) l
+          JOIN (SELECT pred_lang AS cls, SUM(c) AS n_pred FROM counts GROUP BY 1) p USING (cls))
+        SELECT nn.n, ag.agree, cr.cross_sum,
+               CAST(ag.agree AS DOUBLE) / nn.n AS p_o,
+               CAST(cr.cross_sum AS DOUBLE) / (nn.n * nn.n) AS p_e,
+               CASE WHEN CAST(cr.cross_sum AS DOUBLE) / (nn.n * nn.n) = 1 THEN NULL
+                    ELSE (CAST(ag.agree AS DOUBLE) / nn.n - CAST(cr.cross_sum AS DOUBLE) / (nn.n * nn.n))
+                         / (1 - CAST(cr.cross_sum AS DOUBLE) / (nn.n * nn.n)) END AS kappa
+        FROM nn, ag, cr"""),
+      doc = "Cohen's kappa for the language-ID heuristic: chance-corrected agreement from one confusion frame, unrounded bit-exact IEEE parity (classifier audit)")
   )
 }
