@@ -1096,6 +1096,82 @@ object PretrainQueries extends QueryModule {
                      / (1 + 1.96 * 1.96 / CAST(n AS DOUBLE)), 6) AS ci_high
         FROM agg
         ORDER BY source"""),
-      doc = "per-source keep-rate with Wilson 95% interval: evidence-weighted DQ reporting for source-level curation decisions (north-star)")
+      doc = "per-source keep-rate with Wilson 95% interval: evidence-weighted DQ reporting for source-level curation decisions (north-star)"),
+
+    // --------------------------------------------------------------- q190
+    // Greedy maximum-coverage document selection (the classic 1−1/e
+    // submodular greedy): pick 3 documents that together cover the most
+    // distinct corpus 3-grams — the diversity-first selection shape
+    // behind coreset/exemplar curation. Same iterative architecture as
+    // q182's BPE: the (doc, gram) incidence is derived ONCE
+    // (checkpointed); each round is one keyed aggregation over the
+    // UNCOVERED grams with a 1-row TakeOrdered argmax (broadcast, no
+    // driver pull), then the covered set grows by the winner's grams.
+    // Unigram coverage is degenerate here (one doc spans the whole
+    // 31-token vocabulary); 3-grams give a real multi-round frontier.
+    "q190_greedy_cover" -> NamedQuery(
+      fn = (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("arr"))
+          .filter(size(col("arr")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(arr) - 2), i -> concat_ws(' ', slice(arr, i, 3)))")).as("tok"))
+          .distinct()
+          .localCheckpoint(false)
+        var covered: org.apache.spark.sql.DataFrame = null
+        var selected: org.apache.spark.sql.DataFrame = null
+        val picks = (1 to 3).map { step =>
+          val candidates =
+            if (selected == null) toks
+            else toks.join(broadcast(selected), Seq("doc_id"), "left_anti")
+          val uncovered =
+            if (covered == null) candidates
+            else candidates.join(covered, Seq("tok"), "left_anti")
+          val pick = uncovered.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+            .orderBy(col("gain").desc, col("doc_id").asc).limit(1)
+            .localCheckpoint(false)
+          val pickToks = toks.join(broadcast(pick.select("doc_id")), Seq("doc_id"))
+            .select("tok")
+          covered =
+            (if (covered == null) pickToks
+             else covered.unionByName(pickToks).distinct())
+              .localCheckpoint(false)
+          selected =
+            if (selected == null) pick.select("doc_id")
+            else selected.unionByName(pick.select("doc_id"))
+          pick.withColumn("step", lit(step.toLong))
+        }
+        picks.reduce(_ unionByName _).select("step", "doc_id", "gain").orderBy("step")
+      },
+      oracle = Some("""
+        WITH arrs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        toks AS (
+          SELECT DISTINCT doc_id, array_to_string(list_slice(arr, i, i + 2), ' ') AS tok
+          FROM arrs CROSS JOIN LATERAL unnest(range(1, len(arr) - 1)) AS t(i)),
+        p1 AS (
+          SELECT doc_id, COUNT(*) AS gain FROM toks GROUP BY doc_id
+          ORDER BY gain DESC, doc_id ASC LIMIT 1),
+        cov1 AS (SELECT DISTINCT tok FROM toks WHERE doc_id = (SELECT doc_id FROM p1)),
+        p2 AS (
+          SELECT t.doc_id, COUNT(*) AS gain
+          FROM toks t LEFT JOIN cov1 c ON c.tok = t.tok
+          WHERE c.tok IS NULL AND t.doc_id <> (SELECT doc_id FROM p1)
+          GROUP BY t.doc_id ORDER BY gain DESC, doc_id ASC LIMIT 1),
+        cov2 AS (SELECT tok FROM cov1
+                 UNION SELECT tok FROM toks WHERE doc_id = (SELECT doc_id FROM p2)),
+        p3 AS (
+          SELECT t.doc_id, COUNT(*) AS gain
+          FROM toks t LEFT JOIN cov2 c ON c.tok = t.tok
+          WHERE c.tok IS NULL
+            AND t.doc_id NOT IN ((SELECT doc_id FROM p1), (SELECT doc_id FROM p2))
+          GROUP BY t.doc_id ORDER BY gain DESC, doc_id ASC LIMIT 1)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS step, doc_id, CAST(gain AS BIGINT) AS gain FROM p1
+          UNION ALL SELECT 2, doc_id, gain FROM p2
+          UNION ALL SELECT 3, doc_id, gain FROM p3)
+        ORDER BY step"""),
+      doc = "greedy max-coverage selection: 3 rounds of keyed uncovered-gain argmax over 3-gram incidence — submodular coreset curation (north-star)")
   )
 }
