@@ -537,4 +537,39 @@ class PlanAuditSpec extends AnyFunSuite {
     // the 100 TB probe side to build the grid product)
     assert(p.contains("BroadcastNestedLoopJoin"), s"grid fan-out not broadcast:\n$p")
   }
+
+  test("q175 interval union: both windows + both aggs ride ONE user_id exchange") {
+    val p = plan("q175_interval_union")
+    // one hash exchange (user_id); the final rangepartitioning is the
+    // presentation sort, not a second data shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly one hash exchange:\n$p")
+    assert(p.contains("Window"), s"sweep windows missing:\n$p")
+  }
+
+  test("q177 OOV audit: the vocab side joins by BROADCAST, never shuffling the token stream") {
+    val p = plan("q177_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k vocab not a TakeOrdered (global sort snuck in):\n$p")
+  }
+
+  test("q178 chunking plan has NO exchange before the presentation sort") {
+    val p = plan("q178_context_chunks")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row chunk extraction should not shuffle:\n$p")
+  }
+
+  test("q184 skyline: both windows share the scope partitioning (one hash exchange)") {
+    val p = plan("q184_skyline")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly one hash exchange:\n$p")
+    // the strict-dominance frame is a RANGE frame, not rows
+    assert(p.contains("RangeFrame"), s"strict-dominance RANGE frame missing:\n$p")
+  }
+
+  test("q179 count-min runs as partial+final native aggregate") {
+    val p = plan("q179_count_min_gate")
+    assert(p.contains("partial_count_min"), s"sketch not partial-aggregated:\n$p")
+  }
 }
