@@ -63,7 +63,10 @@ object Audit {
     // q188: three 1-row scalar legs (n / agree / cross-margin) crossed
     // into the kappa row (F5-class bounded); q189: the q171/q144
     // bounded id-sampled probe-set broadcast against the corpus
-    "q188_langid_kappa", "q189_rank_correlation")
+    "q188_langid_kappa", "q189_rank_correlation",
+    // q191: the contingency grid is margins × margins (both dims
+    // bounded domains) plus a 1-row total — deliberate broadcast cross
+    "q191_chi_square")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,

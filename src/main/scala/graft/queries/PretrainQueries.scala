@@ -1172,6 +1172,66 @@ object PretrainQueries extends QueryModule {
           UNION ALL SELECT 2, doc_id, gain FROM p2
           UNION ALL SELECT 3, doc_id, gain FROM p3)
         ORDER BY step"""),
-      doc = "greedy max-coverage selection: 3 rounds of keyed uncovered-gain argmax over 3-gram incidence — submodular coreset curation (north-star)")
+      doc = "greedy max-coverage selection: 3 rounds of keyed uncovered-gain argmax over 3-gram incidence — submodular coreset curation (north-star)"),
+
+    // --------------------------------------------------------------- q191
+    // Chi-square independence audit for the corpus design: is `source`
+    // stratified evenly across `lang` (as a synthetic corpus should
+    // be), or is some source language-skewed? Full contingency grid
+    // (margins crossed — BOTH dims bounded, broadcast), zero-observed
+    // cells included, expected counts e = n_l·n_s/N. Parity design:
+    // each cell term (o−e)²/e is one IEEE chain on identical integers
+    // (bit-identical in both engines); the SUM is made order-
+    // independent by flooring each term to integer micro-units first —
+    // floor operates on the BINARY value, so unlike decimal rounding it
+    // cannot split between Spark's string-based HALF_UP and DuckDB's
+    // float round (the q180 lesson). The statistic is declared in
+    // floor-micro units: chi2 = chi2_micro / 1e6.
+    "q191_chi_square" -> NamedQuery(
+      fn = (s, d) => {
+        val counts = Tables.documents(s, d)
+          .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+          .localCheckpoint(false)
+        val langs = counts.groupBy("lang").agg(sum(col("o")).as("n_l"))
+        val sources = counts.groupBy("source").agg(sum(col("o")).as("n_s"))
+        val n = counts.agg(sum(col("o")).as("n"))
+        val grid = langs.crossJoin(broadcast(sources)).crossJoin(broadcast(n))
+          .join(counts, Seq("lang", "source"), "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
+          .withColumn("e", col("n_l").cast("double") * col("n_s") / col("n"))
+          .withColumn("term", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+          .withColumn("term_micro", floor(col("term") * lit(1e6)).cast("long"))
+        grid.agg(
+            max(col("n")).as("n"),
+            count(lit(1)).as("n_cells"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"),
+            sum(col("term_micro")).as("chi2_micro"))
+          .withColumn("dof", (col("n_langs") - 1L) * (col("n_sources") - 1L))
+          .withColumn("chi2", col("chi2_micro").cast("double") / 1e6)
+          .select("n", "n_cells", "dof", "chi2_micro", "chi2")
+      },
+      oracle = Some("""
+        WITH counts AS (
+          SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        langs AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS n_l FROM counts GROUP BY 1),
+        sources AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s FROM counts GROUP BY 1),
+        nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM counts),
+        grid AS (
+          SELECT l.lang, s.source, l.n_l, s.n_s, nn.n,
+                 COALESCE(c.o, 0) AS o,
+                 CAST(l.n_l AS DOUBLE) * s.n_s / nn.n AS e
+          FROM langs l CROSS JOIN sources s CROSS JOIN nn
+          LEFT JOIN counts c ON c.lang = l.lang AND c.source = s.source),
+        terms AS (
+          SELECT n, lang, source,
+                 CAST(floor((o - e) * (o - e) / e * 1e6) AS BIGINT) AS term_micro
+          FROM grid)
+        SELECT MAX(n) AS n, COUNT(*) AS n_cells,
+               CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+               CAST(SUM(term_micro) AS BIGINT) AS chi2_micro,
+               CAST(SUM(term_micro) AS DOUBLE) / 1e6 AS chi2
+        FROM terms"""),
+      doc = "chi-square lang x source independence audit: full contingency grid incl. zero cells, order-independent floor-micro term sum (DQ audit)")
   )
 }
