@@ -111,6 +111,28 @@ object CountMin {
   /** 2^61 − 1, the Mersenne prime shared with [[graft.ops.DedupOps]]. */
   val Prime: Long = (1L << 61) - 1
 
+  /** Point-query estimate against a sketch counter table — min over the
+    * d bucket counters the item hashes to. Called from both
+    * [[CmQuery]]'s interpreted eval and its GENERATED code (the Scala
+    * static forwarder makes `graft.expr.CountMin.estimate(...)` a plain
+    * static call in codegen'd Java).
+    */
+  def estimate(cm: org.apache.spark.sql.catalyst.util.ArrayData,
+               item: UTF8String, w: Int): Long = {
+    val hex = md5Hex(item.getBytes)
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(16, 31), 16)
+    var est = Long.MaxValue
+    var r = 0
+    while (r < Depth) {
+      val g = ((h1 + r * h2) % Prime % w).toInt
+      val v = cm.getLong(r * w + g)
+      if (v < est) est = v
+      r += 1
+    }
+    est
+  }
+
   private val hexDigits = "0123456789abcdef".toCharArray
 
   /** Lower-case hex md5 of raw bytes — byte-identical to Spark's `md5()`
@@ -127,4 +149,54 @@ object CountMin {
     }
     new String(out)
   }
+}
+
+/** Scalar point-query against a count-min counter table:
+  * `cm_query(cm, item, w)` = the sketch's frequency estimate for
+  * `item` — the consumer-side half of the sketch API (the aggregate
+  * builds the table, this probes it), with full whole-stage codegen
+  * (one static call per row, no fallback). `w` must be the SAME
+  * foldable width the table was built with; the d = 4 depth is the
+  * class constant on both sides.
+  */
+case class CmQuery(
+    cm: org.apache.spark.sql.catalyst.expressions.Expression,
+    item: org.apache.spark.sql.catalyst.expressions.Expression,
+    kExpr: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with FoldableK {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  override def first: Expression = cm
+  override def second: Expression = item
+  override def third: Expression = kExpr
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cm_query"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = checkK()
+    if (!base.isSuccess) base
+    else if (cm.dataType != ArrayType(LongType, containsNull = false) &&
+             cm.dataType != ArrayType(LongType, containsNull = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<bigint> sketch, got ${cm.dataType.sql}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(c: Any, i: Any, w: Any): Any =
+    CountMin.estimate(c.asInstanceOf[ArrayData], i.asInstanceOf[UTF8String],
+      w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, i, w) =>
+      s"${ev.value} = graft.expr.CountMin.estimate($c, $i, $w);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: org.apache.spark.sql.catalyst.expressions.Expression,
+      newSecond: org.apache.spark.sql.catalyst.expressions.Expression,
+      newThird: org.apache.spark.sql.catalyst.expressions.Expression): CmQuery =
+    copy(cm = newFirst, item = newSecond, kExpr = newThird)
 }

@@ -75,6 +75,8 @@ object GraftFunctions {
     SpaceSaving(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression()
   private[expr] def countMinBuilder(exprs: Seq[Expression]): Expression =
     CountMin(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression()
+  private[expr] def cmQueryBuilder(exprs: Seq[Expression]): Expression =
+    CmQuery(exprs(0), Cast(exprs(1), StringType), exprs(2))
   // Spark's own runtime-filter expressions, exposed by name so
   // ops.BloomOps can plant the identical codegen'd probe explicitly.
   private[expr] def bloomAggBuilder(exprs: Seq[Expression]): Expression =
@@ -94,6 +96,8 @@ object GraftFunctions {
       "heavy_hitters", heavyHittersBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "count_min", countMinBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cm_query", cmQueryBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -132,6 +136,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("count_min"),
       new ExpressionInfo(classOf[CountMin].getName, "count_min"),
       (exprs: Seq[Expression]) => GraftFunctions.countMinBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("cm_query"),
+      new ExpressionInfo(classOf[CmQuery].getName, "cm_query"),
+      (exprs: Seq[Expression]) => GraftFunctions.cmQueryBuilder(exprs)))
     e.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(

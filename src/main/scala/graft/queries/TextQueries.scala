@@ -450,15 +450,12 @@ object TextQueries extends QueryModule {
           .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
         val sk = toks.agg(expr(s"count_min(tok, $w)").as("cm"))
         val exact = toks.groupBy("tok").agg(count(lit(1)).as("true_n"))
-        // the same md5 double-hash, as Catalyst columns (DedupOps idiom)
-        val h1 = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-        val h2 = conv(substring(md5(col("tok")), 17, 15), 16, 10).cast("long")
-        def bucket(r: Int) =
-          (h1 + lit(r.toLong) * h2) % lit(graft.expr.CountMin.Prime) % lit(w.toLong)
-        val est = least((0 until graft.expr.CountMin.Depth).map(r =>
-          element_at(col("cm"), (lit(r * w) + bucket(r) + 1).cast("int"))): _*)
+        // the native codegen'd point-query probe (expr/CmQuery) — the
+        // consumer half of the sketch API; the ORACLE still recomputes
+        // the same bucket minima relationally, so the hash-match proves
+        // aggregate AND probe together
         exact.crossJoin(broadcast(sk))
-          .withColumn("est", est)
+          .withColumn("est", expr(s"cm_query(cm, tok, $w)"))
           .select(col("tok"), col("true_n"), col("est"),
             (col("est") - col("true_n")).as("overcount"))
           .orderBy("tok")

@@ -73,6 +73,26 @@ class CountMinSpec extends AnyFunSuite {
     assert(CountMin.md5Hex("a".getBytes("UTF-8")) === sparkMd5)
   }
 
+  test("cm_query (native codegen probe) equals the JVM reference estimate for every item") {
+    import spark.implicits._
+    val rows = (1 to 40).flatMap(i => Seq.fill(300 / i)(s"t$i"))
+    val w = 16
+    val table = counters(rows.toDF("item").repartition(3), w)
+    val got = rows.distinct.toDF("item")
+      .crossJoin(rows.toDF("item2").agg(expr(s"count_min(item2, $w)").as("cm")))
+      .selectExpr("item", s"cm_query(cm, item, $w) AS est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.distinct.foreach { it =>
+      assert(got(it) === refEstimate(table, w, it), it)
+    }
+    // mismatched sketch type fails at analysis, not with a cast error mid-job
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a", 1.0)).toDF("item", "notasketch")
+        .selectExpr("cm_query(array(notasketch), item, 8)").collect()
+    }
+    assert(e.getMessage.contains("array<bigint>"), e.getMessage)
+  }
+
   test("invalid w fails at analysis time (FoldableK, as the other three sketches)") {
     import spark.implicits._
     val df = Seq("a").toDF("item")
