@@ -82,9 +82,12 @@ object Audit {
   //    per-source, documented at their definition sites)
   //  - q99: hour-bucket totals inside PrefixSum.scalableRunningSum —
   //    the result's own output grain; the row-scale sweep is keyed
+  //  - q192: the PrefixSum bucket-offset frame inside the packing
+  //    stage — |doc buckets| rows by construction, the op's own
+  //    documented single-partition step (same review as q99)
   private val expectedGlobalWindow = Set(
     "q25_freq_ratio", "q110_budget_mixture", "q140_curriculum_cut",
-    "q99_concurrency")
+    "q99_concurrency", "q192_curation_pipeline")
 
   final case class QueryAudit(name: String, codegen: Int, flags: List[String])
 

@@ -1232,6 +1232,108 @@ object PretrainQueries extends QueryModule {
                CAST(SUM(term_micro) AS BIGINT) AS chi2_micro,
                CAST(SUM(term_micro) AS DOUBLE) / 1e6 AS chi2
         FROM terms"""),
-      doc = "chi-square lang x source independence audit: full contingency grid incl. zero cells, order-independent floor-micro term sum (DQ audit)")
+      doc = "chi-square lang x source independence audit: full contingency grid incl. zero cells, order-independent floor-micro term sum (DQ audit)"),
+
+    // --------------------------------------------------------------- q192
+    // The composed CURATION PIPELINE, end to end in one plan: quality
+    // filter (q48's predicate) → exact dedup (min doc_id per content
+    // fingerprint) → sliding context chunking (q178's W=32/S=24, length
+    // arithmetic only — no array materialization, packing needs just
+    // lengths) → GLOBAL greedy bin packing into 64-token training bins.
+    // The packing offset is the one globally-ordered computation, so it
+    // runs on PrefixSum.scalableRunningSum (doc_id-bucket aligned with
+    // the global order) — row-scale work stays keyed, only the
+    // bucket-grain offsets are single-partition. This is the query that
+    // proves the stages COMPOSE as one lazy plan: four families, one
+    // gate, no intermediate materialization beyond the op's own
+    // bucket-offset frame.
+    "q192_curation_pipeline" -> NamedQuery(
+      fn = (s, d) => {
+        import graft.ops.TextOps
+        val budget = 64L
+        val W = 32
+        val S = 24
+        val kept = Tables.documents(s, d)
+          .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+          .withColumn("stop_ratio",
+            TextOps.stopwordCount(col("text")).cast("double") / TextOps.tokenCount(col("text")))
+          .withColumn("avg_token_len", TextOps.avgTokenLen(col("text")))
+          .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
+            col("stop_ratio") < 0.5 &&
+            col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0)
+        val deduped = graft.ops.RelationalOps.topKPerGroup(
+            Seq("fp"), Seq(col("doc_id").asc), 1)(
+            kept.withColumn("fp", md5(lower(trim(col("text"))))))
+          .select(col("doc_id"), col("n_tokens"))
+        val chunks = deduped
+          .withColumn("n_chunks",
+            when(col("n_tokens") <= W, lit(1L))
+              .otherwise(ceil((col("n_tokens") - lit(W)).cast("double") / lit(S.toDouble)) + 1L))
+          .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+          .withColumn("chunk_len",
+            least(lit(W.toLong), col("n_tokens") - col("chunk_idx") * S))
+          .select("doc_id", "chunk_idx", "chunk_len")
+          // scalableRunningSum consumes this twice (bucket offsets +
+          // within-bucket window) and the upstream holds the dedup
+          // WINDOW — the checkpoint-wins side of the SCALING.md
+          // boundary rule (cf. q99)
+          .localCheckpoint(false)
+        graft.ops.PrefixSum.scalableRunningSum(chunks,
+            bucket = expr("doc_id div 100"), bucketName = "doc_bucket",
+            orderCols = Seq("doc_id", "chunk_idx"), valueCol = "chunk_len", outCol = "cum")
+          .withColumn("offset", col("cum") - col("chunk_len"))
+          .withColumn("bin", expr(s"offset div $budget"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("chunk_len")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("bin")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    - len(regexp_split_to_array(trim(regexp_replace(' ' || text || ' ', ' (the|a|of|and|to|in) ', ' ', 'g')), '\s+')) AS BIGINT) AS n_stop,
+                 CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+          FROM documents),
+        kept AS (
+          SELECT doc_id, text, n_tokens FROM m
+          WHERE n_tokens BETWEEN 20 AND 1000
+            AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+            AND avg_token_len BETWEEN 2.0 AND 12.0),
+        dedup AS (
+          SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                     ORDER BY doc_id) AS rn
+            FROM kept)
+          WHERE rn = 1),
+        nch AS (
+          SELECT doc_id, n_tokens,
+                 CASE WHEN n_tokens <= 32 THEN 1
+                      ELSE CAST(ceil((n_tokens - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+          FROM dedup),
+        chunks AS (
+          SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx, n_tokens FROM nch),
+        cl AS (
+          SELECT doc_id, chunk_idx,
+                 least(32, n_tokens - chunk_idx * 24) AS chunk_len
+          FROM chunks),
+        packed AS (
+          SELECT doc_id, chunk_idx, chunk_len,
+                 COALESCE(SUM(chunk_len) OVER (ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+          FROM cl)
+        SELECT CAST("offset" // 64 AS BIGINT) AS bin,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(chunk_len) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM packed
+        GROUP BY 1
+        ORDER BY 1"""),
+      doc = "composed curation pipeline: quality filter -> exact dedup -> context chunking -> global 64-token bin packing via scalable prefix sum, one lazy plan (north-star capstone)")
   )
 }
