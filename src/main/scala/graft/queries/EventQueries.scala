@@ -1418,6 +1418,33 @@ object EventQueries extends QueryModule {
                CAST(SUM(b_end - b_start) AS BIGINT) AS covered_us,
                MAX(b_end - b_start) AS longest_us
         FROM agg GROUP BY user_id ORDER BY user_id"""),
-      doc = "interval union / coverage per user: sweep-line merge of overlapping intervals in one keyed shuffle (§2.E extension)")
+      doc = "interval union / coverage per user: sweep-line merge of overlapping intervals in one keyed shuffle (§2.E extension)"),
+
+    // --------------------------------------------------------------- q193
+    // Sliding-window EXACT median per user (trailing 5 rows) — the
+    // robust denoiser a rolling mean can't be (one spiky event drags a
+    // mean for 5 rows; the median shrugs). Spark's exact `percentile`
+    // aggregate runs inside the row-frame window; DuckDB mirrors with
+    // windowed `median`. Both interpolate even-count middles as the
+    // two-value average — computed via different float paths, so the
+    // result is snapped at 6 decimals: medians of 2-decimal inputs have
+    // ≤ 3 decimals, which is never near a 6-decimal rounding boundary,
+    // making the snap tie-free by construction. One keyed shuffle.
+    "q193_sliding_median" -> NamedQuery(
+      fn = (s, d) => {
+        graft.Tables.events(s, d)
+          .withColumn("med", round(expr(
+            "percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+              "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"), 6))
+          .select("user_id", "event_id", "med")
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        SELECT user_id, event_id,
+               round(median(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med
+        FROM events
+        ORDER BY user_id, event_id"""),
+      doc = "trailing exact sliding median per user: robust rolling denoiser, keyed window (§2.E extension)")
   )
 }
