@@ -87,7 +87,10 @@ object Audit {
   //    documented single-partition step (same review as q99)
   private val expectedGlobalWindow = Set(
     "q25_freq_ratio", "q110_budget_mixture", "q140_curriculum_cut",
-    "q99_concurrency", "q192_curation_pipeline")
+    //  - q194: the PrefixSum bucket-offset frame over floor(value)
+    //    buckets — |value buckets| rows (≤ max(value)), the op's own
+    //    documented single-partition step
+    "q99_concurrency", "q192_curation_pipeline", "q194_mann_whitney")
 
   final case class QueryAudit(name: String, codegen: Int, flags: List[String])
 

@@ -1445,6 +1445,76 @@ object EventQueries extends QueryModule {
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med
         FROM events
         ORDER BY user_id, event_id"""),
-      doc = "trailing exact sliding median per user: robust rolling denoiser, keyed window (§2.E extension)")
+      doc = "trailing exact sliding median per user: robust rolling denoiser, keyed window (§2.E extension)"),
+
+    // --------------------------------------------------------------- q194
+    // Mann-Whitney U (Wilcoxon rank-sum), SCALABLY: does `value` differ
+    // in distribution between click and purchase events? The classic
+    // formulation ranks the combined sample — a global row sort. This
+    // one never ranks rows: collapse to per-DISTINCT-VALUE counts
+    // (value-keyed aggregation), prefix-sum the counts over the value
+    // order (PrefixSum, floor(value)-bucketed — keyed), and read the
+    // tie-averaged rank per value as (2·cum_before + cnt + 1)/2, kept
+    // in DOUBLED integer units so every rank sum is exact long
+    // arithmetic. U, rank sums, and the tie term are exact integers;
+    // the tie-corrected z is one unrounded IEEE chain on them
+    // (PARITY.md rule 2). Completes the statistics-audit family:
+    // chi-square (categorical), kappa (agreement), Wilson (proportion),
+    // Spearman (correlation), Mann-Whitney (distribution shift).
+    "q194_mann_whitney" -> NamedQuery(
+      fn = (s, d) => {
+        val vals = graft.Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy("value")
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cnt_a"))
+        val pre = graft.ops.PrefixSum.scalableRunningSum(vals,
+            bucket = floor(col("value")).cast("long"), bucketName = "vbucket",
+            orderCols = Seq("value"), valueCol = "cnt", outCol = "cum")
+          .withColumn("cumbefore", col("cum") - col("cnt"))
+        val agg = pre.agg(
+          sum(col("cnt_a")).as("n_a"),
+          sum(col("cnt") - col("cnt_a")).as("n_b"),
+          sum(col("cnt_a") * (col("cumbefore") * 2 + col("cnt") + 1)).as("two_r_a"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+        val nA = col("n_a").cast("double")
+        val nB = col("n_b").cast("double")
+        val nD = (col("n_a") + col("n_b")).cast("double")
+        agg.withColumn("two_u_a", col("two_r_a") - col("n_a") * (col("n_a") + 1))
+          .withColumn("z",
+            (col("two_u_a").cast("double") - nA * col("n_b")) /
+              (lit(2d) * sqrt(nA * col("n_b") / lit(12.0) *
+                ((nD + lit(1d)) - col("ties").cast("double") / (nD * (nD - lit(1d)))))))
+          .select("n_a", "n_b", "two_r_a", "two_u_a", "ties", "z")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT value, event_type FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        vals AS (
+          SELECT value, COUNT(*) AS cnt,
+                 CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS cnt_a
+          FROM f GROUP BY value),
+        pre AS (
+          SELECT value, cnt, cnt_a,
+                 CAST(COALESCE(SUM(cnt) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumbefore
+          FROM vals),
+        agg AS (
+          SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+                 CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+                 CAST(SUM(cnt_a * (2 * cumbefore + cnt + 1)) AS BIGINT) AS two_r_a,
+                 CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+          FROM pre)
+        SELECT n_a, n_b, two_r_a,
+               two_r_a - n_a * (n_a + 1) AS two_u_a,
+               ties,
+               (CAST(two_r_a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+               / (2 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                           * ((CAST(n_a + n_b AS DOUBLE) + 1)
+                              - CAST(ties AS DOUBLE)
+                                / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1))))) AS z
+        FROM agg"""),
+      doc = "Mann-Whitney U without a global row sort: value-keyed tie-averaged ranks via prefix sum, exact-integer U, unrounded tie-corrected z (statistics audit)")
   )
 }
