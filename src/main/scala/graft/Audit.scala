@@ -64,6 +64,9 @@ object Audit {
     // into the kappa row (F5-class bounded); q189: the q171/q144
     // bounded id-sampled probe-set broadcast against the corpus
     "q188_langid_kappa", "q189_rank_correlation",
+    // q195: 1-row totals attach onto the value-grain ECDF frame
+    // (F5-class bounded)
+    "q195_ks_test",
     // q191: the contingency grid is margins × margins (both dims
     // bounded domains) plus a 1-row total — deliberate broadcast cross
     "q191_chi_square")
@@ -90,7 +93,9 @@ object Audit {
     //  - q194: the PrefixSum bucket-offset frame over floor(value)
     //    buckets — |value buckets| rows (≤ max(value)), the op's own
     //    documented single-partition step
-    "q99_concurrency", "q192_curation_pipeline", "q194_mann_whitney")
+    //  - q195: same PrefixSum bucket-offset frame as q194
+    "q99_concurrency", "q192_curation_pipeline", "q194_mann_whitney",
+    "q195_ks_test")
 
   final case class QueryAudit(name: String, codegen: Int, flags: List[String])
 

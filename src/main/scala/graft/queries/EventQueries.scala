@@ -1515,6 +1515,63 @@ object EventQueries extends QueryModule {
                               - CAST(ties AS DOUBLE)
                                 / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1))))) AS z
         FROM agg"""),
-      doc = "Mann-Whitney U without a global row sort: value-keyed tie-averaged ranks via prefix sum, exact-integer U, unrounded tie-corrected z (statistics audit)")
+      doc = "Mann-Whitney U without a global row sort: value-keyed tie-averaged ranks via prefix sum, exact-integer U, unrounded tie-corrected z (statistics audit)"),
+
+    // --------------------------------------------------------------- q195
+    // Two-sample Kolmogorov-Smirnov on the same scaffolding as q194 —
+    // D = max |ECDF_a − ECDF_b|, computed with an EXACT INTEGER
+    // numerator: at each distinct value, |cum_a·n_b − cum_b·n_a| is a
+    // long, the max is a keyed aggregate, and D = d_num/(n_a·n_b) is
+    // the one (exactly-representable) division at the end — zero float
+    // anywhere in the data path. ECDFs come from two value-keyed
+    // prefix sums (PrefixSum, floor(value) buckets); the two totals
+    // are a 1-row broadcast attach (F5-class).
+    "q195_ks_test" -> NamedQuery(
+      fn = (s, d) => {
+        val vals = graft.Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy("value")
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cnt_a"))
+        val cum = graft.ops.PrefixSum.scalableRunningSum(vals,
+          bucket = floor(col("value")).cast("long"), bucketName = "vbucket",
+          orderCols = Seq("value"), valueCol = "cnt", outCol = "cum")
+        val pre = graft.ops.PrefixSum.scalableRunningSum(cum,
+            bucket = col("vbucket"), bucketName = "vbucket",
+            orderCols = Seq("value"), valueCol = "cnt_a", outCol = "cum_a")
+          .withColumn("cum_b", col("cum") - col("cum_a"))
+        val totals = pre.agg(sum(col("cnt_a")).as("n_a"),
+          sum(col("cnt") - col("cnt_a")).as("n_b"))
+        pre.crossJoin(broadcast(totals))
+          .withColumn("diff", abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+          .groupBy("n_a", "n_b")
+          .agg(max(col("diff")).as("d_num"))
+          .withColumn("d", col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+          .select("n_a", "n_b", "d_num", "d")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT value, event_type FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        vals AS (
+          SELECT value, COUNT(*) AS cnt,
+                 CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS cnt_a
+          FROM f GROUP BY value),
+        pre AS (
+          SELECT value, cnt, cnt_a,
+                 CAST(SUM(cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(SUM(cnt_a) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a
+          FROM vals),
+        tot AS (
+          SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+                 CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b
+          FROM pre)
+        SELECT t.n_a, t.n_b,
+               CAST(MAX(abs(p.cum_a * t.n_b - (p.cum - p.cum_a) * t.n_a)) AS BIGINT) AS d_num,
+               CAST(MAX(abs(p.cum_a * t.n_b - (p.cum - p.cum_a) * t.n_a)) AS DOUBLE)
+                 / (CAST(t.n_a AS DOUBLE) * t.n_b) AS d
+        FROM pre p CROSS JOIN tot t
+        GROUP BY t.n_a, t.n_b"""),
+      doc = "two-sample Kolmogorov-Smirnov: exact-integer ECDF-difference numerator over prefix-summed value counts, one final division (statistics audit)")
   )
 }
