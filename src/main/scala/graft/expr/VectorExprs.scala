@@ -77,6 +77,8 @@ object GraftFunctions {
     CountMin(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression()
   private[expr] def cmQueryBuilder(exprs: Seq[Expression]): Expression =
     CmQuery(exprs(0), Cast(exprs(1), StringType), exprs(2))
+  private[expr] def jaroWinklerBuilder(exprs: Seq[Expression]): Expression =
+    JaroWinkler(Cast(exprs(0), StringType), Cast(exprs(1), StringType))
   // Spark's own runtime-filter expressions, exposed by name so
   // ops.BloomOps can plant the identical codegen'd probe explicitly.
   private[expr] def bloomAggBuilder(exprs: Seq[Expression]): Expression =
@@ -98,6 +100,8 @@ object GraftFunctions {
       "count_min", countMinBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cm_query", cmQueryBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", jaroWinklerBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -140,6 +144,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("cm_query"),
       new ExpressionInfo(classOf[CmQuery].getName, "cm_query"),
       (exprs: Seq[Expression]) => GraftFunctions.cmQueryBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => GraftFunctions.jaroWinklerBuilder(exprs)))
     e.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(

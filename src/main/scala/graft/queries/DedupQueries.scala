@@ -480,5 +480,91 @@ object DedupQueries extends QueryModule {
                        round(CAST(cnt AS DOUBLE) / n2.n, 6)) >= 0.8
         ORDER BY d1, d2"""),
       doc = "containment (asymmetric) dedup: subset-duplicate detection the symmetric Jaccard gate misses, same LSH scale path (north-star)")
+  ) ++ fuzzyQueries
+
+  /** Blocked candidate pairs for the record-linkage family (q196/q197):
+    * (lang, source, n_chars/64 length band) blocking keys — the classic
+    * record-linkage blocking scheme — then a self-equi-join WITHIN
+    * blocks, comparing bounded 32-char signatures. Never an unscoped
+    * cross join: pair count is Σ_block C(c,2) (19.6k at sf0.1 vs 12.5M
+    * all-pairs), and at 100 TB the block key is the shuffle key. The
+    * signature bounds the per-pair cost: levenshtein is O(32²),
+    * jaro_winkler O(32·window), independent of document length.
+    */
+  private def blockedSigPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("n_chars") / 64).cast("long").as("band"),
+        substring(col("text"), 1, 32).as("sig"))
+    val a = docs.select(col("lang"), col("source"), col("band"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = docs.select(col("lang"), col("source"), col("band"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("lang", "source", "band")).filter(col("doc_a") < col("doc_b"))
+  }
+
+  private val fuzzySqlBlocks = """
+        WITH d AS (
+          SELECT doc_id, lang, source, CAST(floor(n_chars / 64) AS BIGINT) AS band,
+                 substr(text, 1, 32) AS sig
+          FROM documents),
+        p AS (
+          SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sig AS sig_a, b.sig AS sig_b
+          FROM d a JOIN d b
+            ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
+           AND a.doc_id < b.doc_id)"""
+
+  private def fuzzyQueries: Seq[(String, NamedQuery)] = Seq(
+
+    // --------------------------------------------------------------- q196
+    // Edit-distance fuzzy matching — the dedup mode the token-set family
+    // (Jaccard/MinHash/SimHash) cannot see: character-level corruption
+    // (typos, OCR noise, mojibake) destroys token identity but moves
+    // edit distance only a little. Blocking per `blockedSigPairs`;
+    // Spark's built-in codegen'd `levenshtein` scores each candidate
+    // pair, integer distance → exact hash parity with DuckDB's
+    // `levenshtein`. The threshold (≤16 over 32-char signatures) is the
+    // half-length rule of thumb from the record-linkage literature.
+    "q196_fuzzy_edit_pairs" -> NamedQuery(
+      fn = (s, d) => {
+        blockedSigPairs(s, d)
+          .withColumn("lev", levenshtein(col("sig_a"), col("sig_b")).cast("long"))
+          .filter(col("lev") <= 16)
+          .select("lang", "source", "doc_a", "doc_b", "lev")
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(fuzzySqlBlocks + """
+        SELECT lang, source, doc_a, doc_b,
+               CAST(levenshtein(sig_a, sig_b) AS BIGINT) AS lev
+        FROM p
+        WHERE levenshtein(sig_a, sig_b) <= 16
+        ORDER BY doc_a, doc_b"""),
+      doc = "edit-distance fuzzy dedup: (lang,source,length-band)-blocked pairs, codegen'd levenshtein on bounded signatures, integer-exact parity (record linkage)"),
+
+    // --------------------------------------------------------------- q197
+    // The same linkage scaffold scored by graft's native `jaro_winkler`
+    // Catalyst expression (expr/StringSim.scala) — prefix-weighted
+    // similarity, the measure designed for name/title linkage where
+    // early characters matter most. The expression is pinned BIT-EXACT
+    // to DuckDB's jaro_winkler_similarity (StringSimSpec fuzz), so the
+    // gate hash-matches raw unrounded doubles — the strongest parity
+    // claim available (PARITY.md rule 2), same class as q188's kappa.
+    "q197_jaro_winkler_linkage" -> NamedQuery(
+      fn = (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        blockedSigPairs(s, d)
+          .withColumn("jw", expr("jaro_winkler(sig_a, sig_b)"))
+          .filter(col("jw") >= 0.8)
+          .select("lang", "source", "doc_a", "doc_b", "jw")
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(fuzzySqlBlocks + """
+        SELECT lang, source, doc_a, doc_b,
+               jaro_winkler_similarity(sig_a, sig_b) AS jw
+        FROM p
+        WHERE jaro_winkler_similarity(sig_a, sig_b) >= 0.8
+        ORDER BY doc_a, doc_b"""),
+      doc = "Jaro-Winkler record linkage via the native codegen'd jaro_winkler expression, bit-exact unrounded-double parity with the oracle (record linkage)")
   )
 }
