@@ -69,7 +69,12 @@ object Audit {
     "q195_ks_test",
     // q191: the contingency grid is margins × margins (both dims
     // bounded domains) plus a 1-row total — deliberate broadcast cross
-    "q191_chi_square")
+    "q191_chi_square",
+    // q200: 1-row digit-total attach onto the 9-row digit frame
+    // (F5-class bounded); q201: sources × vocab mixture grid — both
+    // sides are aggregate frames of bounded domains (q191's
+    // margins×margins pattern) plus the 1-row corpus total
+    "q200_benford_audit", "q201_js_divergence")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,

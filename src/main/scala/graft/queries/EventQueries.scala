@@ -1572,6 +1572,215 @@ object EventQueries extends QueryModule {
                  / (CAST(t.n_a AS DOUBLE) * t.n_b) AS d
         FROM pre p CROSS JOIN tot t
         GROUP BY t.n_a, t.n_b"""),
-      doc = "two-sample Kolmogorov-Smirnov: exact-integer ECDF-difference numerator over prefix-summed value counts, one final division (statistics audit)")
+      doc = "two-sample Kolmogorov-Smirnov: exact-integer ECDF-difference numerator over prefix-summed value counts, one final division (statistics audit)"),
+
+    // --------------------------------------------------------------- q198
+    // Closed-form OLS per event_type: value regressed on time (seconds
+    // since 2024-01-01) — the drift-detection primitive ("is this
+    // metric trending?") without any ML-library dependence. Parity
+    // design: all five moment sums are EXACT — x and x² are integer
+    // seconds (longs; x ≤ 2.6M so x² ≤ 7e12 cannot overflow a long
+    // even summed at sf100 under DECIMAL(38,0)), y goes through the
+    // DECIMAL(18,2) idiom, xy and y² through exact decimal products —
+    // so slope/intercept/r² are ONE unrounded IEEE chain per group on
+    // identically-valued inputs (PARITY.md rule 2). One keyed
+    // aggregation, 5 groups; at 100 TB this is a map-side-combined
+    // scan, no second pass (vs the textbook mean-centered two-pass).
+    "q198_ols_trend" -> NamedQuery(
+      fn = (s, d) => {
+        val ev = graft.Tables.events(s, d)
+          // integer seconds since 2024-01-01T00:00Z (div = long division)
+          .withColumn("x", expr("ts_us div 1000000") - lit(1704067200L))
+          .withColumn("y", dec(col("value")))
+        val agg = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum((col("x") * col("x")).cast(DecimalType(28, 0))).cast("double").as("sxx"),
+          sum(col("x").cast(DecimalType(19, 0)) * col("y")).cast("double").as("sxy"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double")
+        agg
+          .withColumn("cov_n", nD * col("sxy") - sxD * col("sy"))
+          .withColumn("var_n", nD * col("sxx") - sxD * sxD)
+          .withColumn("slope", col("cov_n") / col("var_n"))
+          .withColumn("intercept", (col("sy") - col("slope") * sxD) / nD)
+          .withColumn("r2",
+            col("cov_n") * col("cov_n") /
+              (col("var_n") * (nD * col("syy") - col("sy") * col("sy"))))
+          .select("event_type", "n", "slope", "intercept", "r2")
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DOUBLE) AS sxy,
+                 CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(y * y) AS DOUBLE) AS syy
+          FROM (SELECT event_type,
+                       epoch_us(ts) // 1000000 - 1704067200 AS x,
+                       CAST(value AS DECIMAL(18,2)) AS y
+                FROM events)
+          GROUP BY event_type)
+        SELECT event_type, n,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+               (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+               ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+        FROM m
+        ORDER BY event_type"""),
+      doc = "closed-form OLS trend per event_type: exact integer/decimal moment sums in one keyed pass, unrounded IEEE slope/intercept/r2 (statistics audit)"),
+
+    // --------------------------------------------------------------- q199
+    // HyperLogLog++ through the gate, q168-style: Spark's built-in
+    // approx_count_distinct (the 100 TB cardinality workhorse — the
+    // exact per-key countDistinct it replaces is a full shuffle of the
+    // key universe) is checked against exact distincts as a RELATIONAL
+    // assertion. The sketch estimate itself is deterministic for a
+    // given dataset but not oracle-reproducible, so the gate output is
+    // the scoreboard: per event_type, exact count + estimate-within-3σ
+    // flag (rsd 0.05 ⇒ ±15%), which DuckDB asserts as literal TRUE —
+    // the hash fails if any estimate ever drifts out of its published
+    // bound. (At these cardinalities HLL++ runs in sparse mode and is
+    // typically exact; the bound is the contract, not the observation.)
+    "q199_hll_bound_gate" -> NamedQuery(
+      fn = (s, d) => {
+        graft.Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.05).as("est"))
+          .withColumn("within_3sigma",
+            abs(col("est") - col("exact_users")).cast("double") <=
+              lit(0.15) * col("exact_users"))
+          .select("event_type", "exact_users", "within_3sigma")
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_3sigma
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      doc = "HyperLogLog++ cardinality gate: approx_count_distinct vs exact, published 3-sigma bound asserted relationally (sketch audit)"),
+
+    // --------------------------------------------------------------- q200
+    // Benford first-significant-digit audit on `value` — the classic
+    // fabricated-data screen. Digit extraction is LOG-FREE (log10-based
+    // extraction flips buckets when libm disagrees at exact powers of
+    // ten — this corpus has values like 100.00): value is 2-decimal
+    // quantized, so round(value·100) is an exact integer in centi-units
+    // whose decimal-string first character IS the first significant
+    // digit — integer-to-string is identical in both engines. Expected
+    // Benford mass n·log10(1+1/d) and the χ² terms are floor-micro'd
+    // per digit (q191 recipe), counts are exact longs.
+    "q200_benford_audit" -> NamedQuery(
+      fn = (s, d) => {
+        val digits = graft.Tables.events(s, d)
+          .filter(col("value") > 0)
+          .withColumn("d1",
+            substring(round(col("value") * 100).cast("long").cast("string"), 1, 1)
+              .cast("long"))
+          .groupBy("d1").agg(count(lit(1)).as("o"))
+        val n = digits.agg(sum(col("o")).as("n"))
+        digits.crossJoin(broadcast(n))
+          .withColumn("p", log10(lit(1.0) + lit(1.0) / col("d1").cast("double")))
+          .withColumn("e", col("n").cast("double") * col("p"))
+          .withColumn("e_micro", floor(col("e") * 1e6).cast("long"))
+          .withColumn("term_micro",
+            floor((col("o") - col("e")) * (col("o") - col("e")) / col("e") * 1e6).cast("long"))
+          .select("d1", "o", "n", "e_micro", "term_micro")
+          .orderBy("d1")
+      },
+      oracle = Some("""
+        WITH digits AS (
+          SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d1,
+                 COUNT(*) AS o
+          FROM events WHERE value > 0 GROUP BY 1),
+        n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM digits)
+        SELECT d1, o, n.n,
+               CAST(floor(CAST(n.n AS DOUBLE) * log10(1 + 1.0 / d1) * 1e6) AS BIGINT) AS e_micro,
+               CAST(floor((o - CAST(n.n AS DOUBLE) * log10(1 + 1.0 / d1))
+                          * (o - CAST(n.n AS DOUBLE) * log10(1 + 1.0 / d1))
+                          / (CAST(n.n AS DOUBLE) * log10(1 + 1.0 / d1)) * 1e6) AS BIGINT) AS term_micro
+        FROM digits CROSS JOIN n
+        ORDER BY d1"""),
+      doc = "Benford first-digit audit: log-free digit extraction via exact centi-unit integer strings, floor-micro chi-square terms vs Benford expectation (DQ audit)"),
+
+    // --------------------------------------------------------------- q202
+    // Welch's unequal-variance t-test (click vs purchase value) — the
+    // last member of the statistics-audit family: does the MEAN differ,
+    // where q194 asked about distribution and q195 about shape. Moments
+    // are exact decimals (y and y² through the DECIMAL idiom), so mean,
+    // variance, t, and the Welch-Satterthwaite df are one unrounded
+    // IEEE chain on identically-valued inputs — no rounding anywhere.
+    // One 2-group keyed aggregation; the group pivot is a 1-row
+    // self-join on nothing (max_by against literal keys), not a
+    // collect.
+    "q202_welch_ttest" -> NamedQuery(
+      fn = (s, d) => {
+        val moments = graft.Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("y", dec(col("value")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("y")).cast("double").as("sy"),
+            sum(col("y") * col("y")).cast("double").as("syy"))
+          .withColumn("mean", col("sy") / col("n").cast("double"))
+          .withColumn("vr",
+            (col("syy") - col("sy") * col("sy") / col("n").cast("double")) /
+              (col("n") - 1L).cast("double"))
+        val wide = moments.agg(
+          max(when(col("event_type") === "click", col("n"))).as("n1"),
+          max(when(col("event_type") === "click", col("mean"))).as("mean1"),
+          max(when(col("event_type") === "click", col("vr"))).as("var1"),
+          max(when(col("event_type") === "purchase", col("n"))).as("n2"),
+          max(when(col("event_type") === "purchase", col("mean"))).as("mean2"),
+          max(when(col("event_type") === "purchase", col("vr"))).as("var2"))
+        val se1 = col("var1") / col("n1").cast("double")
+        val se2 = col("var2") / col("n2").cast("double")
+        wide
+          .withColumn("t", (col("mean1") - col("mean2")) / sqrt(se1 + se2))
+          .withColumn("df",
+            (se1 + se2) * (se1 + se2) /
+              (se1 * se1 / (col("n1") - 1L).cast("double") +
+               se2 * se2 / (col("n2") - 1L).cast("double")))
+          .select("n1", "mean1", "var1", "n2", "mean2", "var2", "t", "df")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS syy
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY event_type),
+        s AS (
+          SELECT event_type, n, sy / n AS mean,
+                 (syy - sy * sy / n) / (n - 1) AS vr
+          FROM m),
+        w AS (
+          SELECT MAX(n) FILTER (event_type = 'click') AS n1,
+                 MAX(mean) FILTER (event_type = 'click') AS mean1,
+                 MAX(vr) FILTER (event_type = 'click') AS var1,
+                 MAX(n) FILTER (event_type = 'purchase') AS n2,
+                 MAX(mean) FILTER (event_type = 'purchase') AS mean2,
+                 MAX(vr) FILTER (event_type = 'purchase') AS var2
+          FROM s)
+        SELECT n1, mean1, var1, n2, mean2, var2,
+               (mean1 - mean2) / sqrt(var1 / n1 + var2 / n2) AS t,
+               (var1 / n1 + var2 / n2) * (var1 / n1 + var2 / n2)
+                 / ((var1 / n1) * (var1 / n1) / (n1 - 1)
+                    + (var2 / n2) * (var2 / n2) / (n2 - 1)) AS df
+        FROM w"""),
+      doc = "Welch unequal-variance t-test: exact decimal moments, unrounded IEEE t and Welch-Satterthwaite df (statistics audit)")
   )
 }

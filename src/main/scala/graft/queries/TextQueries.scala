@@ -663,6 +663,79 @@ object TextQueries extends QueryModule {
                     ELSE (CAST(ag.agree AS DOUBLE) / nn.n - CAST(cr.cross_sum AS DOUBLE) / (nn.n * nn.n))
                          / (1 - CAST(cr.cross_sum AS DOUBLE) / (nn.n * nn.n)) END AS kappa
         FROM nn, ag, cr"""),
-      doc = "Cohen's kappa for the language-ID heuristic: chance-corrected agreement from one confusion frame, unrounded bit-exact IEEE parity (classifier audit)")
+      doc = "Cohen's kappa for the language-ID heuristic: chance-corrected agreement from one confusion frame, unrounded bit-exact IEEE parity (classifier audit)"),
+
+    // --------------------------------------------------------------- q201
+    // Jensen-Shannon divergence of each source's unigram distribution
+    // from the corpus distribution — the corpus-drift audit ("which
+    // ingest source no longer looks like the rest?"), the symmetric,
+    // bounded alternative to raw KL. All inputs are exact integer
+    // counts from token-keyed aggregations; per-(source,token) terms
+    // 0.5·p·ln(p/m) + 0.5·q·ln(q/m) (m the mixture) are one IEEE chain
+    // each, floor-micro'd before the per-source sum (q191 recipe) so
+    // the sum is order-independent. The (source × vocab) grid is a
+    // broadcast of the vocab frame — at 100 TB vocab-keyed counts
+    // shuffle on token, the grid stays |sources|·|vocab|, and missing
+    // (source,token) cells enter with p = 0 (their q·ln2 mass is what
+    // penalizes coverage gaps).
+    "q201_js_divergence" -> NamedQuery(
+      fn = (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val srcTok = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+        val srcTot = srcTok.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+        val corpTok = srcTok.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
+        val corpTot = corpTok.agg(sum(col("c_t")).as("n"))
+        srcTot.crossJoin(broadcast(corpTok))
+          .join(srcTok, Seq("source", "tok"), "left")
+          .na.fill(0L, Seq("c_st"))
+          .crossJoin(broadcast(corpTot))
+          .withColumn("p", col("c_st").cast("double") / col("n_s"))
+          .withColumn("q", col("c_t").cast("double") / col("n"))
+          .withColumn("m", (col("p") + col("q")) / lit(2.0))
+          .withColumn("term",
+            when(col("c_st") > 0, lit(0.5) * col("p") * log(col("p") / col("m")))
+              .otherwise(lit(0.0)) +
+              lit(0.5) * col("q") * log(col("q") / col("m")))
+          .withColumn("term_micro", floor(col("term") * 1e6).cast("long"))
+          .groupBy("source")
+          .agg(max(col("n_s")).as("n_s"), sum(col("term_micro")).as("jsd_micro"))
+          .withColumn("jsd", col("jsd_micro").cast("double") / 1e6)
+          .select("source", "n_s", "jsd_micro", "jsd")
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        st AS (SELECT source, tok, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+        stot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        ct AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        nn AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM ct),
+        grid AS (
+          SELECT s.source, s.n_s, c.tok, c.c_t, nn.n,
+                 COALESCE(t.c_st, 0) AS c_st
+          FROM stot s CROSS JOIN ct c CROSS JOIN nn
+          LEFT JOIN st t ON t.source = s.source AND t.tok = c.tok),
+        terms AS (
+          SELECT source, n_s,
+                 CAST(floor((
+                   CASE WHEN c_st > 0
+                        THEN 0.5 * (CAST(c_st AS DOUBLE) / n_s)
+                             * ln((CAST(c_st AS DOUBLE) / n_s)
+                                  / ((CAST(c_st AS DOUBLE) / n_s + CAST(c_t AS DOUBLE) / n) / 2.0))
+                        ELSE 0.0 END
+                   + 0.5 * (CAST(c_t AS DOUBLE) / n)
+                     * ln((CAST(c_t AS DOUBLE) / n)
+                          / ((CAST(c_st AS DOUBLE) / n_s + CAST(c_t AS DOUBLE) / n) / 2.0))
+                 ) * 1e6) AS BIGINT) AS term_micro
+          FROM grid)
+        SELECT source, MAX(n_s) AS n_s,
+               CAST(SUM(term_micro) AS BIGINT) AS jsd_micro,
+               CAST(SUM(term_micro) AS DOUBLE) / 1e6 AS jsd
+        FROM terms
+        GROUP BY source
+        ORDER BY source"""),
+      doc = "Jensen-Shannon corpus-drift audit per source: integer-count distributions, floor-micro IEEE term sum over the broadcast vocab grid (DQ audit)")
   )
 }
