@@ -74,7 +74,10 @@ object Audit {
     // (F5-class bounded); q201: sources × vocab mixture grid — both
     // sides are aggregate frames of bounded domains (q191's
     // margins×margins pattern) plus the 1-row corpus total
-    "q200_benford_audit", "q201_js_divergence")
+    "q200_benford_audit", "q201_js_divergence",
+    // q204: ×6 lag fan-out is a broadcast of the 6-row lag list onto
+    // the hour-grain aggregate frame — bounded by construction
+    "q204_hourly_acf")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,

@@ -493,13 +493,13 @@ object DedupQueries extends QueryModule {
     */
   private def blockedSigPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         (col("n_chars") / 64).cast("long").as("band"),
         substring(col("text"), 1, 32).as("sig"))
     val a = docs.select(col("lang"), col("source"), col("band"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("n_chars").as("nc_a"))
     val b = docs.select(col("lang"), col("source"), col("band"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("n_chars").as("nc_b"))
     a.join(b, Seq("lang", "source", "band")).filter(col("doc_a") < col("doc_b"))
   }
 
@@ -565,6 +565,68 @@ object DedupQueries extends QueryModule {
         FROM p
         WHERE jaro_winkler_similarity(sig_a, sig_b) >= 0.8
         ORDER BY doc_a, doc_b"""),
-      doc = "Jaro-Winkler record linkage via the native codegen'd jaro_winkler expression, bit-exact unrounded-double parity with the oracle (record linkage)")
+      doc = "Jaro-Winkler record linkage via the native codegen'd jaro_winkler expression, bit-exact unrounded-double parity with the oracle (record linkage)"),
+
+    // --------------------------------------------------------------- q203
+    // The entity-resolution CAPSTONE, Fellegi-Sunter style: multiple
+    // fuzzy evidence channels fused into a match score, thresholded
+    // into edges, closed into entities by connected components — the
+    // full record-linkage pipeline in one lazy plan. Evidence per
+    // blocked pair: Jaro-Winkler ≥ 0.8 (weight 2 — prefix-weighted
+    // similarity is the strongest signal), levenshtein ≤ 16 (weight 1),
+    // length proximity |Δn_chars| ≤ 16 (weight 1); score ≥ 3 means the
+    // JW channel PLUS corroboration. Components run on the same
+    // checkpointed min-label core as q55/q117 (O(diameter) keyed
+    // rounds); the oracle closes the identical edge set with a
+    // recursive CTE. Entities = clusters with ≥ 2 records.
+    "q203_entity_resolution" -> NamedQuery(
+      fn = (s, d) => {
+        implicit val sp = s
+        graft.expr.GraftFunctions.register(s)
+        val edges = blockedSigPairs(s, d)
+          .withColumn("score",
+            when(expr("jaro_winkler(sig_a, sig_b)") >= 0.8, 2L).otherwise(0L) +
+              when(levenshtein(col("sig_a"), col("sig_b")) <= 16, 1L).otherwise(0L) +
+              when(abs(col("nc_a") - col("nc_b")) <= 16, 1L).otherwise(0L))
+          .filter(col("score") >= 3)
+          .select(col("doc_a").as("d1"), col("doc_b").as("d2"))
+        val docs = Tables.documents(s, d).select("doc_id")
+        graft.ops.DedupOps.duplicateClusters(edges, docs, maxIter = 15)
+          .groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("cluster")
+      },
+      oracle = Some("""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, lang, source, n_chars,
+                 CAST(floor(n_chars / 64) AS BIGINT) AS band,
+                 substr(text, 1, 32) AS sig
+          FROM documents),
+        p AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 (CASE WHEN jaro_winkler_similarity(a.sig, b.sig) >= 0.8 THEN 2 ELSE 0 END)
+               + (CASE WHEN levenshtein(a.sig, b.sig) <= 16 THEN 1 ELSE 0 END)
+               + (CASE WHEN abs(a.n_chars - b.n_chars) <= 16 THEN 1 ELSE 0 END) AS score
+          FROM d a JOIN d b
+            ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
+           AND a.doc_id < b.doc_id),
+        pairs AS (SELECT d1, d2 FROM p WHERE score >= 3),
+        edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL
+          SELECT d2, d1 FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT doc_id, doc_id AS lab FROM documents
+          UNION
+          SELECT e.dst AS doc_id, r.lab
+          FROM reach r JOIN edges e ON e.src = r.doc_id),
+        labels AS (
+          SELECT doc_id, MIN(lab) AS cluster FROM reach GROUP BY doc_id)
+        SELECT cluster, COUNT(*) AS n_docs
+        FROM labels
+        GROUP BY cluster
+        HAVING COUNT(*) >= 2
+        ORDER BY cluster"""),
+      doc = "entity resolution capstone: Fellegi-Sunter evidence fusion (JW + levenshtein + length) over blocked pairs, thresholded edges, component entities (record linkage)")
   )
 }

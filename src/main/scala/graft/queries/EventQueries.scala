@@ -1781,6 +1781,134 @@ object EventQueries extends QueryModule {
                  / ((var1 / n1) * (var1 / n1) / (n1 - 1)
                     + (var2 / n2) * (var2 / n2) / (n2 - 1)) AS df
         FROM w"""),
-      doc = "Welch unequal-variance t-test: exact decimal moments, unrounded IEEE t and Welch-Satterthwaite df (statistics audit)")
+      doc = "Welch unequal-variance t-test: exact decimal moments, unrounded IEEE t and Welch-Satterthwaite df (statistics audit)"),
+
+    // --------------------------------------------------------------- q204
+    // Autocorrelation function (lags 1–6) of the hourly value series
+    // per event_type — the seasonality probe of the time-series audit
+    // family. EXACT-INTEGER design end to end: hourly totals in
+    // centi-units (longs, the q200 quantization), deviations scaled by
+    // n (d_h = n·y_h − S, integer — no rational mean anywhere), and
+    // lag products summed as DECIMAL(38,0); r_k = C_k/C_0 is declared
+    // in floor-micro units (the sums exceed 2^53, where DuckDB's
+    // int128→double cast stops being correctly rounded — measured at
+    // sf0.1, 1-ulp flip). Lag semantics are
+    // hour-INDEX join (h ↔ h+k on the keyed hour frame), identical on
+    // both sides and gap-safe; C_0 uses all n hours (standard ACF
+    // normalization). Everything keyed: at 100 TB the hour frame is
+    // the aggregate of the scan, and the ×6 lag fan-out is on the
+    // hour-grain frame, not on rows.
+    "q204_hourly_acf" -> NamedQuery(
+      fn = (s, d) => {
+        val hours = graft.Tables.events(s, d)
+          .withColumn("h", expr("ts_us div 3600000000"))
+          .groupBy("event_type", "h")
+          .agg(sum(round(col("value") * 100).cast("long")).as("yc"))
+        val tot = hours.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("yc")).as("s"))
+        val dev = hours.join(tot, Seq("event_type"))
+          .withColumn("dv", col("n") * col("yc") - col("s"))
+          .select("event_type", "h", "n", "dv")
+        val c0 = dev.groupBy("event_type")
+          .agg(sum(col("dv").cast(DecimalType(19, 0)) * col("dv")).as("c0"))
+        val ks = s.range(1, 7).select(col("id").as("k"))
+        val partner = dev.select(col("event_type"), col("h").as("hb"), col("dv").as("dvb"))
+        dev.crossJoin(broadcast(ks))
+          .join(partner,
+            partner("event_type") === dev("event_type") && col("hb") === col("h") + col("k"))
+          .drop(partner("event_type"))
+          .groupBy("event_type", "k")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("dv").cast(DecimalType(19, 0)) * col("dvb")).as("ck"))
+          .join(c0, Seq("event_type"))
+          // the decimal sums exceed 2^53, and DuckDB's int128→double cast
+          // is not correctly rounded — so r is DECLARED in floor-micro
+          // units (q191 recipe) rather than asserted to the last ulp
+          .withColumn("r_micro",
+            floor(col("ck").cast("double") / col("c0").cast("double") * 1e6).cast("long"))
+          .withColumn("r", col("r_micro").cast("double") / 1e6)
+          .select("event_type", "k", "n_pairs", "r_micro", "r")
+          .orderBy("event_type", "k")
+      },
+      oracle = Some("""
+        WITH hours AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, COUNT(*) AS n, CAST(SUM(yc) AS BIGINT) AS s
+          FROM hours GROUP BY 1),
+        dev AS (
+          SELECT h.event_type, h.h, t.n, t.n * h.yc - t.s AS dv
+          FROM hours h JOIN tot t USING (event_type)),
+        c0 AS (
+          SELECT event_type, SUM(CAST(dv AS DECIMAL(19,0)) * dv) AS c0
+          FROM dev GROUP BY 1),
+        ck AS (
+          SELECT a.event_type, k.k, COUNT(*) AS n_pairs,
+                 SUM(CAST(a.dv AS DECIMAL(19,0)) * b.dv) AS ck
+          FROM dev a
+          CROSS JOIN generate_series(1, 6) k(k)
+          JOIN dev b ON b.event_type = a.event_type AND b.h = a.h + k.k
+          GROUP BY 1, 2)
+        SELECT ck.event_type, CAST(ck.k AS BIGINT) AS k, ck.n_pairs,
+               CAST(floor(CAST(ck.ck AS DOUBLE) / CAST(c0.c0 AS DOUBLE) * 1e6) AS BIGINT) AS r_micro,
+               CAST(CAST(floor(CAST(ck.ck AS DOUBLE) / CAST(c0.c0 AS DOUBLE) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS r
+        FROM ck JOIN c0 USING (event_type)
+        ORDER BY event_type, k"""),
+      doc = "hourly autocorrelation (lags 1-6) per event_type: exact-integer scaled deviations, decimal lag-product sums, one final division (time-series audit)"),
+
+    // --------------------------------------------------------------- q205
+    // CUSUM change-point detection on the same hourly series: the
+    // running sum of mean-deviations peaks (in absolute value) at the
+    // most likely level-shift point. Same exact-integer scaffolding as
+    // q204 (n-scaled deviations, so the mean is never a rational); the
+    // running sum is a KEYED window per event_type (hour-grain frame —
+    // already aggregated, scales), the argmax is row_number over
+    // (|cusum| desc, h asc) — pinned tie order. The last-hour CUSUM is
+    // identically 0 (Σd = 0), a built-in self-check the spec asserts.
+    "q205_cusum_changepoint" -> NamedQuery(
+      fn = (s, d) => {
+        val hours = graft.Tables.events(s, d)
+          .withColumn("h", expr("ts_us div 3600000000"))
+          .groupBy("event_type", "h")
+          .agg(sum(round(col("value") * 100).cast("long")).as("yc"))
+        val tot = hours.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("yc")).as("s"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cusum = hours.join(tot, Seq("event_type"))
+          .withColumn("dv", col("n") * col("yc") - col("s"))
+          .withColumn("cusum", sum(col("dv")).over(w))
+        val pick = Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum")).desc, col("h").asc)
+        cusum.withColumn("rn", row_number().over(pick))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("n").as("n_hours"),
+            col("h").as("cp_hour"), col("cusum").as("cusum_at_cp"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH hours AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, COUNT(*) AS n, CAST(SUM(yc) AS BIGINT) AS s
+          FROM hours GROUP BY 1),
+        cusum AS (
+          SELECT h.event_type, h.h, t.n,
+                 CAST(SUM(t.n * h.yc - t.s) OVER (PARTITION BY h.event_type ORDER BY h.h
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+          FROM hours h JOIN tot t USING (event_type)),
+        pick AS (
+          SELECT event_type, n, h, cusum,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY abs(cusum) DESC, h ASC) AS rn
+          FROM cusum)
+        SELECT event_type, n AS n_hours, h AS cp_hour, cusum AS cusum_at_cp
+        FROM pick WHERE rn = 1
+        ORDER BY event_type"""),
+      doc = "CUSUM change-point per event_type: exact-integer running deviation sum on the keyed hour frame, pinned-tie argmax (time-series audit)")
   )
 }
