@@ -77,7 +77,11 @@ object Audit {
     "q200_benford_audit", "q201_js_divergence",
     // q204: ×6 lag fan-out is a broadcast of the 6-row lag list onto
     // the hour-grain aggregate frame — bounded by construction
-    "q204_hourly_acf")
+    "q204_hourly_acf",
+    // q207: ×32 replicate fan-out broadcasts the 32-row replicate list
+    // onto the per-type count frame (the B×n grid itself is the keyed
+    // index join); q208: q191's margins×margins contingency cross
+    "q207_bootstrap_ci", "q208_cramers_v")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,

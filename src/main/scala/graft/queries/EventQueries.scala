@@ -1909,6 +1909,138 @@ object EventQueries extends QueryModule {
         SELECT event_type, n AS n_hours, h AS cp_hour, cusum AS cusum_at_cp
         FROM pick WHERE rn = 1
         ORDER BY event_type"""),
-      doc = "CUSUM change-point per event_type: exact-integer running deviation sum on the keyed hour frame, pinned-tie argmax (time-series audit)")
+      doc = "CUSUM change-point per event_type: exact-integer running deviation sum on the keyed hour frame, pinned-tie argmax (time-series audit)"),
+
+    // --------------------------------------------------------------- q206
+    // The quantile sketch through the gate — completes the sketch-audit
+    // set (HLL q199, count-min q179, space-saving q168, KMV q155,
+    // bloom q129): approx_percentile (Spark's KLL-style mergeable
+    // summary, the 100 TB quantile workhorse) is checked against its
+    // published RANK-error bound as a relational assertion. The exact
+    // side is a DISCRETE quantile spelled explicitly as a rank formula
+    // (rank ⌊p·(n−1)⌋+1 over (value, event_id) — pinned total order,
+    // no interpolation, so parity is element-exact); the sketch side's
+    // estimate has its true rank measured by a count-below join, and
+    // the gate asserts |rank − p·n| ≤ n/accuracy + 1 for p ∈ {0.5,
+    // 0.95}. DuckDB hard-codes TRUE — the hash fails if the sketch
+    // ever drifts out of bound. The per-group sort behind the exact
+    // side is the cost the sketch REPLACES at scale; it exists here
+    // only to audit the sketch.
+    "q206_quantile_sketch_gate" -> NamedQuery(
+      fn = (s, d) => {
+        val acc = 1000
+        val ev = graft.Tables.events(s, d).select(col("event_type"), col("value"), col("event_id"))
+        val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        val ranked = ev.withColumn("rn", row_number().over(w)).join(n, Seq("event_type"))
+        val exact = ranked
+          .filter(col("rn") === floor(lit(0.5) * (col("n") - 1)).cast("long") + 1 ||
+            col("rn") === floor(lit(0.95) * (col("n") - 1)).cast("long") + 1)
+          .groupBy("event_type", "n")
+          .agg(min(col("value")).as("p50_exact"), max(col("value")).as("p95_exact"))
+        val apx = ev.groupBy("event_type").agg(
+          percentile_approx(col("value"), lit(0.5), lit(acc)).as("a50"),
+          percentile_approx(col("value"), lit(0.95), lit(acc)).as("a95"))
+        val ranksOfApx = ev.join(broadcast(apx), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("r50"),
+            sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("r95"))
+        exact.join(ranksOfApx, Seq("event_type"))
+          .withColumn("tol", col("n").cast("double") / acc + 1)
+          .withColumn("p50_in_bound",
+            abs(col("r50").cast("double") - lit(0.5) * col("n")) <= col("tol"))
+          .withColumn("p95_in_bound",
+            abs(col("r95").cast("double") - lit(0.95) * col("n")) <= col("tol"))
+          .select("event_type", "n", "p50_exact", "p95_exact", "p50_in_bound", "p95_in_bound")
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+        SELECT event_type, n,
+               MIN(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN value END) AS p50_exact,
+               MIN(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 THEN value END) AS p95_exact,
+               TRUE AS p50_in_bound,
+               TRUE AS p95_in_bound
+        FROM ranked
+        GROUP BY event_type, n
+        ORDER BY event_type"""),
+      doc = "quantile sketch gate: approx_percentile rank error vs published bound as relational assertion, element-exact discrete quantiles as reference (sketch audit)"),
+
+    // --------------------------------------------------------------- q207
+    // Bootstrap confidence interval for the mean — DETERMINISTIC
+    // resampling at scale: replicate b's i-th draw is the row at index
+    // md5(type#b#i) mod n, so the B×n resample grid is a pure function
+    // of the data (the md5 idiom of the sampling family q26/q27,
+    // partition-count-independent) and both engines build the SAME
+    // resamples. Replicate means are exact DECIMAL(18,2) sums over a
+    // keyed index join; the CI is a discrete quantile over the B=32
+    // replicate means (rank formula, (mean, b)-pinned order). At
+    // 100 TB: the grid is B× the fact rows, sharded by the same index
+    // join key — embarrassingly parallel, no sort of the raw data.
+    "q207_bootstrap_ci" -> NamedQuery(
+      fn = (s, d) => {
+        val B = 32
+        val ev = graft.Tables.events(s, d)
+          .withColumn("idx",
+            row_number().over(Window.partitionBy("event_type").orderBy("event_id")) - 1)
+          .select(col("event_type"), col("idx").cast("long").as("idx"), dec(col("value")).as("y"))
+        val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val reps = s.range(0, B).select(col("id").as("b"))
+        val draws = n.crossJoin(broadcast(reps))
+          // renamed key avoids the self-join ambiguity (n derives from ev)
+          .select(col("event_type").as("et"), col("b"), col("n"),
+            explode(sequence(lit(0L), col("n") - 1)).as("i"))
+          .withColumn("j",
+            conv(substring(md5(concat(col("et"), lit("#"), col("b"), lit("#"), col("i"))), 1, 15),
+              16, 10).cast("long") % col("n"))
+        val means = draws.join(ev,
+            col("et") === col("event_type") && col("j") === col("idx"))
+          .groupBy(col("et").as("event_type"), col("b"))
+          .agg((sum(col("y")).cast("double") / min(col("n")).cast("double")).as("mean_b"))
+        val wq = Window.partitionBy("event_type").orderBy(col("mean_b"), col("b"))
+        val loRank = 1 + math.floor(0.025 * (B - 1)).toLong
+        val hiRank = 1 + math.floor(0.975 * (B - 1)).toLong
+        means.withColumn("rq", row_number().over(wq))
+          .filter(col("rq") === loRank || col("rq") === hiRank)
+          .groupBy("event_type")
+          .agg(min(col("mean_b")).as("ci_lo"), max(col("mean_b")).as("ci_hi"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT event_type,
+                 row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS idx,
+                 CAST(value AS DECIMAL(18,2)) AS y
+          FROM events),
+        n AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+        draws AS (
+          -- the i domain is ev's own idx column (exactly 0..n-1 per type)
+          SELECT e.event_type, b.b, n.n, e.idx AS i,
+                 CAST('0x' || substring(md5(e.event_type || '#' || CAST(b.b AS VARCHAR)
+                   || '#' || CAST(e.idx AS VARCHAR)), 1, 15) AS BIGINT) % n.n AS j
+          FROM ev e
+          JOIN n USING (event_type)
+          CROSS JOIN generate_series(0, 31) b(b)),
+        means AS (
+          SELECT d.event_type, d.b,
+                 CAST(SUM(e.y) AS DOUBLE) / CAST(MIN(d.n) AS DOUBLE) AS mean_b
+          FROM draws d JOIN ev e ON e.event_type = d.event_type AND e.idx = d.j
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT event_type, mean_b,
+                 row_number() OVER (PARTITION BY event_type ORDER BY mean_b, b) AS rq
+          FROM means)
+        SELECT event_type,
+               MIN(CASE WHEN rq = 1 THEN mean_b END) AS ci_lo,
+               MIN(CASE WHEN rq = 31 THEN mean_b END) AS ci_hi
+        FROM ranked
+        WHERE rq IN (1, 31)
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      doc = "deterministic bootstrap CI of the mean: md5-indexed B=32 resample grid, exact decimal replicate means, discrete-quantile interval (statistics audit)")
   )
 }

@@ -1334,6 +1334,65 @@ object PretrainQueries extends QueryModule {
         FROM packed
         GROUP BY 1
         ORDER BY 1"""),
-      doc = "composed curation pipeline: quality filter -> exact dedup -> context chunking -> global 64-token bin packing via scalable prefix sum, one lazy plan (north-star capstone)")
+      doc = "composed curation pipeline: quality filter -> exact dedup -> context chunking -> global 64-token bin packing via scalable prefix sum, one lazy plan (north-star capstone)"),
+
+    // --------------------------------------------------------------- q208
+    // Cramér's V on the q191 contingency scaffold — the EFFECT-SIZE
+    // companion to the chi-square test (χ² grows with n even for
+    // trivial association; V = sqrt(χ²/(n·min(r−1,c−1))) is the
+    // bounded [0,1] strength measure reviewers actually compare across
+    // corpora). χ² enters in its exact floor-micro integer form, so V
+    // is one unrounded IEEE chain on identically-valued inputs.
+    "q208_cramers_v" -> NamedQuery(
+      fn = (s, d) => {
+        val counts = Tables.documents(s, d)
+          .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+          .localCheckpoint(false)
+        val langs = counts.groupBy("lang").agg(sum(col("o")).as("n_l"))
+        val sources = counts.groupBy("source").agg(sum(col("o")).as("n_s"))
+        val n = counts.agg(sum(col("o")).as("n"))
+        val grid = langs.crossJoin(broadcast(sources)).crossJoin(broadcast(n))
+          .join(counts, Seq("lang", "source"), "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
+          .withColumn("e", col("n_l").cast("double") * col("n_s") / col("n"))
+          .withColumn("term_micro",
+            floor((col("o") - col("e")) * (col("o") - col("e")) / col("e") * lit(1e6)).cast("long"))
+        grid.agg(
+            max(col("n")).as("n"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"),
+            sum(col("term_micro")).as("chi2_micro"))
+          .withColumn("dof_min",
+            least(col("n_langs") - 1L, col("n_sources") - 1L))
+          .withColumn("v",
+            sqrt(col("chi2_micro").cast("double") / 1e6 /
+              (col("n").cast("double") * col("dof_min").cast("double"))))
+          .select("n", "dof_min", "chi2_micro", "v")
+      },
+      oracle = Some("""
+        WITH counts AS (
+          SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        langs AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS n_l FROM counts GROUP BY 1),
+        sources AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s FROM counts GROUP BY 1),
+        nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM counts),
+        grid AS (
+          SELECT l.lang, s.source, nn.n,
+                 COALESCE(c.o, 0) AS o,
+                 CAST(l.n_l AS DOUBLE) * s.n_s / nn.n AS e
+          FROM langs l CROSS JOIN sources s CROSS JOIN nn
+          LEFT JOIN counts c ON c.lang = l.lang AND c.source = s.source),
+        agg AS (
+          SELECT MAX(n) AS n,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST(SUM(CAST(floor((o - e) * (o - e) / e * 1e6) AS BIGINT)) AS BIGINT) AS chi2_micro
+          FROM grid)
+        SELECT n,
+               least(n_langs - 1, n_sources - 1) AS dof_min,
+               chi2_micro,
+               sqrt(CAST(chi2_micro AS DOUBLE) / 1e6
+                    / (CAST(n AS DOUBLE) * CAST(least(n_langs - 1, n_sources - 1) AS DOUBLE))) AS v
+        FROM agg"""),
+      doc = "Cramer's V effect size on the q191 contingency grid: floor-micro chi-square input, unrounded IEEE normalization (DQ audit)")
   )
 }
