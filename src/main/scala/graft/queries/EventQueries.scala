@@ -1990,13 +1990,21 @@ object EventQueries extends QueryModule {
           .select(col("event_type"), col("idx").cast("long").as("idx"), dec(col("value")).as("y"))
         val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
         val reps = s.range(0, B).select(col("id").as("b"))
-        val draws = n.crossJoin(broadcast(reps))
-          // renamed key avoids the self-join ambiguity (n derives from ev)
-          .select(col("event_type").as("et"), col("b"), col("n"),
-            explode(sequence(lit(0L), col("n") - 1)).as("i"))
+        // the i domain is ev's own idx column (exactly 0..n-1 per type),
+        // and the B indices per row come from ONE md5 via Carter-Wegman
+        // affine combination (the DedupOps minhash idiom) — hashing per
+        // (b,i) was measured 3× slower at sf0.1. h2 is 56-bit so
+        // b·h2 (b ≤ 31) stays far from long overflow; renamed key
+        // avoids the self-join ambiguity (n derives from ev).
+        val draws = ev.select(col("event_type").as("et"), col("idx").as("i"))
+          .join(n.withColumnRenamed("event_type", "et"), Seq("et"))
+          .withColumn("hh", md5(concat(col("et"), lit("#"), col("i"))))
+          .withColumn("h1", conv(substring(col("hh"), 1, 15), 16, 10).cast("long"))
+          .withColumn("h2", conv(substring(col("hh"), 17, 14), 16, 10).cast("long"))
+          .repartition(col("i")) // pre-fan-out spread: AQE otherwise leaves one task
+          .crossJoin(broadcast(reps))
           .withColumn("j",
-            conv(substring(md5(concat(col("et"), lit("#"), col("b"), lit("#"), col("i"))), 1, 15),
-              16, 10).cast("long") % col("n"))
+            ((col("h1") + col("b") * col("h2")) % lit(2305843009213693951L)) % col("n"))
         val means = draws.join(ev,
             col("et") === col("event_type") && col("j") === col("idx"))
           .groupBy(col("et").as("event_type"), col("b"))
@@ -2017,13 +2025,17 @@ object EventQueries extends QueryModule {
                  CAST(value AS DECIMAL(18,2)) AS y
           FROM events),
         n AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
-        draws AS (
-          -- the i domain is ev's own idx column (exactly 0..n-1 per type)
-          SELECT e.event_type, b.b, n.n, e.idx AS i,
-                 CAST('0x' || substring(md5(e.event_type || '#' || CAST(b.b AS VARCHAR)
-                   || '#' || CAST(e.idx AS VARCHAR)), 1, 15) AS BIGINT) % n.n AS j
+        hashed AS (
+          -- one md5 per row; B indices per row via Carter-Wegman combo
+          SELECT e.event_type, n.n, e.idx AS i,
+                 CAST('0x' || substring(md5(e.event_type || '#' || CAST(e.idx AS VARCHAR)), 1, 15) AS BIGINT) AS h1,
+                 CAST('0x' || substring(md5(e.event_type || '#' || CAST(e.idx AS VARCHAR)), 17, 14) AS BIGINT) AS h2
           FROM ev e
-          JOIN n USING (event_type)
+          JOIN n USING (event_type)),
+        draws AS (
+          SELECT event_type, b.b, n, i,
+                 ((h1 + b.b * h2) % 2305843009213693951) % n AS j
+          FROM hashed
           CROSS JOIN generate_series(0, 31) b(b)),
         means AS (
           SELECT d.event_type, d.b,
