@@ -133,7 +133,13 @@ object DedupOps {
       .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-      .withColumn("jacc", round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6))
+      .withColumn("jacc",
+        // exact rational cnt/union rounded half-away in integer math
+        // (PARITY rule 4 fix 2): round(double, 6) splits engines when
+        // the true rational lands on a decimal micro-midpoint (q70 hit
+        // one at sf1; unions divisible by 2^7*5^j make them reachable)
+        expr("(2 * 1000000 * c + (n1 + n2 - c)) div (2 * (n1 + n2 - c))")
+          .cast("double") / lit(1e6))
       .select("d1", "d2", "c", "n1", "n2", "jacc")
   }
 
@@ -161,7 +167,13 @@ object DedupOps {
       .withColumn("c", size(array_intersect(col("ts1"), col("ts2"))).cast("long"))
       .withColumn("n1", size(col("ts1")).cast("long"))
       .withColumn("n2", size(col("ts2")).cast("long"))
-      .withColumn("jacc", round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6))
+      .withColumn("jacc",
+        // exact rational cnt/union rounded half-away in integer math
+        // (PARITY rule 4 fix 2): round(double, 6) splits engines when
+        // the true rational lands on a decimal micro-midpoint (q70 hit
+        // one at sf1; unions divisible by 2^7*5^j make them reachable)
+        expr("(2 * 1000000 * c + (n1 + n2 - c)) div (2 * (n1 + n2 - c))")
+          .cast("double") / lit(1e6))
       .select("d1", "d2", "c", "n1", "n2", "jacc")
   }
 

@@ -79,17 +79,27 @@ object CorpusQueries extends QueryModule {
     "q48_quality_filter" -> NamedQuery(
       fn = (s, d) => {
         import graft.ops.TextOps
+        // ratios reported as exact rationals rounded half-away in
+        // integer math (PARITY rule 4 fix 2): n_tokens denominators are
+        // exactly the small-denominator class whose micro-midpoints
+        // split round(double, 6) across engines (q70 hit one at sf1)
         Tables.documents(s, d)
           .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+          .withColumn("n_stop", TextOps.stopwordCount(col("text")))
+          .withColumn("n_chars_ns",
+            length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
           .withColumn("stop_ratio",
-            TextOps.stopwordCount(col("text")).cast("double") / TextOps.tokenCount(col("text")))
-          .withColumn("avg_token_len", TextOps.avgTokenLen(col("text")))
+            col("n_stop").cast("double") / col("n_tokens"))
+          .withColumn("avg_token_len",
+            col("n_chars_ns").cast("double") / col("n_tokens"))
           .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000)
           .filter(col("stop_ratio") < 0.5)
           .filter(col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0)
           .select(col("doc_id"), col("n_tokens"),
-            round(col("stop_ratio"), 6).as("stop_ratio"),
-            round(col("avg_token_len"), 6).as("avg_token_len"))
+            (expr("(2 * 1000000 * n_stop + n_tokens) div (2 * n_tokens)")
+              .cast("double") / lit(1e6)).as("stop_ratio"),
+            (expr("(2 * 1000000 * n_chars_ns + n_tokens) div (2 * n_tokens)")
+              .cast("double") / lit(1e6)).as("avg_token_len"))
           .orderBy("doc_id")
       },
       oracle = Some("""
@@ -98,16 +108,15 @@ object CorpusQueries extends QueryModule {
                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
                     - len(regexp_split_to_array(trim(regexp_replace(' ' || text || ' ', ' (the|a|of|and|to|in) ', ' ', 'g')), '\s+')) AS BIGINT) AS n_stop,
-                 CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-                   / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+                 CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_chars_ns
           FROM documents)
         SELECT doc_id, n_tokens,
-               round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
-               round(avg_token_len, 6) AS avg_token_len
+               CAST((2 * 1000000 * n_stop + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1e6 AS stop_ratio,
+               CAST((2 * 1000000 * n_chars_ns + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1e6 AS avg_token_len
         FROM m
         WHERE n_tokens BETWEEN 20 AND 1000
           AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
-          AND avg_token_len BETWEEN 2.0 AND 12.0
+          AND CAST(n_chars_ns AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
         ORDER BY doc_id"""),
       doc = "quality keep/drop filter: length, stopword ratio, token shape (north-star)"),
 
@@ -177,11 +186,11 @@ object CorpusQueries extends QueryModule {
           JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
           GROUP BY 1, 2)
         SELECT d1, d2,
-               round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) AS jacc
+               CAST((2 * 1000000 * cnt + (n1.n + n2.n - cnt)) // (2 * (n1.n + n2.n - cnt)) AS DOUBLE) / 1e6 AS jacc
         FROM inter
         JOIN sizes n1 ON d1 = n1.doc_id
         JOIN sizes n2 ON d2 = n2.doc_id
-        WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5
+        WHERE CAST((2 * 1000000 * cnt + (n1.n + n2.n - cnt)) // (2 * (n1.n + n2.n - cnt)) AS DOUBLE) / 1e6 >= 0.5
         ORDER BY d1, d2"""),
       doc = "composed dedup: LSH candidates -> exact Jaccard verify (north-star scale path)"),
 
@@ -237,7 +246,7 @@ object CorpusQueries extends QueryModule {
           FROM inter
           JOIN sizes n1 ON d1 = n1.doc_id
           JOIN sizes n2 ON d2 = n2.doc_id
-          WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5),
+          WHERE CAST((2 * 1000000 * cnt + (n1.n + n2.n - cnt)) // (2 * (n1.n + n2.n - cnt)) AS DOUBLE) / 1e6 >= 0.5),
         edges AS (
           SELECT d1 AS src, d2 AS dst FROM pairs
           UNION ALL
@@ -304,11 +313,11 @@ object CorpusQueries extends QueryModule {
           JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
           GROUP BY 1, 2)
         SELECT d1, d2,
-               round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) AS jacc
+               CAST((2 * 1000000 * cnt + (n1.n + n2.n - cnt)) // (2 * (n1.n + n2.n - cnt)) AS DOUBLE) / 1e6 AS jacc
         FROM inter
         JOIN sizes n1 ON d1 = n1.doc_id
         JOIN sizes n2 ON d2 = n2.doc_id
-        WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5
+        WHERE CAST((2 * 1000000 * cnt + (n1.n + n2.n - cnt)) // (2 * (n1.n + n2.n - cnt)) AS DOUBLE) / 1e6 >= 0.5
         ORDER BY d1, d2"""),
       doc = "dedup artifact write side: verified edge table written partitioned once, full read-back hash-matched (write-once/read-many)"),
 
@@ -363,7 +372,7 @@ object CorpusQueries extends QueryModule {
           FROM inter
           JOIN sizes n1 ON d1 = n1.doc_id
           JOIN sizes n2 ON d2 = n2.doc_id
-          WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5),
+          WHERE CAST((2 * 1000000 * cnt + (n1.n + n2.n - cnt)) // (2 * (n1.n + n2.n - cnt)) AS DOUBLE) / 1e6 >= 0.5),
         edges AS (
           SELECT d1 AS src, d2 AS dst FROM pairs
           UNION ALL
@@ -466,7 +475,7 @@ object CorpusQueries extends QueryModule {
           FROM inter
           JOIN sizes n1 ON d1 = n1.doc_id
           JOIN sizes n2 ON d2 = n2.doc_id
-          WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5
+          WHERE CAST((2 * 1000000 * cnt + (n1.n + n2.n - cnt)) // (2 * (n1.n + n2.n - cnt)) AS DOUBLE) / 1e6 >= 0.5
           GROUP BY d1)
         SELECT d.doc_id,
                CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
@@ -511,8 +520,8 @@ object CorpusQueries extends QueryModule {
             .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
             .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
             .select(col("s1"), col("s2"), col("n_inter"),
-              round(col("n_inter").cast("double") /
-                (col("n1") + col("n2") - col("n_inter")), 6).as("jaccard"))
+              (expr("(2 * 1000000 * n_inter + (n1 + n2 - n_inter)) div (2 * (n1 + n2 - n_inter))")
+                .cast("double") / lit(1e6)).as("jaccard"))
             .orderBy("s1", "s2")
         }
       },
@@ -531,7 +540,7 @@ object CorpusQueries extends QueryModule {
           WHERE a.source < b.source
           GROUP BY 1, 2)
         SELECT s1, s2, CAST(n_inter AS BIGINT) AS n_inter,
-               round(CAST(n_inter AS DOUBLE) / (z1.n + z2.n - n_inter), 6) AS jaccard
+               CAST((2 * 1000000 * n_inter + (z1.n + z2.n - n_inter)) // (2 * (z1.n + z2.n - n_inter)) AS DOUBLE) / 1e6 AS jaccard
         FROM inter
         JOIN sizes z1 ON z1.source = s1
         JOIN sizes z2 ON z2.source = s2
@@ -588,7 +597,8 @@ object CorpusQueries extends QueryModule {
         eAgg.crossJoin(wAgg).crossJoin(tAgg)
           .withColumn("closure_rate",
             when(col("n_wedges") > 0,
-              round(col("n_triangles") / col("n_wedges"), 6)).otherwise(0.0))
+              expr("(2 * 1000000 * n_triangles + n_wedges) div (2 * n_wedges)")
+                .cast("double") / lit(1e6)).otherwise(0.0))
       },
       oracle = Some("""
         WITH toks AS (
@@ -624,7 +634,7 @@ object CorpusQueries extends QueryModule {
           FROM inter
           JOIN sizes n1 ON d1 = n1.doc_id
           JOIN sizes n2 ON d2 = n2.doc_id
-          WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5),
+          WHERE CAST((2 * 1000000 * cnt + (n1.n + n2.n - cnt)) // (2 * (n1.n + n2.n - cnt)) AS DOUBLE) / 1e6 >= 0.5),
         w AS (
           SELECT e1.a, e1.b, e2.b AS c
           FROM e e1 JOIN e e2 ON e1.b = e2.a),
@@ -635,7 +645,8 @@ object CorpusQueries extends QueryModule {
                (SELECT COUNT(*) FROM w) AS n_wedges,
                (SELECT COUNT(*) FROM t) AS n_triangles,
                CASE WHEN (SELECT COUNT(*) FROM w) > 0
-                    THEN round((SELECT COUNT(*) FROM t) / (SELECT COUNT(*) FROM w), 6)
+                    THEN CAST((2 * 1000000 * (SELECT COUNT(*) FROM t) + (SELECT COUNT(*) FROM w))
+                              // (2 * (SELECT COUNT(*) FROM w)) AS DOUBLE) / 1e6
                     ELSE 0.0 END AS closure_rate"""),
       doc = "triangle census + wedge closure of the near-dup graph (graph family with q55)"),
 
@@ -706,7 +717,7 @@ object CorpusQueries extends QueryModule {
           FROM inter
           JOIN sizes n1 ON d1 = n1.doc_id
           JOIN sizes n2 ON d2 = n2.doc_id
-          WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5),
+          WHERE CAST((2 * 1000000 * cnt + (n1.n + n2.n - cnt)) // (2 * (n1.n + n2.n - cnt)) AS DOUBLE) / 1e6 >= 0.5),
         edges AS (
           SELECT d1 AS src, d2 AS dst FROM pairs
           UNION ALL
@@ -859,7 +870,7 @@ object CorpusQueries extends QueryModule {
           FROM inter
           JOIN sizes n1 ON d1 = n1.doc_id
           JOIN sizes n2 ON d2 = n2.doc_id
-          WHERE round(CAST(cnt AS DOUBLE) / (n1.n + n2.n - cnt), 6) >= 0.5),
+          WHERE CAST((2 * 1000000 * cnt + (n1.n + n2.n - cnt)) // (2 * (n1.n + n2.n - cnt)) AS DOUBLE) / 1e6 >= 0.5),
         edges AS (
           SELECT d1 AS src, d2 AS dst FROM pairs
           UNION ALL
@@ -1057,8 +1068,12 @@ object CorpusQueries extends QueryModule {
           .agg(count(lit(1)).as("n_runs"),
             (max(col("run_len")) + lit(4L)).as("max_span_toks"),
             sum(col("run_len")).as("n_rep_grams"))
+          // integer/integer rational rounded in exact integer math
+          // (PARITY rule 4 fix 2): round(double, 6) splits engines when
+          // a/b lands on a decimal midpoint (q70 hit one at sf1)
           .withColumn("rep_frac",
-            round(col("n_rep_grams").cast("double") / (col("n_toks") - 4), 6))
+            expr("(2 * 1000000 * n_rep_grams + (n_toks - 4)) div (2 * (n_toks - 4))")
+              .cast("double") / lit(1e6))
           .select("doc_id", "n_runs", "max_span_toks", "n_rep_grams", "rep_frac")
           .orderBy("doc_id")
       },
@@ -1087,7 +1102,7 @@ object CorpusQueries extends QueryModule {
         SELECT doc_id, COUNT(*) AS n_runs,
                MAX(run_len) + 4 AS max_span_toks,
                CAST(SUM(run_len) AS BIGINT) AS n_rep_grams,
-               round(CAST(SUM(run_len) AS DOUBLE) / (n_toks - 4), 6) AS rep_frac
+               CAST((2 * 1000000 * SUM(run_len) + (n_toks - 4)) // (2 * (n_toks - 4)) AS DOUBLE) / 1e6 AS rep_frac
         FROM rl
         GROUP BY doc_id, n_toks
         ORDER BY doc_id"""),
@@ -1368,10 +1383,22 @@ object CorpusQueries extends QueryModule {
             Window.partitionBy("probe_id").orderBy(col("bm25").desc, col("doc_id").asc)))
           .select("probe_id", "doc_id", "r_lex")
         // fuse: a doc absent from one leg contributes 0 from it
+        // rrf as ONE exact rational per row ((b1+b2)/(b1*b2), or 1/b for a
+        // single leg), rounded half-away in integer math (PARITY rule 4
+        // fix 2 — round(double, 6) splits engines on decimal
+        // micro-midpoints; rank-sum denominators are small integers)
         val fused = dense.join(lex, Seq("probe_id", "doc_id"), "full_outer")
-          .withColumn("rrf", round(
-            coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)), 6))
+          .withColumn("b1", col("r_dense").cast("long") + 60L)
+          .withColumn("b2", col("r_lex").cast("long") + 60L)
+          .withColumn("num",
+            when(col("b1").isNotNull && col("b2").isNotNull, col("b1") + col("b2"))
+              .otherwise(lit(1L)))
+          .withColumn("den",
+            when(col("b1").isNotNull && col("b2").isNotNull, col("b1") * col("b2"))
+              .otherwise(coalesce(col("b1"), col("b2"))))
+          .withColumn("rrf",
+            expr("(2 * 1000000 * num + den) div (2 * den)").cast("double") / lit(1e6))
+          .drop("b1", "b2", "num", "den")
         graft.ops.RelationalOps.topKPerGroup(
             Seq("probe_id"), Seq(col("rrf").desc, col("doc_id").asc), 5)(fused)
           .withColumn("rnk", row_number().over(
@@ -1425,8 +1452,14 @@ object CorpusQueries extends QueryModule {
         fused AS (
           SELECT COALESCE(d.probe_id, x.probe_id) AS probe_id,
                  COALESCE(d.doc_id, x.doc_id) AS doc_id,
-                 round(COALESCE(1.0 / (60 + d.r_dense), 0)
-                     + COALESCE(1.0 / (60 + x.r_lex), 0), 6) AS rrf
+                 CAST((2 * 1000000 * (CASE WHEN d.r_dense IS NOT NULL AND x.r_lex IS NOT NULL
+                                            THEN (60 + d.r_dense) + (60 + x.r_lex) ELSE 1 END)
+                       + (CASE WHEN d.r_dense IS NOT NULL AND x.r_lex IS NOT NULL
+                               THEN (60 + d.r_dense) * (60 + x.r_lex)
+                               ELSE COALESCE(60 + d.r_dense, 60 + x.r_lex) END))
+                      // (2 * (CASE WHEN d.r_dense IS NOT NULL AND x.r_lex IS NOT NULL
+                                  THEN (60 + d.r_dense) * (60 + x.r_lex)
+                                  ELSE COALESCE(60 + d.r_dense, 60 + x.r_lex) END)) AS DOUBLE) / 1e6 AS rrf
           FROM dense d FULL OUTER JOIN lex x
             ON d.probe_id = x.probe_id AND d.doc_id = x.doc_id)
         SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf
@@ -1460,7 +1493,9 @@ object CorpusQueries extends QueryModule {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
             sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
-          .withColumn("oov_rate", round(col("n_oov").cast("double") / col("n_tokens"), 6))
+          .withColumn("oov_rate",
+            expr("(2 * 1000000 * n_oov + n_tokens) div (2 * n_tokens)")
+              .cast("double") / lit(1e6))
           .orderBy("doc_id")
       },
       oracle = Some("""
@@ -1476,7 +1511,7 @@ object CorpusQueries extends QueryModule {
           FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
         SELECT doc_id, COUNT(*) AS n_tokens,
                CAST(COUNT(*) FILTER (vtok IS NULL) AS BIGINT) AS n_oov,
-               round(CAST(COUNT(*) FILTER (vtok IS NULL) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+               CAST((2 * 1000000 * COUNT(*) FILTER (vtok IS NULL) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1e6 AS oov_rate
         FROM j GROUP BY doc_id ORDER BY doc_id"""),
       doc = "tokenizer-coverage audit: per-doc OOV occurrence rate vs the corpus top-k vocabulary, broadcast vocab join (north-star)"),
 

@@ -78,7 +78,9 @@ object DedupQueries extends QueryModule {
           val j = inter
             .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
             .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-            .withColumn("jacc", round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 6))
+            .withColumn("jacc",
+              expr("(2 * 1000000 * c + (n1 + n2 - c)) div (2 * (n1 + n2 - c))")
+                .cast("double") / lit(1e6))
           RelationalOps.topKPerGroup(Seq("d1"), Seq(col("jacc").desc, col("d2").asc), 3)(j)
             .select("d1", "d2", "jacc")
             .orderBy("d1", "d2")
@@ -101,7 +103,7 @@ object DedupQueries extends QueryModule {
            AND s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
           GROUP BY 1, 2),
         j AS (
-          SELECT d1, d2, round(CAST(c AS DOUBLE) / (n1.n + n2.n - c), 6) AS jacc
+          SELECT d1, d2, CAST((2 * 1000000 * c + (n1.n + n2.n - c)) // (2 * (n1.n + n2.n - c)) AS DOUBLE) / 1e6 AS jacc
           FROM inter
           JOIN sizes n1 ON d1 = n1.doc_id
           JOIN sizes n2 ON d2 = n2.doc_id)
@@ -349,10 +351,19 @@ object DedupQueries extends QueryModule {
             .agg(
               max(col("est_j")).as("est_j"),
               count(lit(1)).as("n_pairs"),
-              round(sum(col("jacc").cast(dec6)).cast("double") / count(lit(1)), 6).as("mean_jacc"),
-              round(sum(col("abs_err").cast(dec6)).cast("double") / count(lit(1)), 6).as("mean_abs_err"),
+              (sum(col("jacc").cast(dec6)) * lit(1000000L)).cast("long").as("jmicro"),
+              (sum(col("abs_err").cast(dec6)) * lit(1000000L)).cast("long").as("emicro"),
               min(col("jacc")).as("min_jacc"),
               max(col("jacc")).as("max_jacc"))
+            // means as exact rationals, half-away in integer math (PARITY
+            // rule 4 fix 2 — round(double/count, 6) splits engines when
+            // sum/count lands on a decimal midpoint; q70 hit one at sf1)
+            .withColumn("mean_jacc",
+              expr("(2 * jmicro + n_pairs) div (2 * n_pairs)").cast("double") / lit(1e6))
+            .withColumn("mean_abs_err",
+              expr("(2 * emicro + n_pairs) div (2 * n_pairs)").cast("double") / lit(1e6))
+            .select(col("n_eq"), col("est_j"), col("n_pairs"), col("mean_jacc"),
+              col("mean_abs_err"), col("min_jacc"), col("max_jacc"))
             .orderBy("n_eq")
         }
       },
@@ -394,7 +405,7 @@ object DedupQueries extends QueryModule {
           GROUP BY c.d1, c.d2),
         exact AS (
           SELECT i.d1, i.d2,
-                 round(CAST(i.ic AS DOUBLE) / (s1.n + s2.n - i.ic), 6) AS jacc
+                 CAST((2 * 1000000 * i.ic + (s1.n + s2.n - i.ic)) // (2 * (s1.n + s2.n - i.ic)) AS DOUBLE) / 1e6 AS jacc
           FROM inter i
           JOIN sizes s1 ON s1.doc_id = i.d1
           JOIN sizes s2 ON s2.doc_id = i.d2),
@@ -403,16 +414,22 @@ object DedupQueries extends QueryModule {
                  CAST(e.n_eq AS DOUBLE) / 8.0 AS est_j,
                  x.jacc,
                  round(abs(CAST(e.n_eq AS DOUBLE) / 8.0 - x.jacc), 6) AS abs_err
-          FROM est e JOIN exact x ON e.d1 = x.d1 AND e.d2 = x.d2)
-        SELECT n_eq,
-               MAX(est_j) AS est_j,
-               COUNT(*) AS n_pairs,
-               round(CAST(SUM(CAST(jacc AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_jacc,
-               round(CAST(SUM(CAST(abs_err AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err,
-               MIN(jacc) AS min_jacc,
-               MAX(jacc) AS max_jacc
-        FROM pairs
-        GROUP BY n_eq
+          FROM est e JOIN exact x ON e.d1 = x.d1 AND e.d2 = x.d2),
+        grp AS (
+          SELECT n_eq,
+                 MAX(est_j) AS est_j,
+                 COUNT(*) AS n_pairs,
+                 CAST(SUM(CAST(jacc AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS jmicro,
+                 CAST(SUM(CAST(abs_err AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS emicro,
+                 MIN(jacc) AS min_jacc,
+                 MAX(jacc) AS max_jacc
+          FROM pairs
+          GROUP BY n_eq)
+        SELECT n_eq, est_j, n_pairs,
+               CAST((2 * jmicro + n_pairs) // (2 * n_pairs) AS DOUBLE) / 1e6 AS mean_jacc,
+               CAST((2 * emicro + n_pairs) // (2 * n_pairs) AS DOUBLE) / 1e6 AS mean_abs_err,
+               min_jacc, max_jacc
+        FROM grp
         ORDER BY n_eq"""),
       doc = "MinHash estimator calibration curve: exact-Jaccard distribution per estimator level (sketch audit)"),
 
@@ -435,8 +452,9 @@ object DedupQueries extends QueryModule {
         val cands = DedupOps.candidatePairs(DedupOps.bandHashes(toks, 8, 2, scope), scope)
         DedupOps.jaccardExploded(toks, cands)
           .withColumn("containment",
-            greatest(round(col("c").cast("double") / col("n1"), 6),
-              round(col("c").cast("double") / col("n2"), 6)))
+            greatest(
+              expr("(2 * 1000000 * c + n1) div (2 * n1)").cast("double") / lit(1e6),
+              expr("(2 * 1000000 * c + n2) div (2 * n2)").cast("double") / lit(1e6)))
           .filter(col("containment") >= 0.8)
           .select("d1", "d2", "c", "n1", "n2", "containment")
           .orderBy("d1", "d2")
@@ -471,13 +489,13 @@ object DedupQueries extends QueryModule {
           JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
           GROUP BY 1, 2)
         SELECT d1, d2, cnt AS c, n1.n AS n1, n2.n AS n2,
-               greatest(round(CAST(cnt AS DOUBLE) / n1.n, 6),
-                        round(CAST(cnt AS DOUBLE) / n2.n, 6)) AS containment
+               greatest(CAST((2 * 1000000 * cnt + n1.n) // (2 * n1.n) AS DOUBLE) / 1e6,
+                        CAST((2 * 1000000 * cnt + n2.n) // (2 * n2.n) AS DOUBLE) / 1e6) AS containment
         FROM inter
         JOIN sizes n1 ON d1 = n1.doc_id
         JOIN sizes n2 ON d2 = n2.doc_id
-        WHERE greatest(round(CAST(cnt AS DOUBLE) / n1.n, 6),
-                       round(CAST(cnt AS DOUBLE) / n2.n, 6)) >= 0.8
+        WHERE greatest(CAST((2 * 1000000 * cnt + n1.n) // (2 * n1.n) AS DOUBLE) / 1e6,
+                       CAST((2 * 1000000 * cnt + n2.n) // (2 * n2.n) AS DOUBLE) / 1e6) >= 0.8
         ORDER BY d1, d2"""),
       doc = "containment (asymmetric) dedup: subset-duplicate detection the symmetric Jaccard gate misses, same LSH scale path (north-star)")
   ) ++ fuzzyQueries

@@ -983,8 +983,13 @@ object EventQueries extends QueryModule {
           .filter(col("prev_event").isNotNull)
           .groupBy("prev_event", "event_type")
           .agg(count(lit(1)).as("n"))
-          .withColumn("p", round(col("n") /
-            sum(col("n")).over(Window.partitionBy("prev_event")), 6))
+          .withColumn("ntot", sum(col("n")).over(Window.partitionBy("prev_event")))
+          // exact rational n/ntot, half-away in integer math (PARITY
+          // rule 4 fix 2 — round(double, 6) splits engines on decimal
+          // micro-midpoints; q70 hit one at sf1)
+          .withColumn("p",
+            expr("(2 * 1000000 * n + ntot) div (2 * ntot)").cast("double") / lit(1e6))
+          .drop("ntot")
           .orderBy("prev_event", "event_type")
       },
       oracle = Some("""
@@ -998,7 +1003,8 @@ object EventQueries extends QueryModule {
           FROM seq WHERE prev_event IS NOT NULL
           GROUP BY 1, 2)
         SELECT prev_event, event_type, n,
-               round(n / SUM(n) OVER (PARTITION BY prev_event), 6) AS p
+               CAST((2 * 1000000 * n + SUM(n) OVER (PARTITION BY prev_event))
+                    // (2 * SUM(n) OVER (PARTITION BY prev_event)) AS DOUBLE) / 1e6 AS p
         FROM tr
         ORDER BY prev_event, event_type"""),
       doc = "first-order event transition counts + row-normalized probabilities (user journeys)"),
@@ -1175,10 +1181,22 @@ object EventQueries extends QueryModule {
     "q124_asof_broadcast" -> NamedQuery(
       fn = (s, d) => {
         val ev = Tables.events(s, d)
+        // mean-of-cents as an exact rational, half-away in integer math
+        // (PARITY rule 4 fix 2): cents/(100·n) in micro units is
+        // (2·10^4·cents + n) div (2n) — round(double, 6) splits engines
+        // on decimal midpoints (q70 hit one at sf1)
         val quotes = ev
           .groupBy(col("event_type"),
             (expr(s"ts_us div ${HourUs}L") * HourUs).as("q_ts_us"))
-          .agg(round(dsum(col("value")) / count(lit(1)), 6).as("q_rate"))
+          .agg(sum(dec(col("value"))).as("sv"), count(lit(1)).as("n"))
+          // sv stays DECIMAL here (dsum's double cast would truncate a
+          // cent on the long conversion below)
+          .withColumn("cents", (col("sv") * lit(100L)).cast("long"))
+          .withColumn("q_rate",
+            (when(col("cents") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr("(2 * 10000 * abs(cents) + n) div (2 * n)"))
+              .cast("double") / lit(1e6))
+          .select("event_type", "q_ts_us", "q_rate")
         val probe = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("event_type"), col("ts_us"))
         graft.plans.AsOfJoinOps.asofJoinBroadcast(
@@ -1187,10 +1205,16 @@ object EventQueries extends QueryModule {
           .orderBy("event_id")
       },
       oracle = Some(s"""
-        WITH q AS (
+        WITH q0 AS (
           SELECT event_type, (epoch_us(ts) // ${HourUs}) * ${HourUs} AS q_ts_us,
-                 round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS q_rate
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+                 COUNT(*) AS n
           FROM events GROUP BY 1, 2),
+        q AS (
+          SELECT event_type, q_ts_us,
+                 CAST((CASE WHEN cents < 0 THEN -1 ELSE 1 END)
+                      * ((2 * 10000 * abs(cents) + n) // (2 * n)) AS DOUBLE) / 1e6 AS q_rate
+          FROM q0),
         p AS (
           SELECT event_id, event_type, epoch_us(ts) AS ts_us
           FROM events WHERE event_type = 'purchase')

@@ -105,16 +105,26 @@ object LakehouseQueries extends QueryModule {
         stored.unionByName(incr)
           .groupBy("o_custkey")
           .agg(sum(col("n")).as("n_orders"), sum(col("sd")).as("sd"))
+          // mean as the exact rational cents/(100·n), half-away in
+          // integer math (PARITY rule 4 fix 2; o_totalprice > 0 so no
+          // sign branch) — round(double, 6) splits engines on decimal
+          // midpoints (q70 hit one at sf1)
+          .withColumn("cents", (col("sd") * lit(100L)).cast("long"))
           .select(col("o_custkey"), col("n_orders"),
             col("sd").cast("double").as("sum_price"),
-            round(col("sd").cast("double") / col("n_orders"), 6).as("avg_price"))
+            (expr("(2 * 10000 * cents + n_orders) div (2 * n_orders)")
+              .cast("double") / lit(1e6)).as("avg_price"))
           .orderBy("o_custkey")
       },
       oracle = Some("""
-        SELECT o_custkey, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
-        FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
+        WITH g AS (
+          SELECT o_custkey, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey)
+        SELECT o_custkey, n_orders, sum_price,
+               CAST((2 * 10000 * cents + n_orders) // (2 * n_orders) AS DOUBLE) / 1e6 AS avg_price
+        FROM g ORDER BY o_custkey"""),
       doc = "incremental view maintenance: mergeable (n, decimal-sum) partials, refresh without history rescan"),
 
     // --------------------------------------------------------------- q127

@@ -96,12 +96,18 @@ object PretrainQueries extends QueryModule {
           .withColumn("n_distinct", size(array_distinct(col("arr"))).cast("long"))
           .filter(col("n_toks") >= 2)
           .withColumn("top_bigram_n", topBigramRun)
-          .withColumn("dup_token_frac",
-            round(lit(1.0) - col("n_distinct").cast("double") / col("n_toks"), 6))
-          .withColumn("top_bigram_frac",
-            round(col("top_bigram_n").cast("double") / (col("n_toks") - 1L), 6))
+          // both fracs as exact rationals in integer micro units (PARITY
+          // rule 4 fix 2 — round(double, 6) splits engines on decimal
+          // micro-midpoints; q70 hit one at sf1); the keep gate compares
+          // the micro integers, which is the same predicate exactly
+          .withColumn("dup_micro",
+            expr("(2 * 1000000 * (n_toks - n_distinct) + n_toks) div (2 * n_toks)"))
+          .withColumn("bg_micro",
+            expr("(2 * 1000000 * top_bigram_n + (n_toks - 1)) div (2 * (n_toks - 1))"))
+          .withColumn("dup_token_frac", col("dup_micro").cast("double") / lit(1e6))
+          .withColumn("top_bigram_frac", col("bg_micro").cast("double") / lit(1e6))
           .withColumn("keep",
-            (col("dup_token_frac") <= 0.8 && col("top_bigram_frac") <= 0.2).cast("long"))
+            (col("dup_micro") <= 800000L && col("bg_micro") <= 200000L).cast("long"))
           .select("doc_id", "n_toks", "dup_token_frac", "top_bigram_frac", "keep")
           .orderBy("doc_id")
       },
@@ -123,14 +129,18 @@ object PretrainQueries extends QueryModule {
           FROM bg GROUP BY 1, 2, 3, 4),
         top AS (
           SELECT doc_id, n_toks, n_distinct, MAX(c) AS top_bigram_n
-          FROM cnt GROUP BY 1, 2, 3)
+          FROM cnt GROUP BY 1, 2, 3),
+        m AS (
+          SELECT doc_id, n_toks,
+                 (2 * 1000000 * (n_toks - n_distinct) + n_toks) // (2 * n_toks) AS dup_micro,
+                 (2 * 1000000 * top_bigram_n + (n_toks - 1)) // (2 * (n_toks - 1)) AS bg_micro
+          FROM top)
         SELECT doc_id, n_toks,
-               round(1.0 - CAST(n_distinct AS DOUBLE) / n_toks, 6) AS dup_token_frac,
-               round(CAST(top_bigram_n AS DOUBLE) / (n_toks - 1), 6) AS top_bigram_frac,
-               CAST(CASE WHEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_toks, 6) <= 0.8
-                          AND round(CAST(top_bigram_n AS DOUBLE) / (n_toks - 1), 6) <= 0.2
+               CAST(dup_micro AS DOUBLE) / 1e6 AS dup_token_frac,
+               CAST(bg_micro AS DOUBLE) / 1e6 AS top_bigram_frac,
+               CAST(CASE WHEN dup_micro <= 800000 AND bg_micro <= 200000
                          THEN 1 ELSE 0 END AS BIGINT) AS keep
-        FROM top
+        FROM m
         ORDER BY doc_id"""),
       doc = "Gopher-style repetition metrics + keep/drop verdict (north-star)"),
 
@@ -271,7 +281,12 @@ object PretrainQueries extends QueryModule {
     // each doc's mean token log-probability. The vocabulary aggregate
     // is O(vocab) -> broadcast; per-token logs are rounded then summed
     // as DECIMAL so the mean is exact and order-independent at any
-    // parallelism.
+    // parallelism. The MEAN is rounded as a RATIONAL in integer math
+    // (PARITY rule 4 fix 2, the q180 final form): at sf1 one doc's
+    // exact sum/n landed on a true decimal midpoint (-125523827/22
+    // micro = -5705628.5 exactly) and round(double,6) split the
+    // engines — Spark's string HALF_UP saw the nearest double just
+    // below the midpoint, DuckDB's binary x*1e6 landed on it.
     "q70_unigram_logprob" -> NamedQuery(
       fn = (s, d) => {
         // persist ONLY the O(vocab) aggregate (it feeds its own broadcast
@@ -291,7 +306,17 @@ object PretrainQueries extends QueryModule {
                 .cast(DecimalType(28, 6)))
             .groupBy("doc_id")
             .agg(count(lit(1)).as("n_tokens"),
-              round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+              (sum(col("lp")) * lit(1000000L)).cast("long").as("micro"))
+            // half-away-from-zero of the exact rational micro/n_tokens:
+            // (2a + b) div (2b) on non-negative a keeps every step in
+            // int64 (|micro| <= 20e6 * n_tokens), then ONE exact
+            // int->double cast and one correctly-rounded IEEE division
+            // — bit-identical across engines.
+            .withColumn("avg_logprob",
+              (when(col("micro") < 0, lit(-1L)).otherwise(lit(1L)) *
+                expr("(2 * abs(micro) + n_tokens) div (2 * n_tokens)"))
+                .cast("double") / lit(1e6))
+            .drop("micro")
             .orderBy("doc_id")
         }
       },
@@ -300,12 +325,16 @@ object PretrainQueries extends QueryModule {
           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
           FROM documents),
         vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
-        tot AS (SELECT SUM(cnt) AS total FROM vocab)
-        SELECT doc_id, COUNT(*) AS n_tokens,
-               round(CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / total), 6) AS DECIMAL(28,6))) AS DOUBLE)
-                     / COUNT(*), 6) AS avg_logprob
-        FROM toks JOIN vocab USING (tok) CROSS JOIN tot
-        GROUP BY doc_id
+        tot AS (SELECT SUM(cnt) AS total FROM vocab),
+        sums AS (
+          SELECT doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / total), 6) AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS micro
+          FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+          GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               CAST((CASE WHEN micro < 0 THEN -1 ELSE 1 END)
+                    * ((2 * abs(micro) + n_tokens) // (2 * n_tokens)) AS DOUBLE) / 1e6 AS avg_logprob
+        FROM sums
         ORDER BY doc_id"""),
       doc = "unigram-LM mean log-prob quality score per doc (north-star)"),
 
@@ -369,7 +398,8 @@ object PretrainQueries extends QueryModule {
           totals.join(shared, Seq("doc_id"), "left")
             .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
             .withColumn("contamination_rate",
-              round(col("n_shared").cast("double") / col("n_grams"), 6))
+              expr("(2 * 1000000 * n_shared + n_grams) div (2 * n_grams)")
+                .cast("double") / lit(1e6))
             .orderBy("doc_id")
         }
       },
@@ -389,7 +419,7 @@ object PretrainQueries extends QueryModule {
           FROM train JOIN eval_grams USING (gram)
           GROUP BY doc_id)
         SELECT t.doc_id, t.n_grams, COALESCE(s.n_shared, 0) AS n_shared,
-               round(COALESCE(s.n_shared, 0) / t.n_grams, 6) AS contamination_rate
+               CAST((2 * 1000000 * COALESCE(s.n_shared, 0) + t.n_grams) // (2 * t.n_grams) AS DOUBLE) / 1e6 AS contamination_rate
         FROM totals t LEFT JOIN shared s USING (doc_id)
         ORDER BY t.doc_id"""),
       doc = "per-doc eval-contamination fraction over 5-grams, full-corpus coverage (north-star)"),
@@ -632,7 +662,8 @@ object PretrainQueries extends QueryModule {
             count(lit(1)).as("n_docs"))
           .crossJoin(broadcast(total))
           .select(col("fold"), col("n_sources"), col("n_docs"),
-            round(col("n_docs").cast("double") / col("n_total"), 6).as("frac_docs"))
+            (expr("(2 * 1000000 * n_docs + n_total) div (2 * n_total)")
+              .cast("double") / lit(1e6)).as("frac_docs"))
           .orderBy("fold")
       },
       oracle = Some("""
@@ -643,7 +674,7 @@ object PretrainQueries extends QueryModule {
         t AS (SELECT COUNT(*) AS n_total FROM f)
         SELECT fold, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
                COUNT(*) AS n_docs,
-               round(CAST(COUNT(*) AS DOUBLE) / t.n_total, 6) AS frac_docs
+               CAST((2 * 1000000 * COUNT(*) + t.n_total) // (2 * t.n_total) AS DOUBLE) / 1e6 AS frac_docs
         FROM f CROSS JOIN t
         GROUP BY fold, t.n_total
         ORDER BY fold"""),
