@@ -500,37 +500,83 @@ object DedupQueries extends QueryModule {
       doc = "containment (asymmetric) dedup: subset-duplicate detection the symmetric Jaccard gate misses, same LSH scale path (north-star)")
   ) ++ fuzzyQueries
 
-  /** Blocked candidate pairs for the record-linkage family (q196/q197):
-    * (lang, source, n_chars/64 length band) blocking keys — the classic
-    * record-linkage blocking scheme — then a self-equi-join WITHIN
-    * blocks, comparing bounded 32-char signatures. Never an unscoped
-    * cross join: pair count is Σ_block C(c,2) (19.6k at sf0.1 vs 12.5M
-    * all-pairs), and at 100 TB the block key is the shuffle key. The
-    * signature bounds the per-pair cost: levenshtein is O(32²),
-    * jaro_winkler O(32·window), independent of document length.
+  /** Blocked candidate pairs for the record-linkage family (q196/q197,
+    * q203's edge set): (lang, source, n_chars/64 length band) blocking
+    * keys PLUS a content pigeonhole component (round-10, verdict task 2
+    * — the LSH-band-scoping pattern applied to edit similarity): each
+    * 32-char signature splits into 4 aligned 8-char chunks, and two
+    * records are candidates only when they share the SAME chunk at the
+    * SAME position within the same (lang, source, band) block. The
+    * pigeonhole guarantee (PassJoin / Ed-Join segment filtering): any
+    * pair within ≤3 aligned substitutions of each other shares at
+    * least one chunk verbatim, so the recall contract is "character
+    * corruption, not wholesale rewrites" — exactly the fuzzy-dup mode
+    * this family exists to catch. The scale property this buys: block
+    * cardinality now grows with CONTENT diversity, so per-block size
+    * stays bounded as the corpus grows, where the bare
+    * (lang, source, band) key had a fixed number of blocks and
+    * quadratic candidate growth (measured ~100× pairs for 10× rows at
+    * sf1; see SCALING.md "Record-linkage blocking"). Empty chunks
+    * (signatures shorter than a chunk boundary) are dropped — '' = ''
+    * must never be a match key. On top of the content key, blocks
+    * larger than 64 records are DROPPED entirely (the standard
+    * frequent-key discard from the ER blocking literature: a chunk
+    * shared by thousands of records is boilerplate, not linkage
+    * evidence, and exact duplicates are q33's job) — this is the
+    * structural bound: total candidates ≤ #blocks · C(64,2) whatever
+    * the corpus, and the cap check rides the SAME hash partitioning
+    * as the join (one window count, no extra exchange). Measured: the
+    * cap drops nothing at sf0.001–sf1 on this corpus. The signature
+    * bounds the per-pair cost: levenshtein is O(32²), jaro_winkler
+    * O(32·window), independent of document length.
     */
   private def blockedSigPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         (col("n_chars") / 64).cast("long").as("band"),
         substring(col("text"), 1, 32).as("sig"))
-    val a = docs.select(col("lang"), col("source"), col("band"),
+    val blockW = Window.partitionBy("lang", "source", "band", "cid", "chunk")
+    val chunked = docs
+      .withColumn("cid", explode(array((0 until 4).map(i => lit(i.toLong)): _*)))
+      .withColumn("chunk", expr("substring(sig, cid * 8 + 1, 8)"))
+      .filter(col("chunk") =!= "")
+      .withColumn("block_n", count(lit(1)).over(blockW))
+      .filter(col("block_n") <= 64)
+    val a = chunked.select(col("lang"), col("source"), col("band"), col("cid"), col("chunk"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("n_chars").as("nc_a"))
-    val b = docs.select(col("lang"), col("source"), col("band"),
+    val b = chunked.select(col("lang"), col("source"), col("band"), col("cid"), col("chunk"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("n_chars").as("nc_b"))
-    a.join(b, Seq("lang", "source", "band")).filter(col("doc_a") < col("doc_b"))
+    a.join(b, Seq("lang", "source", "band", "cid", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      // a pair can share up to 4 chunks — dedup to one candidate row
+      .select("lang", "source", "doc_a", "doc_b", "sig_a", "sig_b", "nc_a", "nc_b")
+      .distinct()
   }
 
   private val fuzzySqlBlocks = """
         WITH d AS (
-          SELECT doc_id, lang, source, CAST(floor(n_chars / 64) AS BIGINT) AS band,
+          SELECT doc_id, lang, source, n_chars,
+                 CAST(floor(n_chars / 64) AS BIGINT) AS band,
                  substr(text, 1, 32) AS sig
           FROM documents),
+        c0 AS (
+          SELECT doc_id, lang, source, n_chars, band, sig, g.cid,
+                 substr(sig, g.cid * 8 + 1, 8) AS chunk
+          FROM d CROSS JOIN generate_series(0, 3) g(cid)
+          WHERE substr(sig, g.cid * 8 + 1, 8) <> ''),
+        c AS (
+          SELECT * FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY lang, source, band, cid, chunk) AS block_n
+            FROM c0)
+          WHERE block_n <= 64),
         p AS (
-          SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.sig AS sig_a, b.sig AS sig_b
-          FROM d a JOIN d b
+          SELECT DISTINCT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sig AS sig_a, b.sig AS sig_b,
+                 a.n_chars AS nc_a, b.n_chars AS nc_b
+          FROM c a JOIN c b
             ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
+           AND a.cid = b.cid AND a.chunk = b.chunk
            AND a.doc_id < b.doc_id)"""
 
   private def fuzzyQueries: Seq[(String, NamedQuery)] = Seq(
@@ -542,13 +588,16 @@ object DedupQueries extends QueryModule {
     // edit distance only a little. Blocking per `blockedSigPairs`;
     // Spark's built-in codegen'd `levenshtein` scores each candidate
     // pair, integer distance → exact hash parity with DuckDB's
-    // `levenshtein`. The threshold (≤16 over 32-char signatures) is the
-    // half-length rule of thumb from the record-linkage literature.
+    // `levenshtein`. The threshold is the half-length rule from the
+    // record-linkage literature, SCALED to the actual signature
+    // lengths (ADVICE round 9: a fixed ≤16 on signatures shorter than
+    // 16 chars passed every pair vacuously) — lev ≤ max(len_a, len_b)/2,
+    // integer division, mirrored in the oracle.
     "q196_fuzzy_edit_pairs" -> NamedQuery(
       fn = (s, d) => {
         blockedSigPairs(s, d)
           .withColumn("lev", levenshtein(col("sig_a"), col("sig_b")).cast("long"))
-          .filter(col("lev") <= 16)
+          .filter(col("lev") <= expr("greatest(length(sig_a), length(sig_b)) div 2"))
           .select("lang", "source", "doc_a", "doc_b", "lev")
           .orderBy("doc_a", "doc_b")
       },
@@ -556,7 +605,7 @@ object DedupQueries extends QueryModule {
         SELECT lang, source, doc_a, doc_b,
                CAST(levenshtein(sig_a, sig_b) AS BIGINT) AS lev
         FROM p
-        WHERE levenshtein(sig_a, sig_b) <= 16
+        WHERE levenshtein(sig_a, sig_b) <= greatest(length(sig_a), length(sig_b)) // 2
         ORDER BY doc_a, doc_b"""),
       doc = "edit-distance fuzzy dedup: (lang,source,length-band)-blocked pairs, codegen'd levenshtein on bounded signatures, integer-exact parity (record linkage)"),
 
@@ -591,7 +640,8 @@ object DedupQueries extends QueryModule {
     // into edges, closed into entities by connected components — the
     // full record-linkage pipeline in one lazy plan. Evidence per
     // blocked pair: Jaro-Winkler ≥ 0.8 (weight 2 — prefix-weighted
-    // similarity is the strongest signal), levenshtein ≤ 16 (weight 1),
+    // similarity is the strongest signal), levenshtein within the
+    // length-scaled half-length bound (weight 1, the q196 rule),
     // length proximity |Δn_chars| ≤ 16 (weight 1); score ≥ 3 means the
     // JW channel PLUS corroboration. Components run on the same
     // checkpointed min-label core as q55/q117 (O(diameter) keyed
@@ -604,7 +654,8 @@ object DedupQueries extends QueryModule {
         val edges = blockedSigPairs(s, d)
           .withColumn("score",
             when(expr("jaro_winkler(sig_a, sig_b)") >= 0.8, 2L).otherwise(0L) +
-              when(levenshtein(col("sig_a"), col("sig_b")) <= 16, 1L).otherwise(0L) +
+              when(levenshtein(col("sig_a"), col("sig_b")) <=
+                expr("greatest(length(sig_a), length(sig_b)) div 2"), 1L).otherwise(0L) +
               when(abs(col("nc_a") - col("nc_b")) <= 16, 1L).otherwise(0L))
           .filter(col("score") >= 3)
           .select(col("doc_a").as("d1"), col("doc_b").as("d2"))
@@ -620,14 +671,31 @@ object DedupQueries extends QueryModule {
                  CAST(floor(n_chars / 64) AS BIGINT) AS band,
                  substr(text, 1, 32) AS sig
           FROM documents),
-        p AS (
-          SELECT a.doc_id AS d1, b.doc_id AS d2,
-                 (CASE WHEN jaro_winkler_similarity(a.sig, b.sig) >= 0.8 THEN 2 ELSE 0 END)
-               + (CASE WHEN levenshtein(a.sig, b.sig) <= 16 THEN 1 ELSE 0 END)
-               + (CASE WHEN abs(a.n_chars - b.n_chars) <= 16 THEN 1 ELSE 0 END) AS score
-          FROM d a JOIN d b
+        ch0 AS (
+          SELECT doc_id, lang, source, n_chars, band, sig, g.cid,
+                 substr(sig, g.cid * 8 + 1, 8) AS chunk
+          FROM d CROSS JOIN generate_series(0, 3) g(cid)
+          WHERE substr(sig, g.cid * 8 + 1, 8) <> ''),
+        ch AS (
+          SELECT * FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY lang, source, band, cid, chunk) AS block_n
+            FROM ch0)
+          WHERE block_n <= 64),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                 a.sig AS sig_a, b.sig AS sig_b,
+                 a.n_chars AS nc_a, b.n_chars AS nc_b
+          FROM ch a JOIN ch b
             ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
+           AND a.cid = b.cid AND a.chunk = b.chunk
            AND a.doc_id < b.doc_id),
+        p AS (
+          SELECT d1, d2,
+                 (CASE WHEN jaro_winkler_similarity(sig_a, sig_b) >= 0.8 THEN 2 ELSE 0 END)
+               + (CASE WHEN levenshtein(sig_a, sig_b)
+                         <= greatest(length(sig_a), length(sig_b)) // 2 THEN 1 ELSE 0 END)
+               + (CASE WHEN abs(nc_a - nc_b) <= 16 THEN 1 ELSE 0 END) AS score
+          FROM cand),
         pairs AS (SELECT d1, d2 FROM p WHERE score >= 3),
         edges AS (
           SELECT d1 AS src, d2 AS dst FROM pairs

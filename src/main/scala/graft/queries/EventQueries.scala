@@ -1602,67 +1602,115 @@ object EventQueries extends QueryModule {
     // Closed-form OLS per event_type: value regressed on time (seconds
     // since 2024-01-01) — the drift-detection primitive ("is this
     // metric trending?") without any ML-library dependence. Parity
-    // design: all five moment sums are EXACT — x and x² are integer
-    // seconds (longs; x ≤ 2.6M so x² ≤ 7e12 cannot overflow a long
-    // even summed at sf100 under DECIMAL(38,0)), y goes through the
-    // DECIMAL(18,2) idiom, xy and y² through exact decimal products —
-    // so slope/intercept/r² are ONE unrounded IEEE chain per group on
-    // identically-valued inputs (PARITY.md rule 2). One keyed
-    // aggregation, 5 groups; at 100 TB this is a map-side-combined
-    // scan, no second pass (vs the textbook mean-centered two-pass).
+    // design (reworked round 10, ADVICE: the previous raw
+    // decimal→double casts of sxy/syy crossed 2^53 around sf10, where
+    // DuckDB's int128→double cast is not correctly rounded —
+    // PARITY.md rule 6): EVERYTHING stays exact integers — x is
+    // integer seconds, y is centi-units (the q200/q204 quantization),
+    // all five moment sums are DECIMAL(38,0), and cov/var are exact
+    // decimal algebra. slope/intercept/r² are then DECLARED in
+    // trunc-micro units via exact integral division (`div` and
+    // DuckDB's `//` both truncate toward zero, verified on negatives),
+    // with the declared spec (staged divisions keep every intermediate
+    // under DECIMAL(38)/HUGEINT range at any SF; each stage's
+    // truncation contributes < 1 micro or a negligible relative error):
+    //   slope_micro     = (10⁴·cov_c) div var_x          [cov_c in centi]
+    //   intercept_micro = (10⁴·icp_n) div icp_m, expanded EXACTLY via
+    //                     quotient-remainder (q·10⁴ + (r·10⁴) div m,
+    //                     q = n div m, r = n − q·m — trunc(a+b) = a +
+    //                     trunc(b) for integer a) because 10⁴·icp_n
+    //                     would overflow 38 digits while the remainder
+    //                     path never does;
+    //                     icp_n = syc·var_x − cov_c·sx, icp_m = n·var_x
+    //   r2_micro        = (a9·cov_c) div (10³·var_yc),
+    //                     a9 = (10⁹·cov_c) div var_x
+    //                     (a9·cov_c ≤ 10⁹·var_yc by Cauchy-Schwarz,
+    //                      in range; a9's 10⁻⁹ quantization keeps the
+    //                      r2 error well under 1 micro)
+    // — no decimal→double cast ever touches a value above 2^53, so
+    // parity survives any SF. One keyed aggregation, 5 groups; at
+    // 100 TB this is a map-side-combined scan, no second pass.
     "q198_ols_trend" -> NamedQuery(
       fn = (s, d) => {
         val ev = graft.Tables.events(s, d)
           // integer seconds since 2024-01-01T00:00Z (div = long division)
           .withColumn("x", expr("ts_us div 1000000") - lit(1704067200L))
-          .withColumn("y", dec(col("value")))
+          // exact centi-units: value is 2-decimal quantized (q200)
+          .withColumn("yc", round(col("value") * 100).cast("long"))
+        // row-level products fit a long (x ≤ 2.6e6, yc ≤ ~1e6); the
+        // SUMS go through DECIMAL(38,0), exact at any SF
         val agg = ev.groupBy("event_type").agg(
           count(lit(1)).as("n"),
           sum(col("x")).as("sx"),
-          sum((col("x") * col("x")).cast(DecimalType(28, 0))).cast("double").as("sxx"),
-          sum(col("x").cast(DecimalType(19, 0)) * col("y")).cast("double").as("sxy"),
-          sum(col("y")).cast("double").as("sy"),
-          sum(col("y") * col("y")).cast("double").as("syy"))
-        val nD = col("n").cast("double")
-        val sxD = col("sx").cast("double")
+          sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+          sum((col("x") * col("yc")).cast(DecimalType(38, 0))).as("sxyc"),
+          sum(col("yc")).as("syc"),
+          sum((col("yc") * col("yc")).cast(DecimalType(38, 0))).as("syyc"))
         agg
-          .withColumn("cov_n", nD * col("sxy") - sxD * col("sy"))
-          .withColumn("var_n", nD * col("sxx") - sxD * sxD)
-          .withColumn("slope", col("cov_n") / col("var_n"))
-          .withColumn("intercept", (col("sy") - col("slope") * sxD) / nD)
-          .withColumn("r2",
-            col("cov_n") * col("cov_n") /
-              (col("var_n") * (nD * col("syy") - col("sy") * col("sy"))))
-          .select("event_type", "n", "slope", "intercept", "r2")
+          .withColumn("cov_c",
+            expr("cast(n as decimal(38,0)) * sxyc - cast(sx as decimal(38,0)) * syc"))
+          .withColumn("var_x",
+            expr("cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
+          .withColumn("var_yc",
+            expr("cast(n as decimal(38,0)) * syyc - cast(syc as decimal(38,0)) * syc"))
+          .withColumn("slope_micro", expr("(cov_c * 10000) div var_x"))
+          .withColumn("a9", expr("(cov_c * 1000000000) div var_x"))
+          .withColumn("icp_n", expr("cast(syc as decimal(38,0)) * var_x - cov_c * sx"))
+          .withColumn("icp_m", expr("cast(n as decimal(38,0)) * var_x"))
+          .withColumn("icp_q", expr("icp_n div icp_m"))
+          .withColumn("intercept_micro",
+            expr("icp_q * 10000 + ((icp_n - cast(icp_q as decimal(38,0)) * icp_m) * 10000) div icp_m"))
+          .withColumn("r2_micro", expr("(a9 * cov_c) div (var_yc * 1000)"))
+          .withColumn("slope", col("slope_micro").cast("double") / 1e6)
+          .withColumn("intercept", col("intercept_micro").cast("double") / 1e6)
+          .withColumn("r2", col("r2_micro").cast("double") / 1e6)
+          .select("event_type", "n", "slope_micro", "intercept_micro", "r2_micro",
+            "slope", "intercept", "r2")
           .orderBy("event_type")
       },
       oracle = Some("""
         WITH m AS (
           SELECT event_type,
                  COUNT(*) AS n,
-                 CAST(SUM(x) AS BIGINT) AS sx,
-                 CAST(SUM(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
-                 CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DOUBLE) AS sxy,
-                 CAST(SUM(y) AS DOUBLE) AS sy,
-                 CAST(SUM(y * y) AS DOUBLE) AS syy
+                 CAST(SUM(x) AS HUGEINT) AS sx,
+                 CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                 CAST(SUM(x * yc) AS HUGEINT) AS sxyc,
+                 CAST(SUM(yc) AS HUGEINT) AS syc,
+                 CAST(SUM(yc * yc) AS HUGEINT) AS syyc
           FROM (SELECT event_type,
                        epoch_us(ts) // 1000000 - 1704067200 AS x,
-                       CAST(value AS DECIMAL(18,2)) AS y
+                       CAST(round(value * 100) AS BIGINT) AS yc
                 FROM events)
-          GROUP BY event_type)
+          GROUP BY event_type),
+        e AS (
+          SELECT event_type, n, sx, syc,
+                 n * sxyc - sx * syc AS cov_c,
+                 n * sxx - sx * sx AS var_x,
+                 n * syyc - syc * syc AS var_yc
+          FROM m),
+        f AS (
+          SELECT event_type, n, cov_c, var_yc,
+                 (cov_c * 10000) // var_x AS slope_micro,
+                 (cov_c * 1000000000) // var_x AS a9,
+                 syc * var_x - cov_c * sx AS icp_n,
+                 n * var_x AS icp_m
+          FROM e),
+        g AS (
+          SELECT event_type, n, slope_micro,
+                 (icp_n // icp_m) * 10000
+                   + ((icp_n - (icp_n // icp_m) * icp_m) * 10000) // icp_m AS intercept_micro,
+                 (a9 * cov_c) // (var_yc * 1000) AS r2_micro
+          FROM f)
         SELECT event_type, n,
-               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-               (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
-               ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
-                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
-        FROM m
+               CAST(slope_micro AS BIGINT) AS slope_micro,
+               CAST(intercept_micro AS BIGINT) AS intercept_micro,
+               CAST(r2_micro AS BIGINT) AS r2_micro,
+               CAST(CAST(slope_micro AS BIGINT) AS DOUBLE) / 1e6 AS slope,
+               CAST(CAST(intercept_micro AS BIGINT) AS DOUBLE) / 1e6 AS intercept,
+               CAST(CAST(r2_micro AS BIGINT) AS DOUBLE) / 1e6 AS r2
+        FROM g
         ORDER BY event_type"""),
-      doc = "closed-form OLS trend per event_type: exact integer/decimal moment sums in one keyed pass, unrounded IEEE slope/intercept/r2 (statistics audit)"),
+      doc = "closed-form OLS trend per event_type: exact integer/decimal moments, slope/intercept/r2 declared in trunc-micro units — no >2^53 decimal->double cast (statistics audit)"),
 
     // --------------------------------------------------------------- q199
     // HyperLogLog++ through the gate, q168-style: Spark's built-in
@@ -1743,26 +1791,32 @@ object EventQueries extends QueryModule {
     // --------------------------------------------------------------- q202
     // Welch's unequal-variance t-test (click vs purchase value) — the
     // last member of the statistics-audit family: does the MEAN differ,
-    // where q194 asked about distribution and q195 about shape. Moments
-    // are exact decimals (y and y² through the DECIMAL idiom), so mean,
-    // variance, t, and the Welch-Satterthwaite df are one unrounded
-    // IEEE chain on identically-valued inputs — no rounding anywhere.
-    // One 2-group keyed aggregation; the group pivot is a 1-row
-    // self-join on nothing (max_by against literal keys), not a
-    // collect.
+    // where q194 asked about distribution and q195 about shape.
+    // Parity design (reworked round 10, ADVICE — same 2^53 hazard as
+    // q198): moments are exact centi-unit integers summed as
+    // DECIMAL(38,0); per-group mean and variance are DECLARED in
+    // trunc-micro units via exact integral division
+    //   mean_micro = (10⁴·syc) div n
+    //   var_micro  = (100·(n·syyc − syc²)) div (n·(n−1))
+    // and t / Welch-Satterthwaite df are then ONE unrounded IEEE chain
+    // on the micro-derived doubles (micro values ≪ 2^53, so the
+    // double derivation is exact and identical in both engines —
+    // PARITY.md rule 2). One 2-group keyed aggregation; the group
+    // pivot is a 1-row aggregate, not a collect.
     "q202_welch_ttest" -> NamedQuery(
       fn = (s, d) => {
         val moments = graft.Tables.events(s, d)
           .filter(col("event_type").isin("click", "purchase"))
-          .withColumn("y", dec(col("value")))
+          .withColumn("yc", round(col("value") * 100).cast("long"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
-            sum(col("y")).cast("double").as("sy"),
-            sum(col("y") * col("y")).cast("double").as("syy"))
-          .withColumn("mean", col("sy") / col("n").cast("double"))
-          .withColumn("vr",
-            (col("syy") - col("sy") * col("sy") / col("n").cast("double")) /
-              (col("n") - 1L).cast("double"))
+            sum(col("yc")).as("syc"),
+            sum((col("yc") * col("yc")).cast(DecimalType(38, 0))).as("syyc"))
+          .withColumn("mean_micro", expr("(syc * 10000) div n"))
+          .withColumn("var_micro",
+            expr("(100 * (cast(n as decimal(38,0)) * syyc - cast(syc as decimal(38,0)) * syc)) div (n * (n - 1))"))
+          .withColumn("mean", col("mean_micro").cast("double") / 1e6)
+          .withColumn("vr", col("var_micro").cast("double") / 1e6)
         val wide = moments.agg(
           max(when(col("event_type") === "click", col("n"))).as("n1"),
           max(when(col("event_type") === "click", col("mean"))).as("mean1"),
@@ -1783,13 +1837,15 @@ object EventQueries extends QueryModule {
       oracle = Some("""
         WITH m AS (
           SELECT event_type, COUNT(*) AS n,
-                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-                 CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS syy
-          FROM events WHERE event_type IN ('click', 'purchase')
+                 CAST(SUM(yc) AS HUGEINT) AS syc,
+                 CAST(SUM(yc * yc) AS HUGEINT) AS syyc
+          FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS yc
+                FROM events WHERE event_type IN ('click', 'purchase'))
           GROUP BY event_type),
         s AS (
-          SELECT event_type, n, sy / n AS mean,
-                 (syy - sy * sy / n) / (n - 1) AS vr
+          SELECT event_type, n,
+                 CAST(CAST((syc * 10000) // n AS BIGINT) AS DOUBLE) / 1e6 AS mean,
+                 CAST(CAST((100 * (n * syyc - syc * syc)) // (n * (n - 1)) AS BIGINT) AS DOUBLE) / 1e6 AS vr
           FROM m),
         w AS (
           SELECT MAX(n) FILTER (event_type = 'click') AS n1,
@@ -1805,7 +1861,7 @@ object EventQueries extends QueryModule {
                  / ((var1 / n1) * (var1 / n1) / (n1 - 1)
                     + (var2 / n2) * (var2 / n2) / (n2 - 1)) AS df
         FROM w"""),
-      doc = "Welch unequal-variance t-test: exact decimal moments, unrounded IEEE t and Welch-Satterthwaite df (statistics audit)"),
+      doc = "Welch unequal-variance t-test: trunc-micro exact moments, unrounded IEEE t and Welch-Satterthwaite df on identical micro-derived doubles (statistics audit)"),
 
     // --------------------------------------------------------------- q204
     // Autocorrelation function (lags 1–6) of the hourly value series

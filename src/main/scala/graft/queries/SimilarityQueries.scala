@@ -43,6 +43,41 @@ object SimilarityQueries extends QueryModule {
     math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
   }
 
+  /** The q209/q210 shared artifact (round-10 verdict task 3, the
+    * q169/q170 write-once pattern): the IVF index — every vector
+    * assigned to its nearest of nlist = ⌈√N⌉ centroids — written ONCE
+    * per (session, dataset) as parquet PARTITIONED BY the cell id, so
+    * the serving side can prune its scan to the probed cells instead
+    * of re-deriving the assignment (the production build-once /
+    * serve-many split). `rebuild = true` (the write-side gate q209)
+    * always re-derives; a dataset-keyed marker lets the consumer
+    * build on first touch in any driver order. Returns (path, nlist).
+    */
+  private def ivfArtifact(s: SparkSession, d: String, rebuild: Boolean = false): (String, Int) = {
+    val dir = TempPaths.dir(s, "q209_ivf_index")
+    val table = new java.io.File(dir, "index")
+    val dsKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val marker = new java.io.File(dir, s"_built_$dsKey")
+    val v = vecs(s, d)
+    val nlist = ivfNlist(v)
+    if (rebuild || !marker.exists()) {
+      Option(dir.listFiles()).foreach(_.filter(_.getName.startsWith("_built_")).foreach(_.delete()))
+      val cents = v.orderBy("vec_id").limit(nlist)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+          col("nrm").as("cent_nrm"))
+      RelationalOps.topKPerGroup(
+          Seq("vec_id"), Seq(col("cent_cos").desc, col("cent_id").asc), 1)(
+          v.crossJoin(broadcast(cents))
+            .withColumn("cent_cos",
+              round(expr("vec_dot(embedding, cent_emb)") / (col("nrm") * col("cent_nrm")), 6)))
+        .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
+        .write.mode("overwrite").partitionBy("cell").parquet(table.getAbsolutePath)
+      marker.createNewFile(): Unit
+    }
+    (table.getAbsolutePath, nlist)
+  }
+
   /** Integer-weight pseudo-random hyperplane p as a float-array literal:
     * w[p][k] = (7k + 3p) mod 11 − 5 (exactly representable in float, so
     * Spark and the DuckDB oracle agree bit-for-bit).
@@ -992,6 +1027,135 @@ object SimilarityQueries extends QueryModule {
         FROM ranked
         GROUP BY probe_id
         ORDER BY probe_id"""),
-      doc = "Spearman rank correlation between dense and lexical retrieval legs per probe: the fusion-diversity audit, exact-integer rank math (retrieval audit)")
+      doc = "Spearman rank correlation between dense and lexical retrieval legs per probe: the fusion-diversity audit, exact-integer rank math (retrieval audit)"),
+
+    // --------------------------------------------------------------- q209
+    // IVF index BUILD through the gate (round-10 verdict task 3, write
+    // side of the q169/q170 pattern): assign every vector to its
+    // nearest of nlist = ⌈√N⌉ centroids and persist the assignment as
+    // parquet partitioned by cell — the build-once artifact q210
+    // serves from. The build is Θ(N·√N) by design (N vectors × nlist
+    // broadcast centroid scores — the cost every IVF trainer pays,
+    // amortized over all serving); the gate output is the per-cell
+    // occupancy profile READ BACK from the artifact, hash-matched
+    // against DuckDB re-deriving the assignment relationally — so the
+    // write+read round-trip AND the assignment are proven together.
+    "q209_ivf_index_build" -> NamedQuery(
+      fn = (s, d) => {
+        val (path, _) = ivfArtifact(s, d, rebuild = true)
+        s.read.parquet(path)
+          .withColumn("cell", col("cell").cast("long"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vecs"),
+            min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+          FROM v ORDER BY vec_id
+          LIMIT greatest(8, CAST(ceil(sqrt((SELECT COUNT(*) FROM v))) AS BIGINT))),
+        assigned AS (
+          SELECT vec_id, cell
+          FROM (SELECT v.vec_id, c.cent_id AS cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY round(list_dot_product(v.emb, c.cent_emb) / (v.nrm * c.cent_nrm), 6) DESC,
+                                  c.cent_id ASC) AS rn
+                FROM v CROSS JOIN cents c)
+          WHERE rn = 1)
+        SELECT cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+        FROM assigned
+        GROUP BY cell
+        ORDER BY cell"""),
+      doc = "IVF index build: sqrt(N) centroids, cell-partitioned parquet artifact, per-cell occupancy hash-matched through the write+read round-trip (north-star)"),
+
+    // --------------------------------------------------------------- q210
+    // The PRODUCTION ANN SERVING shape (round-10 verdict task 3 — the
+    // gate the sf10 scale-proof was missing): a FIXED bounded probe
+    // set (the 20 md5-lowest vec_ids, scale-independent like
+    // q144/q145's sampling) served against q209's prebuilt index with
+    // nprobe = 2. The serving plan is the linear-or-better path the
+    // self-join gates (q40/q156, designed Θ(N^1.5)) exist to justify:
+    // probe-to-centroid scoring is Q × nlist against BROADCAST
+    // centroids, the probed cell ids are a bounded ≤ 2Q driver pull
+    // (F5-class) turned into plan literals, so the index scan is
+    // PARTITION-PRUNED to the probed cells — Θ(Q·nprobe·√N) rows read
+    // and scored, sublinear in N — and the top-5 per probe rides the
+    // native partial top_k_pairs aggregate. Oracle re-derives the
+    // whole thing relationally.
+    "q210_ivf_bounded_serving" -> NamedQuery(
+      fn = (s, d) => {
+        val (path, nlist) = ivfArtifact(s, d)
+        val v = vecs(s, d)
+        val cents = v.orderBy("vec_id").limit(nlist)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+            col("nrm").as("cent_nrm"))
+        val qs = v.orderBy(md5(col("vec_id").cast("string"))).limit(20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
+        val qa = RelationalOps.topKPerGroup(
+          Seq("qid"), Seq(col("cent_cos").desc, col("cent_id").asc), 2)(
+          qs.crossJoin(broadcast(cents))
+            .withColumn("cent_cos",
+              round(expr("vec_dot(qemb, cent_emb)") / (col("qnrm") * col("cent_nrm")), 6)))
+          .select(col("qid"), col("cent_id").as("cell"), col("qemb"), col("qnrm"))
+        // bounded plan-literal pull (≤ 2×20 cell ids, F5-class): the
+        // router step that buys partition pruning on the index scan
+        val probedCells = qa.select("cell").distinct().collect().map(_.getLong(0))
+        val index = s.read.parquet(path)
+          .filter(col("cell").isin(probedCells.map(Long.box): _*))
+          .withColumn("cell", col("cell").cast("long"))
+        index.join(broadcast(qa), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            round(expr("vec_dot(embedding, qemb)") / (col("nrm") * col("qnrm")), 6))
+          .groupBy("qid")
+          .agg(expr("top_k_pairs(cos, vec_id, 5)").as("topk"))
+          .select(col("qid"), expr("inline(topk)"))
+          .select(col("qid"), col("payload").as("nn"), col("score").as("cos"))
+          .orderBy("qid", "nn")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+          FROM v ORDER BY vec_id
+          LIMIT greatest(8, CAST(ceil(sqrt((SELECT COUNT(*) FROM v))) AS BIGINT))),
+        assigned AS (
+          SELECT vec_id, cell, emb, nrm
+          FROM (SELECT v.vec_id, c.cent_id AS cell, v.emb, v.nrm,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY round(list_dot_product(v.emb, c.cent_emb) / (v.nrm * c.cent_nrm), 6) DESC,
+                                  c.cent_id ASC) AS rn
+                FROM v CROSS JOIN cents c)
+          WHERE rn = 1),
+        qs AS (
+          SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm
+          FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 20),
+        qa AS (
+          SELECT qid, cell, qemb, qnrm
+          FROM (SELECT q.qid, c.cent_id AS cell, q.qemb, q.qnrm,
+                       row_number() OVER (PARTITION BY q.qid
+                         ORDER BY round(list_dot_product(q.qemb, c.cent_emb) / (q.qnrm * c.cent_nrm), 6) DESC,
+                                  c.cent_id ASC) AS rn
+                FROM qs q CROSS JOIN cents c)
+          WHERE rn <= 2),
+        pairs AS (
+          SELECT q.qid, a.vec_id AS nn,
+                 round(list_dot_product(a.emb, q.qemb) / (a.nrm * q.qnrm), 6) AS cos
+          FROM assigned a JOIN qa q ON a.cell = q.cell AND a.vec_id <> q.qid)
+        SELECT qid, nn, cos
+        FROM (SELECT qid, nn, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn ASC) AS rn
+              FROM pairs)
+        WHERE rn <= 5
+        ORDER BY qid, nn"""),
+      doc = "production ANN serving: fixed md5-bounded probe set, nprobe=2 against the prebuilt cell-partitioned IVF index, partition-pruned scan + broadcast probes + native top-k (north-star scale path)")
   )
 }

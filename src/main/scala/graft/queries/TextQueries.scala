@@ -282,7 +282,8 @@ object TextQueries extends QueryModule {
     // hitters (expr/SpaceSaving, a TypedImperativeAggregate) over the
     // corpus token stream — constant-memory dominant-token profiling,
     // the op that replaces a vocabulary-sized exact aggregation at
-    // 100 TB. The capacity (64) exceeds this corpus's vocabulary, so
+    // 100 TB. The capacity (max(64, vocab), data-scaled) exceeds this
+    // corpus's vocabulary at every SF, so
     // the sketch runs in its EXACT mode (every est = the true count,
     // every err = 0 — the bit-stable mode, mirroring q155's <k KMV
     // case) and DuckDB can hash-match est/err against exact GROUP BY
@@ -293,18 +294,19 @@ object TextQueries extends QueryModule {
       fn = (s, d) => {
         val toks = Tables.documents(s, d)
           .select(explode(split(trim(col("text")), "\\s+")).as("item"))
-        // exact-mode precondition made explicit: if a testdata refresh
-        // ever grows the vocabulary past k, fail HERE with the reason
-        // rather than as a confusing hash diff (the sketch would switch
-        // to its approximate eviction mode, which is gated by q168's
-        // error-bound check, not by hash parity).
-        // vocab == k is still exact: the k-th distinct item inserts while
-        // buf.size == k-1; eviction starts at the (k+1)-th
+        // exact-mode capacity is DATA-SCALED (round-10, verdict task 4 —
+        // the ivfNlist precedent): k = max(64, vocab) keeps the sketch
+        // in its bit-stable exact mode at EVERY scale factor instead of
+        // fail-fasting when a larger corpus outgrows a constant k
+        // (sf1's vocab is 310). One bounded 1-row pull (F5-class); the
+        // oracle needs no mirror because exact-mode output is the exact
+        // GROUP BY counts regardless of k. vocab == k is still exact:
+        // the k-th distinct item inserts while buf.size == k-1;
+        // eviction starts at the (k+1)-th. The eviction path itself is
+        // gated by q168's error-bound check, not by hash parity.
         val vocab = toks.agg(countDistinct(col("item"))).head().getLong(0)
-        require(vocab <= 64,
-          s"q165 exact-mode gate requires corpus vocabulary <= 64, got $vocab: " +
-            "heavy_hitters would enter its approximate eviction mode; raise k or re-pin the oracle")
-        toks.agg(expr("heavy_hitters(item, 64)").as("hh"))
+        val k = math.max(64L, vocab).toInt
+        toks.agg(expr(s"heavy_hitters(item, $k)").as("hh"))
           .selectExpr("explode(hh) AS e")
           .select(col("e.item").as("tok"), col("e.est").as("est"), col("e.err").as("err"))
           .orderBy("tok")
@@ -324,7 +326,8 @@ object TextQueries extends QueryModule {
     // one keyed aggregate — each group's buffer is ≤ k entries, so the
     // shuffle moves O(sources × k) whatever the corpus size (the
     // per-tenant/per-domain profiling query a 100 TB pipeline runs
-    // daily). Still the exact mode (per-source vocabulary < 64), so
+    // daily). Still the exact mode (k data-scaled past the per-source
+    // vocabulary), so
     // est/err hash-match DuckDB's per-source counts; the top-3
     // projection exercises the sketch's (est desc, item asc) result
     // order through element_at.
@@ -332,14 +335,13 @@ object TextQueries extends QueryModule {
       fn = (s, d) => {
         val toks = Tables.documents(s, d)
           .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("item"))
-        // per-source exact-mode precondition (see q165)
+        // per-source exact-mode capacity, data-scaled like q165's
+        // (round-10, verdict task 4): k = max(64, max per-source vocab)
         val maxVocab = toks.groupBy("source").agg(countDistinct(col("item")).as("v"))
           .agg(max(col("v"))).head().getLong(0)
-        require(maxVocab <= 64,
-          s"q166 exact-mode gate requires per-source vocabulary <= 64, got max $maxVocab: " +
-            "heavy_hitters would enter its approximate eviction mode; raise k or re-pin the oracle")
+        val k = math.max(64L, maxVocab).toInt
         toks.groupBy("source")
-          .agg(expr("heavy_hitters(item, 64)").as("hh"))
+          .agg(expr(s"heavy_hitters(item, $k)").as("hh"))
           .select(col("source"),
             col("hh")(0).getField("item").as("top1"),
             col("hh")(0).getField("est").as("n1"),

@@ -62,6 +62,31 @@ class StringSimSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project .*jaro_winkler""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("non-ASCII boundary: code-unit semantics diverge from DuckDB's byte semantics (documented)") {
+    // The bit-exact q197 parity claim holds for ASCII text ONLY
+    // (PARITY.md rule 9): JaroWinklerImpl compares UTF-16 code units,
+    // DuckDB's jaro_winkler_similarity compares UTF-8 BYTES, so any
+    // multi-byte character changes both engines' effective lengths and
+    // match sets differently. This test pins the boundary concretely so
+    // a future corpus change can't silently cross it: our code-unit
+    // values below are the engine's DECLARED semantics (and the
+    // linguistically sane ones — 'é' is one character, not two bytes);
+    // the DuckDB byte-level values are pinned alongside to prove the
+    // divergence is real, not hypothetical.
+    val cases = Seq(
+      // (left, right, ours on code units, DuckDB on bytes)
+      ("héllo", "hello", 0.88, 0.8400000000000001),
+      ("日本語テキスト", "日本語のテキスト", 0.9708333333333333, 0.9369047619047619))
+    cases.foreach { case (a, b, ours, duck) =>
+      val got = JaroWinklerImpl.similarity(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(ours),
+        s"('$a','$b'): got $got want $ours")
+      assert(got != duck, s"('$a','$b'): engines unexpectedly agree — boundary note is stale")
+    }
+  }
+
   test("metric properties on a deterministic fuzz: symmetry, bounds, identity, null") {
     import spark.implicits._
     GraftFunctions.register(spark)
