@@ -81,7 +81,12 @@ object Audit {
     // q207: ×32 replicate fan-out broadcasts the 32-row replicate list
     // onto the per-type count frame (the B×n grid itself is the keyed
     // index join); q208: q191's margins×margins contingency cross
-    "q207_bootstrap_ci", "q208_cramers_v")
+    "q207_bootstrap_ci", "q208_cramers_v",
+    // q210: the probe-to-centroid scoring step crosses the FIXED
+    // 20-probe set with the broadcast ⌈√N⌉-row centroid table
+    // (Q × nlist, the q156 pattern); the index scan itself is
+    // partition-pruned and cell-keyed, never a product
+    "q210_ivf_bounded_serving")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,

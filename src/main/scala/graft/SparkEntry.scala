@@ -16,7 +16,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries, MotionQueries, EventQueries, TextQueries,
     DedupQueries, SimilarityQueries, CoverageGapQueries, CorpusQueries,
-    PipelineQueries, PretrainQueries, LakehouseQueries)
+    PipelineQueries, PretrainQueries, LakehouseQueries, CapstoneQueries)
 
   // registry order, with docs — Catalog.md generation reads this so the
   // catalog can't miss a module the driver gate sees

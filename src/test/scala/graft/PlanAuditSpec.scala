@@ -538,6 +538,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), s"grid fan-out not broadcast:\n$p")
   }
 
+  test("q211 capstone: dims broadcast, all three ball windows ride ONE hash exchange, CSV scan prunes") {
+    val p = plan("q211_bdb_capstone")
+    // plays⋈games folds into one broadcast side, then broadcasts against
+    // the big tracking scan — never a shuffle of the tracking table
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 2, s"expected 2 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    // football flag + xFootball + yFootball all ride the single
+    // (gameId, playId, frameId) exchange; the rangepartitioning at the
+    // top is the presentation sort, not a data shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly one hash exchange:\n$p")
+    // the tracking CSV scan reads only the 9 consumed columns (of 19)
+    assert(p.contains("ReadSchema: struct<x:double,y:double,event:string,displayName:string,frameId:int,team:string,gameId:bigint"),
+      s"tracking scan not pruned:\n$p")
+  }
+
   test("q175 interval union: both windows + both aggs ride ONE user_id exchange") {
     val p = plan("q175_interval_union")
     // one hash exchange (user_id); the final rangepartitioning is the
