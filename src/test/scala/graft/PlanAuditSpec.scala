@@ -554,6 +554,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"tracking scan not pruned:\n$p")
   }
 
+  test("q210 serving: the index scan is PARTITION-PRUNED to the probed cells") {
+    val p = plan("q210_ivf_bounded_serving")
+    // the ≤2Q probed cell ids become plan literals, so the parquet scan
+    // of the cell-partitioned index carries PartitionFilters — at 100 TB
+    // this is the difference between reading ~Q·nprobe·√N rows and
+    // scanning the whole index
+    assert("PartitionFilters: \\[.*cell".r.findFirstIn(p).isDefined,
+      s"no partition filter on the index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    // top-5 per probe rides the native partial top_k_pairs aggregate
+    assert(p.contains("partial_top_k_pairs"), s"top-k not partial-aggregated:\n$p")
+  }
+
   test("q175 interval union: both windows + both aggs ride ONE user_id exchange") {
     val p = plan("q175_interval_union")
     // one hash exchange (user_id); the final rangepartitioning is the
