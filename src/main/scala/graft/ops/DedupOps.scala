@@ -117,6 +117,91 @@ object DedupOps {
     b1.join(b2, joinCols).filter(col("d1") < col("d2")).select("d1", "d2").distinct()
   }
 
+  // ------------------------------------------------------- prefix filter
+  // Exact Jaccard THRESHOLD join via rarest-first prefix filtering
+  // (Chaudhuri et al. SSJoin 2006 / Bayardo et al. All-Pairs WWW'07 /
+  // Xiao et al. PPJoin WWW'08) — the scale-safe EXACT alternative to
+  // both the LSH candidate path (probabilistic recall) and the
+  // any-shared-token join (quadratic on one boilerplate token). The
+  // threshold is a RATIONAL p/q so every gate is integer arithmetic:
+  // no float boundary anywhere, hence bit-stable under any partitioning.
+
+  /** Prefix rows for J ≥ p/q: each (doc, tok) joined with the token's
+    * scoped document frequency, ranked within its doc by (df asc, tok
+    * asc) — the canonical rarest-first total order — keeping only
+    * pos ≤ n − ⌈(p/q)·n⌉ + 1. Guarantee (witness argument): for any
+    * pair with J ≥ p/q, the intersection o satisfies o ≥ ⌈(p/q)·n⌉ for
+    * BOTH docs (o/u ≥ p/q and u ≥ n), and the SMALLEST shared token
+    * under the global order must sit inside both prefixes — were it
+    * outside doc A's prefix, fewer than o elements of A could remain
+    * at-or-after it, yet all o intersection elements do. So the
+    * prefix⋈prefix join has perfect recall at the threshold (the
+    * brute-force oracles of q212/q213 prove it by hash equality).
+    *
+    * Scale shape: the df join keys on (scope, tok) — high cardinality,
+    * even partitions; the rank window partitions by doc_id (bounded
+    * rows per doc). Candidates concentrate on LOW-df tokens by
+    * construction: boilerplate tokens sort into suffixes and never
+    * generate a pair, which is the structural fix for the hot-bucket
+    * quadratic the any-shared-token join suffers.
+    */
+  def prefixRows(toks: DataFrame, scopeCols: Seq[String], p: Int, q: Int): DataFrame = {
+    require(p > 0 && q > 0 && p <= q, s"threshold p/q must be in (0,1]: $p/$q")
+    import org.apache.spark.sql.expressions.Window
+    val keys = scopeCols :+ "tok"
+    val df = toks.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    toks.join(df, keys)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .join(sizes, Seq("doc_id"))
+      .filter(expr(s"pos <= n - (($p * n + ${q - 1}) div $q) + 1"))
+  }
+
+  /** Distinct candidate pairs from the prefix⋈prefix join, with the
+    * length filter J ≥ p/q implies (q·min(n1,n2) ≥ p·max(n1,n2)).
+    * Scope columns ride through for per-scope audits.
+    */
+  def prefixCandidates(pre: DataFrame, scopeCols: Seq[String], p: Int, q: Int): DataFrame = {
+    val keys = scopeCols :+ "tok"
+    val p1 = pre.select((keys.map(col) :+ col("doc_id").as("d1") :+ col("n").as("n1")): _*)
+    val p2 = pre.select((keys.map(col) :+ col("doc_id").as("d2") :+ col("n").as("n2")): _*)
+    p1.join(p2, keys)
+      .filter(col("d1") < col("d2"))
+      .filter(lit(q.toLong) * least(col("n1"), col("n2")) >=
+        lit(p.toLong) * greatest(col("n1"), col("n2")))
+      .select((scopeCols.map(col) :+ col("d1") :+ col("d2")): _*).distinct()
+  }
+
+  /** Exact intersection verify on prefix candidates, thresholded in
+    * INTEGER math — J ≥ p/q ⟺ (p+q)·c ≥ p·(n1+n2) — plus the
+    * catalog's exact-rational micro rounding for the reported jacc.
+    * Scope columns from the candidate list ride through.
+    */
+  def verifyJaccardThreshold(toks: DataFrame, candidates: DataFrame,
+      scopeCols: Seq[String], p: Int, q: Int): DataFrame = {
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val t1 = toks.select(col("doc_id").as("d1"), col("tok"))
+    val t2 = toks.select(col("doc_id").as("d2"), col("tok"))
+    candidates.join(t1, Seq("d1")).join(t2, Seq("d2", "tok"))
+      .groupBy((scopeCols ++ Seq("d1", "d2")).map(col): _*).agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .filter(lit((p + q).toLong) * col("c") >= lit(p.toLong) * (col("n1") + col("n2")))
+      .withColumn("jacc",
+        expr("(2 * 1000000 * c + (n1 + n2 - c)) div (2 * (n1 + n2 - c))")
+          .cast("double") / lit(1e6))
+  }
+
+  /** The full exact threshold join: emit every same-scope pair with
+    * Jaccard ≥ p/q over the (doc_id, scope..., tok) set relation —
+    * unguarded, because the prefix filter bounds candidate generation
+    * structurally instead of by fail-fast.
+    */
+  def jaccardThresholdJoin(toks: DataFrame, scopeCols: Seq[String], p: Int, q: Int): DataFrame =
+    verifyJaccardThreshold(toks, prefixCandidates(prefixRows(toks, scopeCols, p, q),
+      scopeCols, p, q), scopeCols, p, q)
+
   /** Exact unigram Jaccard on a candidate pair list, exploded-join
     * form: intersection counts come from joining the (doc, tok) table
     * onto the candidates and hash-aggregating — compact fixed-width

@@ -498,7 +498,7 @@ object DedupQueries extends QueryModule {
                        CAST((2 * 1000000 * cnt + n2.n) // (2 * n2.n) AS DOUBLE) / 1e6) >= 0.8
         ORDER BY d1, d2"""),
       doc = "containment (asymmetric) dedup: subset-duplicate detection the symmetric Jaccard gate misses, same LSH scale path (north-star)")
-  ) ++ fuzzyQueries
+  ) ++ fuzzyQueries ++ prefixJoinQueries
 
   /** Blocked candidate pairs for the record-linkage family (q196/q197,
     * q203's edge set): (lang, source, n_chars/64 length band) blocking
@@ -714,5 +714,163 @@ object DedupQueries extends QueryModule {
         HAVING COUNT(*) >= 2
         ORDER BY cluster"""),
       doc = "entity resolution capstone: Fellegi-Sunter evidence fusion (JW + levenshtein + length) over blocked pairs, thresholded edges, component entities (record linkage)")
+  )
+
+  /** Word-3-gram shingle sets, (lang, source)-scoped, in the DedupOps
+    * `tok` column convention — the q34 shingle relation without the
+    * all-pairs guard (q212/q213 exist precisely to not need one).
+    */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(toks)-2), i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))")))
+          .as("tok"))
+
+  private val prefixScope = Seq("lang", "source")
+
+  /** The shared shingle/size/intersection CTE head both oracles reuse. */
+  private val shingleSqlHead = """
+        WITH docs AS (
+          SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\s+') AS a
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        sh AS (
+          SELECT DISTINCT doc_id, lang, source,
+                 unnest(list_transform(range(1, len(a) - 1), i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+          FROM docs),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)"""
+
+  private def prefixJoinQueries: Seq[(String, NamedQuery)] = Seq(
+
+    // --------------------------------------------------------------- q212
+    // Threshold similarity join, EXACT and UNGUARDED — the scale-safe
+    // successor to q34's guarded all-shared-shingle scan: emit every
+    // same-(lang, source) pair with 3-gram Jaccard ≥ 0.5, generating
+    // candidates only through the rarest-first PREFIX of each shingle
+    // set (DedupOps.prefixRows: All-Pairs/PPJoin prefix filtering,
+    // t = 1/2 → prefix ⌊n/2⌋+1). Where q34 must fail-fast above 50k
+    // docs because one boilerplate shingle makes a quadratic bucket,
+    // q212's hot shingles sort out of the prefixes and the join volume
+    // tracks OUTPUT, not corpus size (q213 measures the reduction;
+    // SCALING.md records the sf1/sf10 exponents q34 structurally
+    // cannot have). The oracle is the BRUTE-FORCE thresholded join —
+    // no prefix logic at all — so the hash match is an empirical proof
+    // of the prefix filter's perfect-recall guarantee, not a port.
+    "q212_prefix_filter_join" -> NamedQuery(
+      fn = (s, d) => {
+        val sh = shingleSets(s, d)
+        graft.ops.CacheScope.withPersisted(sh) {
+          graft.ops.DedupOps.jaccardThresholdJoin(sh, prefixScope, 1, 2)
+            .select("d1", "d2", "c", "n1", "n2", "jacc")
+            .orderBy("d1", "d2")
+        }
+      },
+      oracle = Some(shingleSqlHead + """,
+        inter AS (
+          SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS c
+          FROM sh s1 JOIN sh s2
+            ON s1.lang = s2.lang AND s1.source = s2.source
+           AND s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+          GROUP BY 1, 2)
+        SELECT d1, d2, c, n1.n AS n1, n2.n AS n2,
+               CAST((2 * 1000000 * c + (n1.n + n2.n - c)) // (2 * (n1.n + n2.n - c)) AS DOUBLE) / 1e6 AS jacc
+        FROM inter
+        JOIN sizes n1 ON d1 = n1.doc_id
+        JOIN sizes n2 ON d2 = n2.doc_id
+        WHERE 3 * c >= n1.n + n2.n
+        ORDER BY d1, d2"""),
+      doc = "exact Jaccard>=0.5 threshold join via rarest-first prefix filtering (All-Pairs/PPJoin), unguarded; oracle is the brute-force join, so the hash match proves perfect recall (north-star)"),
+
+    // --------------------------------------------------------------- q213
+    // The prefix filter's effectiveness, measured in the engine itself
+    // and hash-gated: per lang, the bucket-join volume the naive path
+    // would generate (Σ k·(k−1)/2 over (lang, source, shingle)
+    // buckets — q34's join shape), the volume the prefix path actually
+    // generates (same sum over prefix-surviving rows), the distinct
+    // candidate pairs after the length filter, and the verified
+    // matches. All exact integers (no pair materialization for the
+    // volume sums — they fold inside the bucket groupBy), reduction as
+    // the exact-rational micro rounding. This is the audit a mixture
+    // of q34-vs-q212 planning reads at 100 TB: join volume is the cost
+    // model's x-axis, and the ratio is what the prefix buys.
+    "q213_prefix_filter_audit" -> NamedQuery(
+      fn = (s, d) => {
+        import graft.ops.DedupOps
+        val sh = shingleSets(s, d)
+        graft.ops.CacheScope.withPersisted(sh) {
+          val pre = DedupOps.prefixRows(sh, prefixScope, 1, 2)
+          graft.ops.CacheScope.withPersisted(pre) {
+            val allB = sh.groupBy("lang", "source", "tok").agg(count(lit(1)).as("k"))
+              .groupBy("lang").agg(sum(expr("k * (k - 1) div 2")).as("join_rows_all"))
+            val preB = pre.groupBy("lang", "source", "tok").agg(count(lit(1)).as("k"))
+              .groupBy("lang").agg(sum(expr("k * (k - 1) div 2")).as("join_rows_prefix"))
+            val cand = DedupOps.prefixCandidates(pre, prefixScope, 1, 2)
+            val candN = cand.groupBy("lang").agg(count(lit(1)).as("candidate_pairs"))
+            val matchN = DedupOps.verifyJaccardThreshold(sh, cand, prefixScope, 1, 2)
+              .groupBy("lang").agg(count(lit(1)).as("matched_pairs"))
+            allB.join(preB, Seq("lang"))
+              .join(candN, Seq("lang"), "left")
+              .join(matchN, Seq("lang"), "left")
+              .select(col("lang"), col("join_rows_all"), col("join_rows_prefix"),
+                coalesce(col("candidate_pairs"), lit(0L)).as("candidate_pairs"),
+                coalesce(col("matched_pairs"), lit(0L)).as("matched_pairs"),
+                expr("(2 * 1000000 * join_rows_prefix + join_rows_all) div (2 * join_rows_all)")
+                  .cast("double").divide(lit(1e6)).as("reduction"))
+              .orderBy("lang")
+          }
+        }
+      },
+      oracle = Some(shingleSqlHead + """,
+        f AS (SELECT lang, source, shingle, COUNT(*) AS df
+              FROM sh GROUP BY 1, 2, 3),
+        allb AS (SELECT lang, CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS join_rows_all
+                 FROM f GROUP BY 1),
+        ranked AS (
+          SELECT sh.doc_id, sh.lang, sh.source, sh.shingle, sz.n,
+                 row_number() OVER (PARTITION BY sh.doc_id
+                                    ORDER BY f.df, sh.shingle) AS pos
+          FROM sh
+          JOIN f USING (lang, source, shingle)
+          JOIN sizes sz ON sh.doc_id = sz.doc_id),
+        pre AS (SELECT * FROM ranked WHERE pos <= n // 2 + 1),
+        prek AS (SELECT lang, source, shingle, COUNT(*) AS k
+                 FROM pre GROUP BY 1, 2, 3),
+        preb AS (SELECT lang, CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS join_rows_prefix
+                 FROM prek GROUP BY 1),
+        cand AS (
+          SELECT DISTINCT p1.lang, p1.doc_id AS d1, p2.doc_id AS d2
+          FROM pre p1 JOIN pre p2
+            ON p1.lang = p2.lang AND p1.source = p2.source
+           AND p1.shingle = p2.shingle AND p1.doc_id < p2.doc_id
+           AND 2 * least(p1.n, p2.n) >= greatest(p1.n, p2.n)),
+        candn AS (SELECT lang, COUNT(*) AS candidate_pairs FROM cand GROUP BY 1),
+        inter AS (
+          SELECT c.lang, c.d1, c.d2, COUNT(*) AS cnt
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.d1
+          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+          GROUP BY 1, 2, 3),
+        m AS (
+          SELECT i.lang, COUNT(*) AS matched_pairs
+          FROM inter i
+          JOIN sizes a ON i.d1 = a.doc_id
+          JOIN sizes b ON i.d2 = b.doc_id
+          WHERE 3 * i.cnt >= a.n + b.n
+          GROUP BY 1)
+        SELECT lang, join_rows_all, join_rows_prefix,
+               COALESCE(candidate_pairs, 0) AS candidate_pairs,
+               COALESCE(matched_pairs, 0) AS matched_pairs,
+               CAST((2 * 1000000 * join_rows_prefix + join_rows_all)
+                    // (2 * join_rows_all) AS DOUBLE) / 1e6 AS reduction
+        FROM allb
+        JOIN preb USING (lang)
+        LEFT JOIN candn USING (lang)
+        LEFT JOIN m USING (lang)
+        ORDER BY lang"""),
+      doc = "prefix-filter effectiveness audit: naive vs prefix bucket-join volume, candidates, matches per lang, exact integers (north-star)")
   )
 }
