@@ -756,8 +756,9 @@ object DedupQueries extends QueryModule {
     // docs because one boilerplate shingle makes a quadratic bucket,
     // q212's hot shingles sort out of the prefixes and the join volume
     // tracks OUTPUT, not corpus size (q213 measures the reduction;
-    // SCALING.md records the sf1/sf10 exponents q34 structurally
-    // cannot have). The oracle is the BRUTE-FORCE thresholded join —
+    // SCALING.md "Prefix-filter join at sf1/sf10" records the measured
+    // exponents q34 structurally cannot have). The oracle is the
+    // BRUTE-FORCE thresholded join —
     // no prefix logic at all — so the hash match is an empirical proof
     // of the prefix filter's perfect-recall guarantee, not a port.
     "q212_prefix_filter_join" -> NamedQuery(
