@@ -86,12 +86,17 @@ object Audit {
     // 20-probe set with the broadcast ⌈√N⌉-row centroid table
     // (Q × nlist, the q156 pattern); the index scan itself is
     // partition-pruned and cell-keyed, never a product
-    "q210_ivf_bounded_serving")
+    "q210_ivf_bounded_serving",
+    // q214: the q159 pattern — the 120×53 grid BROADCASTS against the
+    // single-play tracking side (fan-out + empty-cell restore), the
+    // scale plan by design (FieldControlPipeline scaladoc)
+    "q214_field_control_capstone")
 
   // q77: PivotFirst is a TypedImperativeAggregate whose rotation buffer
   // Catalyst only plans as Object/Sort aggregate — inherent to pivot,
-  // bounded by the pivoted-domain size, not a regression
-  private val expectedSortAgg = Set("q77_pivot_measures")
+  // bounded by the pivoted-domain size, not a regression; q215 composes
+  // the same 8-measure × 7-position pivot (coverageFeatureMatrix)
+  private val expectedSortAgg = Set("q77_pivot_measures", "q215_coverages_capstone")
 
   // populated only after a documented review: a global (unpartitioned)
   // window is acceptable solely on frames already aggregated to a
@@ -112,7 +117,10 @@ object Audit {
     //    documented single-partition step
     //  - q195: same PrefixSum bucket-offset frame as q194
     "q99_concurrency", "q192_curation_pipeline", "q194_mann_whitney",
-    "q195_ks_test")
+    //  - q215: coverageSummary's freq denominator — a window over the
+    //    per-coverage aggregate (≤ 5 rows by the label enum domain,
+    //    the q25 order-priority precedent)
+    "q195_ks_test", "q215_coverages_capstone")
 
   final case class QueryAudit(name: String, codegen: Int, flags: List[String])
 

@@ -7,7 +7,12 @@ import org.apache.spark.sql.DataFrame
   * near-dup). Those queries exist to ORACLE the scale paths (banded
   * MinHash/SimHash, LSH buckets, IVF cells) — they must never be pointed
   * at a corpus-scale input, where n² work is a silent cluster-killer.
-  * The guard fails fast instead (SCALING.md "all-pairs baselines").
+  * The guard fails fast instead, naming the gated production successor
+  * a caller should use at scale (SCALING.md "all-pairs baselines";
+  * CATALOG.md pairs each baseline with its successor: q34 → q212
+  * prefix-filter threshold join, q37 → q210 bounded IVF serving /
+  * q144 PQ-ADC, q39 → q38/q40 LSH-IVF cell joins + q65/q176 semantic
+  * dedup).
   */
 object ScaleGuards {
 
@@ -23,7 +28,8 @@ object ScaleGuards {
     * Deliberate larger runs can raise the bound via the session conf
     * `spark.graft.allPairs.maxRows`.
     */
-  def requireAllPairsSafe(df: DataFrame, what: String): DataFrame = {
+  def requireAllPairsSafe(df: DataFrame, what: String,
+                          successor: String = "its banded-LSH / IVF-cell scale path"): DataFrame = {
     val bound = df.sparkSession.conf
       .getOption("spark.graft.allPairs.maxRows")
       .map(_.toLong).getOrElse(DefaultMaxAllPairsRows)
@@ -33,8 +39,8 @@ object ScaleGuards {
     val n = df.limit((bound + 1).toInt).count()
     require(n <= bound,
       s"$what is an O(n²) all-pairs correctness baseline; input exceeds " +
-        s"$bound rows (≥$n). Use its scale path (banded LSH / IVF cells) " +
-        "or raise spark.graft.allPairs.maxRows for a deliberate run.")
+        s"$bound rows (≥$n). Use its gated production successor — $successor — " +
+        "or raise spark.graft.allPairs.maxRows for a deliberate oracle run.")
     df
   }
 }

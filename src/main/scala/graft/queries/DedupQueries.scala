@@ -60,7 +60,8 @@ object DedupQueries extends QueryModule {
             .select(col("doc_id"), col("lang"), col("source"),
               split(trim(col("text")), "\\s+").as("toks"))
             .filter(size(col("toks")) >= 3),
-          "q34_ngram_jaccard")
+          "q34_ngram_jaccard",
+          successor = "q212_prefix_filter_join (exact threshold join, unguarded, output-sensitive)")
         // the shingle set feeds three consumers (sizes + both join sides);
         // Catalyst can't reuse the exchange across the renamed branches,
         // so materialize it once, scoped (SURVEY.md §4: cache reused inputs)
@@ -113,7 +114,7 @@ object DedupQueries extends QueryModule {
               FROM j)
         WHERE rn <= 3
         ORDER BY d1, d2"""),
-      doc = "3-gram shingle Jaccard near-dup (north-star)"),
+      doc = "3-gram shingle Jaccard top-3 — GUARDED all-pairs recall oracle (fails fast >50k docs); production successor: q212 prefix-filter threshold join (unguarded, output-sensitive)"),
 
     // ---------------------------------------------------------------- q35
     // MinHash + LSH banding: k=8 string-min md5 signatures, 4 bands of 2,
@@ -536,6 +537,15 @@ object DedupQueries extends QueryModule {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         (col("n_chars") / 64).cast("long").as("band"),
         substring(col("text"), 1, 32).as("sig"))
+      // PARITY rule 9 ENFORCED (round-11, ADVICE round 9): the native
+      // jaro_winkler compares UTF-16 code units while DuckDB compares
+      // UTF-8 bytes, so the family's bit-exact parity claim holds for
+      // ASCII signatures ONLY. Non-ASCII signatures are excluded from
+      // linkage here (octet_length == char length ⟺ pure ASCII, the
+      // same predicate both engines evaluate identically) instead of
+      // silently producing engine-dependent scores; a non-ASCII corpus
+      // needs a byte-mode scorer variant (documented in PARITY.md).
+      .filter(octet_length(col("sig")) === length(col("sig")))
     val blockW = Window.partitionBy("lang", "source", "band", "cid", "chunk")
     val chunked = docs
       .withColumn("cid", explode(array((0 until 4).map(i => lit(i.toLong)): _*)))
@@ -559,7 +569,8 @@ object DedupQueries extends QueryModule {
           SELECT doc_id, lang, source, n_chars,
                  CAST(floor(n_chars / 64) AS BIGINT) AS band,
                  substr(text, 1, 32) AS sig
-          FROM documents),
+          FROM documents
+          WHERE strlen(substr(text, 1, 32)) = length(substr(text, 1, 32))),
         c0 AS (
           SELECT doc_id, lang, source, n_chars, band, sig, g.cid,
                  substr(sig, g.cid * 8 + 1, 8) AS chunk
@@ -670,7 +681,8 @@ object DedupQueries extends QueryModule {
           SELECT doc_id, lang, source, n_chars,
                  CAST(floor(n_chars / 64) AS BIGINT) AS band,
                  substr(text, 1, 32) AS sig
-          FROM documents),
+          FROM documents
+          WHERE strlen(substr(text, 1, 32)) = length(substr(text, 1, 32))),
         ch0 AS (
           SELECT doc_id, lang, source, n_chars, band, sig, g.cid,
                  substr(sig, g.cid * 8 + 1, 8) AS chunk

@@ -94,7 +94,8 @@ object SimilarityQueries extends QueryModule {
     // oracle; rank key = round(cos, 6) with vec-id tie-break).
     "q37_cosine_topk" -> NamedQuery(
       fn = (s, d) => {
-        val guarded = graft.ops.ScaleGuards.requireAllPairsSafe(vecs(s, d), "q37_cosine_topk")
+        val guarded = graft.ops.ScaleGuards.requireAllPairsSafe(vecs(s, d), "q37_cosine_topk",
+          successor = "q210_ivf_bounded_serving (partition-pruned index scan) / q144_pq_adc_topk")
         val a = guarded.select(col("vec_id").as("v1"), col("embedding").as("emb1"), col("nrm").as("n1"))
         val b = guarded.select(col("vec_id").as("v2"), col("embedding").as("emb2"), col("nrm").as("n2"))
         // compute each dot once on the upper triangle, then explode the
@@ -129,7 +130,7 @@ object SimilarityQueries extends QueryModule {
               FROM pairs)
         WHERE rn <= 3
         ORDER BY v1, v2"""),
-      doc = "brute-force cosine top-k via native vec_dot (north-star baseline)"),
+      doc = "brute-force cosine top-k via native vec_dot — GUARDED all-pairs recall oracle (fails fast >50k vectors); production successors: q210 bounded IVF serving (sf1->sf10 exp 0.28), q144 PQ-ADC"),
 
     // ---------------------------------------------------------------- q38
     // Hyperplane LSH bucketing: 4 integer-weight pseudo-random planes,
@@ -172,7 +173,8 @@ object SimilarityQueries extends QueryModule {
     // cosine threshold (clusters share labels in the testdata).
     "q39_neardup_pairs" -> NamedQuery(
       fn = (s, d) => {
-        val guarded = graft.ops.ScaleGuards.requireAllPairsSafe(vecs(s, d), "q39_neardup_pairs")
+        val guarded = graft.ops.ScaleGuards.requireAllPairsSafe(vecs(s, d), "q39_neardup_pairs",
+          successor = "q38/q40 LSH-IVF cell joins; q65/q176 semantic dedup")
         val a = guarded.select(col("vec_id").as("v1"), col("label").as("label_a"),
           col("embedding").as("emb1"), col("nrm").as("n1"))
         val b = guarded.select(col("vec_id").as("v2"), col("label").as("label_b"),
@@ -198,7 +200,7 @@ object SimilarityQueries extends QueryModule {
         WHERE cos >= 0.9
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
-      doc = "embedding-cosine near-dup pair counts (north-star)"),
+      doc = "embedding-cosine near-dup pair counts — GUARDED all-pairs recall oracle (fails fast >50k vectors); production successors: q38/q40 LSH-IVF cell joins, q65/q176 semantic dedup"),
 
     // ---------------------------------------------------------------- q40
     // IVF-style ANN: coarse-quantize every vector to its nearest of 8
