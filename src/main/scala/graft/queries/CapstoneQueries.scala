@@ -481,7 +481,7 @@ object CapstoneQueries extends QueryModule {
           avg(col("n_db")).as("avg_n_db"),
           sum(col("train_frames_p")).as("train_frames"),
           sum(col("label_matches_p")).as("label_matches"))
-        summary.join(scaffold, Seq("play_coverage"))
+        summary.join(broadcast(scaffold), Seq("play_coverage"))
           .select(col("play_coverage"), col("plays"), col("def_epa"),
             col("avg_n_db"), col("freq"), col("train_frames"), col("label_matches"))
           .orderBy(col("plays").desc, col("play_coverage"))

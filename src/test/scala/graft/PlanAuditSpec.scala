@@ -554,6 +554,58 @@ class PlanAuditSpec extends AnyFunSuite {
       s"tracking scan not pruned:\n$p")
   }
 
+  test("q214 capstone: pick-play is top-k (never a global window), play join + grid both broadcast, maha filter below the cell sum") {
+    val p = plan("q214_field_control_capstone")
+    val lines = p.linesIterator.toVector
+    // B10/F1/E5: the 7th-play selection compiles to TakeOrderedAndProject
+    // top-k steps — at 100 TB the plays table is never globally sorted
+    // and never single-partition-windowed
+    assert(p.contains("TakeOrderedAndProject"), s"pick-play not a top-k:\n$p")
+    // the 1-row picked play broadcasts against the tracking scan; the
+    // only sort-merge join in the plan is the empty-cell RESTORE join,
+    // keyed on (game, play, frame, cell) — the output grain itself, a
+    // keyed shuffle that shards at any scale (not asserted away)
+    assert(p.contains("BroadcastHashJoin"), s"picked-play join not broadcast:\n$p")
+    // the grid fan-out is the q159 broadcast product, and the 12σ maha
+    // filter sits BELOW the per-cell signed sum (plan text is top-down:
+    // aggregate above filter) so the E3-normalize window, the exp, and
+    // the shuffle see only surviving rows
+    assert(p.contains("BroadcastNestedLoopJoin"), s"grid fan-out not broadcast:\n$p")
+    val fIdx = lines.indexWhere(l =>
+      (l.contains("Filter") || l.contains("BroadcastNestedLoopJoin")) &&
+        """<\s*144(\.0+)?\b""".r.findFirstIn(l).isDefined)
+    assert(fIdx >= 0, s"maha pruning predicate not in plan:\n$p")
+    val aIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("keys=") &&
+        l.contains("sum") && l.contains("grid_x") && l.contains("grid_y"))
+    assert(aIdx >= 0, s"per-cell sum HashAggregate not in plan:\n$p")
+    assert(fIdx > aIdx, s"maha filter not below the per-cell aggregate:\n$p")
+    // E3 grid-max normalization is a KEYED window (per player-frame),
+    // not a global one
+    assert(p.contains("Window"), s"grid-max normalize window missing:\n$p")
+  }
+
+  test("q215 capstone: dims broadcast, H1 pivot aggregate keyed per frame, D4 mode rides a keyed window") {
+    val p = plan("q215_coverages_capstone")
+    // coverages/playsDim/games⋈plays broadcast against the tracking
+    // side (several BroadcastHashJoins); the ONLY sort-merge joins are
+    // the play-grain perPlay⋈frameStats assemblies — keyed on
+    // (gameId, playId), both sides O(#plays), the correct scale plan
+    // (broadcasting a side that grows with the corpus would be wrong)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"dim joins not broadcast:\n$p")
+    val smj = "SortMergeJoin \\[gameId".r.findAllIn(p).length
+    assert("SortMergeJoin".r.findAllIn(p).length === smj,
+      s"a non-play-grain sort-merge join appeared:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the 8×7 pivot is an aggregate keyed by (gameId, playId, frameId) —
+    // pivotfirst buffers, bounded by the pinned position domain
+    assert(p.toLowerCase.contains("pivotfirst"), s"pivot aggregate missing:\n$p")
+    // the per-play mode (D4) is a row_number over a (gameId, playId)-
+    // keyed window — high-cardinality keys, shards at any scale
+    assert(p.contains("row_number"), s"mode rank window missing:\n$p")
+  }
+
   test("q210 serving: the index scan is PARTITION-PRUNED to the probed cells") {
     val p = plan("q210_ivf_bounded_serving")
     // the ≤2Q probed cell ids become plan literals, so the parquet scan
