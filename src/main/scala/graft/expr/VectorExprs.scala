@@ -79,6 +79,8 @@ object GraftFunctions {
     CmQuery(exprs(0), Cast(exprs(1), StringType), exprs(2))
   private[expr] def jaroWinklerBuilder(exprs: Seq[Expression]): Expression =
     JaroWinkler(Cast(exprs(0), StringType), Cast(exprs(1), StringType))
+  private[expr] def jaroWinklerBytesBuilder(exprs: Seq[Expression]): Expression =
+    JaroWinklerBytes(Cast(exprs(0), StringType), Cast(exprs(1), StringType))
   // Spark's own runtime-filter expressions, exposed by name so
   // ops.BloomOps can plant the identical codegen'd probe explicitly.
   private[expr] def bloomAggBuilder(exprs: Seq[Expression]): Expression =
@@ -102,6 +104,8 @@ object GraftFunctions {
       "cm_query", cmQueryBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", jaroWinklerBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler_bytes", jaroWinklerBytesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -148,6 +152,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => GraftFunctions.jaroWinklerBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler_bytes"),
+      new ExpressionInfo(classOf[JaroWinklerBytes].getName, "jaro_winkler_bytes"),
+      (exprs: Seq[Expression]) => GraftFunctions.jaroWinklerBytesBuilder(exprs)))
     e.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(

@@ -59,6 +59,14 @@ import graft.football.{BdbSchemas, CoveragePipeline, FieldControlPipeline}
   */
 object CapstoneQueries extends QueryModule {
 
+  /** Warmup hook (Bench): stage the BDB CSV fixtures up front so no
+    * capstone's FIRST timed pass pays the one-time synthesis+write —
+    * staging is environment setup (the reference's CSVs exist on disk
+    * before its scripts run), not part of any query's cost. Idempotent
+    * via the marker below.
+    */
+  def stageFixtures(s: SparkSession, d: String): Unit = { bdbFixtures(s, d); () }
+
   /** Synthesize + stage the games/plays/tracking/coverages CSVs once per
     * (session, dataset) — the q169/q209 marker pattern. Returns the dir.
     */
@@ -331,9 +339,12 @@ object CapstoneQueries extends QueryModule {
     // cancels in the division) → home-negative signed per-cell sum →
     // sigmoid. The DuckDB oracle recomputes the UNPRUNED normalized
     // surface: the grid-max cell always survives pruning (maha ≤ ~85 at
-    // the fixtures' s ≤ 9.99 bound, far inside 144), so pruned and full
-    // normalized sums agree to < 1e-12 — invisible at the 6-decimal
-    // round, proving the pruning result-safe under normalization too.
+    // the fixtures' s ≤ 9.99 bound, far inside 144), so each pruned
+    // player term is ≤ e^-72 raw against a grid-max ≥ e^-43, i.e.
+    // ≤ e^-29 ≈ 2.5e-13 after normalization; with ≤ 8 players per cell
+    // the pruned-vs-unpruned gap per cell is ≤ 8·e^-29 ≈ 2.0e-12
+    // (< 1e-11 with headroom) — invisible at the 6-decimal round,
+    // proving the pruning result-safe under normalization too.
     "q214_field_control_capstone" -> NamedQuery(
       fn = (s, d) => {
         val dir = bdbFixtures(s, d)
@@ -460,9 +471,16 @@ object CapstoneQueries extends QueryModule {
             when(conv(substring(md5(concat_ws("#", lit("graft-q215-123"),
               col("gameId"), col("playId"), col("frameId"))), 1, 2), 16, 10)
               .cast("int") < 192, "train").otherwise("test"))
+          // Rounded BEFORE thresholding (ADVICE round 11): the four
+          // addends carry the sqrt/pow cross-engine transcendental
+          // residual (PARITY rule 4), so a boundary-straddling ulp
+          // could flip a 100/200/300 label and cascade through the
+          // mode into a hash mismatch. round(·, 6) is the same
+          // backstop q211/q13 apply to this exact chain, mirrored in
+          // the oracle's pred CTE.
           .withColumn("tot_db_dist",
-            col("dist_from_ball_CB") + col("dist_from_ball_SS") +
-              col("dist_from_ball_FS") + col("dist_from_ball_LB"))
+            round(col("dist_from_ball_CB") + col("dist_from_ball_SS") +
+              col("dist_from_ball_FS") + col("dist_from_ball_LB"), 6))
           .withColumn("predicted_coverage",
             when(col("tot_db_dist") < 100.0, "Cover 1")
               .when(col("tot_db_dist") < 200.0, "Cover 2")
@@ -538,9 +556,9 @@ object CapstoneQueries extends QueryModule {
                         || CAST(f.gameId AS VARCHAR) || '#' || CAST(f.playId AS VARCHAR)
                         || '#' || CAST(f.frameId AS VARCHAR)), 1, 2) AS INT) < 192
                       THEN 'train' ELSE 'test' END AS split,
-                 CASE WHEN db_cb + db_ss + db_fs + db_lb < 100.0 THEN 'Cover 1'
-                      WHEN db_cb + db_ss + db_fs + db_lb < 200.0 THEN 'Cover 2'
-                      WHEN db_cb + db_ss + db_fs + db_lb < 300.0 THEN 'Cover 3'
+                 CASE WHEN round(db_cb + db_ss + db_fs + db_lb, 6) < 100.0 THEN 'Cover 1'
+                      WHEN round(db_cb + db_ss + db_fs + db_lb, 6) < 200.0 THEN 'Cover 2'
+                      WHEN round(db_cb + db_ss + db_fs + db_lb, 6) < 300.0 THEN 'Cover 3'
                       ELSE 'Cover 4' END AS predicted_coverage
           FROM feat f JOIN cov c USING (gameId, playId)),
         mode_t AS (

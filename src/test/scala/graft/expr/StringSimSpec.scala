@@ -87,6 +87,45 @@ class StringSimSpec extends AnyFunSuite {
     }
   }
 
+  test("jaro_winkler_bytes reproduces DuckDB's BYTE semantics: ASCII pins + the non-ASCII boundary pairs") {
+    // On pure ASCII, bytes == code units, so every pinned pair above
+    // must come out bit-identical in byte mode; on the boundary pairs
+    // the byte-mode value must equal the DUCKDB column (the one the
+    // code-unit expression deliberately diverges from) — that is the
+    // whole point of the variant (PARITY rule 9 closed, q216).
+    val bytePinned = pinned.map { case (a, b, w) => (a, b, w) } ++ Seq(
+      ("héllo", "hello", 0.8400000000000001),
+      ("日本語テキスト", "日本語のテキスト", 0.9369047619047619))
+    bytePinned.foreach { case (a, b, want) =>
+      val got = JaroWinklerImpl.similarityBytes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want),
+        s"('$a','$b'): got $got want $want")
+    }
+  }
+
+  test("jaro_winkler_bytes codegen path: identical bits to the scalar impl, whole-stage codegen engaged") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = (pinned.map { case (a, b, _) => (a, b) } ++
+      Seq(("héllo", "hello"), ("日本語テキスト", "日本語のテキスト"))).toDF("a", "b")
+    val rows = df.repartition(2)
+      .withColumn("got", expr("jaro_winkler_bytes(a, b)")).collect()
+    rows.foreach { r =>
+      val want = JaroWinklerImpl.similarityBytes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(want),
+        s"(${r.getString(0)},${r.getString(1)})")
+    }
+    val q = df.repartition(2).withColumn("got", expr("jaro_winkler_bytes(a, b)"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project .*jaro_winkler_bytes""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("metric properties on a deterministic fuzz: symmetry, bounds, identity, null") {
     import spark.implicits._
     GraftFunctions.register(spark)
