@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   * This is builder tooling for SCALING.md measurements, not part of
   * the query surface; the driver's own testdata stays authoritative
   * for the correctness gate at sf0.001/0.01/0.1.
+  *
+  * Fourth arg `baseScale` (default 1) multiplies every shift base, so
+  * a PREVIOUSLY DERIVED dataset can feed a second scale-up stage: a
+  * factor-F output of this generator has keys spanning F× the sf0.1
+  * ranges, so re-feeding it with `baseScale = F` keeps the replicas
+  * disjoint (e.g. sf100 = sf10 replicated ×10 with baseScale 100 —
+  * the 10-branch union plan stays cheap where a factor-1000 run from
+  * sf0.1 would build a 1000-branch plan). The max-key guard below
+  * checks against the SCALED bases, so a wrong baseScale still fails
+  * loudly instead of aliasing keys.
   */
 object ScaleData {
 
@@ -42,6 +52,7 @@ object ScaleData {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.drop(1).headOption.getOrElse("/root/repo/scaledata/sf1")
     val factor = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val baseScale = args.drop(3).headOption.map(_.toLong).getOrElse(1L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,15 +61,19 @@ object ScaleData {
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, src, dst, factor)
+    try generate(spark, src, dst, factor, baseScale)
     finally spark.stop()
   }
 
   /** Session-agnostic core (ScaleDataSpec drives it on the shared test
     * session, which must not be stopped).
     */
-  def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  def generate(spark: SparkSession, src: String, dst: String, factor: Int,
+               baseScale: Long = 1L): Unit = {
     new java.io.File(dst).mkdirs()
+    val (c, o, p0, s0, e, d0, v) =
+      (C * baseScale, O * baseScale, P * baseScale, S * baseScale,
+        E * baseScale, D * baseScale, V * baseScale)
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 
@@ -67,16 +82,16 @@ object ScaleData {
     // derived sf1 back in) would silently alias keys across replicas
     // and corrupt every measurement downstream. Fail loudly instead.
     Seq(
-      ("customer", "c_custkey", C), ("orders", "o_orderkey", O),
-      ("orders", "o_custkey", C), ("lineitem", "l_orderkey", O),
-      ("part", "p_partkey", P), ("supplier", "s_suppkey", S),
-      ("events", "event_id", E), ("events", "user_id", C),
-      ("documents", "doc_id", D), ("embeddings", "vec_id", V)
+      ("customer", "c_custkey", c), ("orders", "o_orderkey", o),
+      ("orders", "o_custkey", c), ("lineitem", "l_orderkey", o),
+      ("part", "p_partkey", p0), ("supplier", "s_suppkey", s0),
+      ("events", "event_id", e), ("events", "user_id", c),
+      ("documents", "doc_id", d0), ("embeddings", "vec_id", v)
     ).foreach { case (t, k, base) =>
       val mx = read(t).agg(max(col(k))).head().getLong(0)
       require(mx < base,
         s"ScaleData: $t.$k max $mx >= shift base $base — replicas would collide; " +
-          "raise the base or use a smaller source")
+          "raise the base (baseScale arg) or use a smaller source")
     }
 
     // single FILE per table, exactly like the driver's layout — both the
@@ -104,30 +119,42 @@ object ScaleData {
     // dims: fixed at any SF
     Seq("region", "nation").foreach(t => writeSingle(read(t), t))
 
-    replicate("customer") { (df, r) => df.withColumn("c_custkey", col("c_custkey") + lit(r * C)) }
-    replicate("supplier") { (df, r) => df.withColumn("s_suppkey", col("s_suppkey") + lit(r * S)) }
-    replicate("part") { (df, r) => df.withColumn("p_partkey", col("p_partkey") + lit(r * P)) }
+    replicate("customer") { (df, r) => df.withColumn("c_custkey", col("c_custkey") + lit(r * c)) }
+    replicate("supplier") { (df, r) => df.withColumn("s_suppkey", col("s_suppkey") + lit(r * s0)) }
+    replicate("part") { (df, r) => df.withColumn("p_partkey", col("p_partkey") + lit(r * p0)) }
     replicate("orders") { (df, r) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(r * O))
-        .withColumn("o_custkey", col("o_custkey") + lit(r * C))
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(r * o))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * c))
     }
     replicate("lineitem") { (df, r) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(r * O))
-        .withColumn("l_partkey", col("l_partkey") + lit(r * P))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(r * S))
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(r * o))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * p0))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * s0))
     }
     replicate("events") { (df, r) =>
-      df.withColumn("event_id", col("event_id") + lit(r * E))
-        .withColumn("user_id", col("user_id") + lit(r * C))
+      df.withColumn("event_id", col("event_id") + lit(r * e))
+        .withColumn("user_id", col("user_id") + lit(r * c))
     }
     replicate("documents") { (df, r) =>
+      // The salt must be unique PER STAGE as well as per replica: a
+      // bare "_r1" in a second-stage run would reproduce the
+      // first-stage "_r1" tokens verbatim, making stage-2 replica 1 of
+      // stage-1 replica 0 an EXACT token-level duplicate of stage-1
+      // replica 1 — cross-replica Jaccard 1, the densification this
+      // salt exists to prevent (caught by ScaleDataSpec's two-stage
+      // vocab pin: 3x instead of 4x). baseScale > 1 runs therefore
+      // qualify the salt with the stage ("_b<baseScale>r<r>"), which
+      // can never equal any "_r<k>" or other-stage suffix; baseScale=1
+      // keeps the original spelling so existing derived sets stay
+      // reproducible.
+      val salt = if (baseScale == 1L) s"_r$r" else s"_b${baseScale}r$r"
       val salted =
         if (r == 0) df
-        else df.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_r$r"))
+        else df.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$salt"))
       salted
-        .withColumn("doc_id", col("doc_id") + lit(r * D))
+        .withColumn("doc_id", col("doc_id") + lit(r * d0))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
-    replicate("embeddings") { (df, r) => df.withColumn("vec_id", col("vec_id") + lit(r * V)) }
+    replicate("embeddings") { (df, r) => df.withColumn("vec_id", col("vec_id") + lit(r * v)) }
   }
 }

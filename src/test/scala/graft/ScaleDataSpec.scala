@@ -46,6 +46,39 @@ class ScaleDataSpec extends AnyFunSuite {
     assert(c.select("c_custkey").distinct().count() === c.count())
   }
 
+  test("two-stage derivation (baseScale) keeps replicas disjoint: keys unique, joins resolve, vocab multiplies") {
+    import org.apache.spark.sql.functions._
+    // stage 2: re-feed the factor-2 output with baseScale = 2 (its key
+    // span), factor 2 again → 4x the source, the sf100-from-sf10 path
+    val dir2 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scaledata_spec2_${spark.sparkContext.applicationId}")
+    ScaleData.generate(spark, dst, dir2.getAbsolutePath, 2, baseScale = 2L)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => graft.queries.TempPaths.delete(dir2)))
+    val d2 = dir2.getAbsolutePath
+    Seq("customer", "orders", "lineitem", "events", "documents").foreach { t =>
+      assert(spark.read.parquet(s"$d2/$t.parquet").count() === 4 * src(t), t)
+    }
+    val o = spark.read.parquet(s"$d2/orders.parquet")
+    val c = spark.read.parquet(s"$d2/customer.parquet")
+    assert(o.select("o_orderkey").distinct().count() === o.count())
+    assert(c.select("c_custkey").distinct().count() === c.count())
+    assert(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count() === 0)
+    // token universes disjoint across BOTH stages: vocab multiplies 4x
+    val v0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val v4 = spark.read.parquet(s"$d2/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    assert(v4 === 4 * v0, s"vocab $v0 -> $v4")
+    // a WRONG baseScale fails loudly instead of aliasing keys
+    val bad = new java.io.File(sys.props("java.io.tmpdir"), "graft_scaledata_bad")
+    val ex = intercept[IllegalArgumentException] {
+      ScaleData.generate(spark, dst, bad.getAbsolutePath, 2, baseScale = 1L)
+    }
+    assert(ex.getMessage.contains("replicas would collide"))
+  }
+
   test("replica token universes are disjoint (vocab doubles, texts salted)") {
     import org.apache.spark.sql.functions._
     val d0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
