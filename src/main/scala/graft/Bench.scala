@@ -43,10 +43,19 @@ object Bench {
     // round 4: q93 read 10.5 s on BOTH adjacent runs mid-session, then
     // 2.1-2.7 s in three separate sessions), and back-to-back runs both
     // land inside one burst while pass-separated runs sit minutes apart.
+    // The forcing action is toRdd.count() — executing the PHYSICAL plan
+    // as planned — not DataFrame.count(): a logical count lets Catalyst
+    // optimize the counted plan, and for some shapes that optimizes the
+    // query AWAY. Measured round 12: q84 ends in a left join to a
+    // unique-key aggregate, which the count rewrite eliminates wholesale,
+    // so its round-9 sf1/sf10 "timings" (0.25 s / 0.34 s) measured a
+    // column-pruned scan while the real bin-join volume at a same-ts
+    // sf10 was 48.3B rows. toRdd triggers AQE finalization and runs
+    // every operator the query declares, without collecting rows.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).count(); None }
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }

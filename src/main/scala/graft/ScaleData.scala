@@ -94,9 +94,19 @@ object ScaleData {
           "raise the base (baseScale arg) or use a smaller source")
     }
 
-    // single FILE per table, exactly like the driver's layout — both the
-    // Tables loader and tools/check_oracle read "<dir>/<t>.parquet" as a
-    // plain parquet file (duckdb's read_parquet rejects directories)
+    // Small outputs: single FILE per table, exactly like the driver's
+    // layout. Large outputs (≳256 MB estimated): a DIRECTORY named
+    // "<t>.parquet" written at full parallelism — a coalesce(1) write
+    // serializes the whole table through ONE parquet writer task, which
+    // at sf100 means ~1 h for lineitem alone (measured round 12: the
+    // single-task orders write burned 15+ min before being killed).
+    // Every consumer handles both shapes: Spark's parquet reader takes
+    // files and directories alike, and tools/check_oracle globs
+    // "<path>/*.parquet" when the path is a directory (DuckDB's
+    // read_parquet accepts globs, just not bare directory paths).
+    def pathSize(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(pathSize).sum else f.length()
+
     def writeSingle(df: DataFrame, t: String): Unit = {
       val tmp = s"$dst/_tmp_$t"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -110,10 +120,16 @@ object ScaleData {
       println(s"[scaledata] $t -> $dst/$t.parquet")
     }
 
+    def writeParallel(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaledata] $t -> $dst/$t.parquet (parallel dir)")
+    }
+
     def replicate(t: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = read(t)
       val out = (0 until factor).map(r => shift(base, r)).reduce(_.unionByName(_))
-      writeSingle(out, t)
+      val estBytes = pathSize(new java.io.File(s"$src/$t.parquet")) * factor
+      if (estBytes > (256L << 20)) writeParallel(out, t) else writeSingle(out, t)
     }
 
     // dims: fixed at any SF
@@ -131,9 +147,31 @@ object ScaleData {
         .withColumn("l_partkey", col("l_partkey") + lit(r * p0))
         .withColumn("l_suppkey", col("l_suppkey") + lit(r * s0))
     }
+    // Events replicas are disjoint in TIME as well as in keys: replica r
+    // is shifted r × (source span + 1 day), so the derived stream models
+    // a longer history at the SOURCE's arrival rate. Without the shift,
+    // all replicas share identical timestamps and every 10-minute bin
+    // gets factor× denser — which makes GLOBAL time-window queries
+    // (q84's trailing window, q99's concurrency) quadratic in the
+    // replication factor BY CONSTRUCTION: measured round 12, q84's
+    // bin-join volume was 4.8M rows at sf0.1 but 48.3B at a same-ts
+    // sf10 (100× per decade), i.e. the synthetic densification — not
+    // the plan — dominated the measurement. Disjoint time keeps every
+    // measured exponent an isolated function of data VOLUME, the same
+    // property the disjoint key ranges give the join/agg families.
+    // Per-key behavior (as-of joins, per-user windows, watermarks) is
+    // unaffected: user keys never cross replicas, and a uniform shift
+    // within a replica preserves every intra-replica time relation.
+    // The shift is applied as an INTERVAL so the column keeps its
+    // source storage type (timestamp stays timestamp, NTZ stays NTZ).
+    val tsBounds = read("events")
+      .agg(min(unix_micros(col("ts").cast("timestamp"))),
+        max(unix_micros(col("ts").cast("timestamp")))).head()
+    val strideUs = tsBounds.getLong(1) - tsBounds.getLong(0) + 86400000000L
     replicate("events") { (df, r) =>
       df.withColumn("event_id", col("event_id") + lit(r * e))
         .withColumn("user_id", col("user_id") + lit(r * c))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL '${r * strideUs}' MICROSECOND"))
     }
     replicate("documents") { (df, r) =>
       // The salt must be unique PER STAGE as well as per replica: a

@@ -654,4 +654,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q179_count_min_gate")
     assert(p.contains("partial_count_min"), s"sketch not partial-aggregated:\n$p")
   }
+
+  test("bench forcing executes the declared plan: q84's join survives toRdd but NOT a logical count") {
+    // Round-12 measurement-integrity pin. DataFrame.count() re-optimizes
+    // the counted plan, and q84's shape (left join to a unique-key
+    // aggregate) gets its join ELIMINATED — the round-9 sf1/sf10 bench
+    // rows (0.25 s / 0.34 s) were timings of a column-pruned scan while
+    // the real bin-join volume at a same-ts sf10 was 48.3B rows. Bench
+    // therefore forces via queryExecution.toRdd.count(), which runs the
+    // physical plan as planned. This pin fails if either side changes:
+    // if count() stops eliminating (the hazard is gone and the comment
+    // should go too) or if the executed plan ever loses the join.
+    val df = SparkEntry.queries("q84_range_join_binned")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("Join"),
+      "q84's executed plan must contain the bin join")
+    val counted = df.groupBy().count().queryExecution.optimizedPlan.toString
+    assert(!counted.contains("Join"),
+      "count() no longer eliminates q84's join — re-evaluate Bench's forcing comment")
+  }
 }

@@ -46,6 +46,28 @@ class ScaleDataSpec extends AnyFunSuite {
     assert(c.select("c_custkey").distinct().count() === c.count())
   }
 
+  test("event replicas are disjoint in time (density constant, not factor x)") {
+    import org.apache.spark.sql.functions._
+    // replica 1's earliest ts must be later than replica 0's latest —
+    // the property that keeps global time-window queries (q84, q99)
+    // linear in the replication factor instead of quadratic (round 12:
+    // a same-ts sf10 put 48.3B rows through q84's bin join)
+    val e = spark.read.parquet(s"$dst/events.parquet")
+    val srcMaxId = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .agg(max(col("event_id"))).head().getLong(0)
+    val bounds = e.withColumn("replica", when(col("event_id") <= srcMaxId, 0).otherwise(1))
+      .groupBy("replica").agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .orderBy("replica").collect()
+    assert(bounds.length === 2)
+    assert(bounds(1).getAs[java.time.LocalDateTime]("lo")
+      .isAfter(bounds(0).getAs[java.time.LocalDateTime]("hi")))
+    // intra-replica time relations are preserved: span identical
+    val spanOf = (r: Int) => java.time.Duration.between(
+      bounds(r).getAs[java.time.LocalDateTime]("lo"),
+      bounds(r).getAs[java.time.LocalDateTime]("hi"))
+    assert(spanOf(0) === spanOf(1))
+  }
+
   test("two-stage derivation (baseScale) keeps replicas disjoint: keys unique, joins resolve, vocab multiplies") {
     import org.apache.spark.sql.functions._
     // stage 2: re-feed the factor-2 output with baseScale = 2 (its key

@@ -11,6 +11,7 @@ exactly (with a small report on near-misses).
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -69,7 +70,12 @@ def values_equal(a, b) -> bool:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # large ScaleData outputs are parallel-written DIRECTORIES named
+        # <t>.parquet; DuckDB's read_parquet takes globs, not bare dirs
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_fail = 0
