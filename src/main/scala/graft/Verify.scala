@@ -20,10 +20,19 @@ object Verify {
     val selected =
       if (sel.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => sel.exists(n.contains) }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    // Queries run in name order with per-query progress on stderr: a
+    // multi-hour scale sweep (sf10/sf100) is otherwise a silent JVM, and
+    // Map iteration order made "which query is it on?" unanswerable
+    // (round-12 sweep monitoring).
+    var done = 0
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        done += 1
+        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s ($done/${selected.size})")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop per-query persisted intermediates (see Bench)

@@ -884,6 +884,55 @@ object PipelineQueries extends QueryModule {
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, est DESC, item"""),
-      doc = "streaming heavy hitters: native space-saving sketch as windowed streaming state, exact mode hash-matched vs batch counts (§2.J eleventh shape)")
+      doc = "streaming heavy hitters: native space-saving sketch as windowed streaming state, exact mode hash-matched vs batch counts (§2.J eleventh shape)"),
+
+    // --------------------------------------------------------------- q217
+    // GLOBAL (unkeyed) sliding window through the streaming gate — the
+    // scale-native re-expression of q84's global trailing window.
+    // Round 12 measured q84's batch form at 483M bin-joined rows at
+    // sf10 (and 48.3B on time-densified data): the batch shape re-joins
+    // history on every run, while the streaming shape keeps ~5 open
+    // windows of partial aggregates per slide and ships each window
+    // once — at 100 TB/day the trailing-window product is maintained
+    // incrementally, never recomputed. Unkeyed windows are the one
+    // streaming state shape the q60-q186 family doesn't cover (q80
+    // slides per user): global state means a single hot grouping key
+    // per window — fine HERE because state per window is one partial
+    // aggregate, not a row set; the 10-minute watermark bounds open
+    // windows, and the memory-sink gate runs Complete like q60/q80
+    // (production mode is Append: watermark-expired windows emit and
+    // evict). Oracle: each event lands in exactly 600/120 = 5 windows,
+    // materialized with unnest(range(0,5)) — the q80 idiom, unkeyed.
+    "q217_stream_global_sliding" -> NamedQuery(
+      fn = (s, d) => {
+        val dir = TempPaths.stageFile(s, "q217_events", s"$d/events.parquet", "events.parquet").toPath
+        val schema = Tables.load(s, d, "events").schema
+        val stream = Tables.tsAsTimestamp(
+          s.readStream.schema(schema).parquet(dir.toString))
+        val windowed = stream
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "10 minutes", "2 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("n_events"), col("sum_value"))
+        graft.streaming.GateRun.withStreamGateConfs(s) {
+          val q = windowed.writeStream.outputMode(OutputMode.Complete)
+            .format("memory").queryName("q217_stream_global_sliding").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table("q217_stream_global_sliding").orderBy("window_start_us")
+      },
+      oracle = Some("""
+        WITH slid AS (
+          SELECT ((epoch_us(ts) // 120000000) - unnest(range(0, 5))) * 120000000 AS window_start_us,
+                 CAST(value AS DECIMAL(18,2)) AS v
+          FROM events)
+        SELECT window_start_us, COUNT(*) AS n_events,
+               CAST(SUM(v) AS DOUBLE) AS sum_value
+        FROM slid
+        GROUP BY 1
+        ORDER BY 1"""),
+      doc = "global unkeyed sliding windows in Structured Streaming vs the batch oracle — the incremental form of q84's trailing window (§2.J twelfth shape)")
   )
 }

@@ -69,6 +69,17 @@ def values_equal(a, b) -> bool:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # Bounded resources for scale-SF oracle runs: an uncapped DuckDB
+    # computing a 483M-row bin-join oracle at sf10 was OOM-killed at
+    # 49 GB RSS (round-12 sweep). With a memory_limit and a disk
+    # temp_directory DuckDB spills instead of dying; both overridable.
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '24GB')}'")
+    tmp = os.environ.get("DUCKDB_TMP", "/tmp/duckdb_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    thr = os.environ.get("DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         # large ScaleData outputs are parallel-written DIRECTORIES named
         # <t>.parquet; DuckDB's read_parquet takes globs, not bare dirs
