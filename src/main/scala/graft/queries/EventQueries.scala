@@ -1624,12 +1624,31 @@ object EventQueries extends QueryModule {
     //                     icp_n = syc·var_x − cov_c·sx, icp_m = n·var_x
     //   r2_micro        = (a9·cov_c) div (10³·var_yc),
     //                     a9 = (10⁹·cov_c) div var_x
-    //                     (a9·cov_c ≤ 10⁹·var_yc by Cauchy-Schwarz,
-    //                      in range; a9's 10⁻⁹ quantization keeps the
-    //                      r2 error well under 1 micro)
+    //                     (a9's 10⁻⁹ quantization keeps the r2 error
+    //                      well under 1 micro). The PRODUCT a9·cov_c is
+    //                     bounded by 10⁹·var_yc (Cauchy-Schwarz) — which
+    //                     the round-12 time-disjoint sf10 regeneration
+    //                     pushed past INT128/DECIMAL(38) (measured:
+    //                     a9·cov_c ≈ 2.4e38 > 1.7e38; DuckDB raised an
+    //                     overflow error and Spark's non-ANSI decimal
+    //                     multiply would have gone NULL). So the product
+    //                     is EXPANDED EXACTLY, never materialized:
+    //                     a9 = a9h·10⁶ + a9l and 10⁶·cov_c = c1·D + r1
+    //                     (D = 10³·var_yc), giving
+    //                       r2_micro = a9h·c1 + (a9h·r1 + a9l·cov_c) div D
+    //                     — exact because trunc(q + x/D) = q + trunc(x/D)
+    //                     for integer q, with every intermediate ≤
+    //                     max(10⁶·cov_c, a9h·D) ≈ 10⁻³·(10⁹·var_yc),
+    //                     three decimal digits of extra headroom over
+    //                     the naive product (holds through the measured
+    //                     sf10; the binding term at larger SF is a9's
+    //                     own numerator 10⁹·cov_c, ~2.4e37 at sf10).
     // — no decimal→double cast ever touches a value above 2^53, so
     // parity survives any SF. One keyed aggregation, 5 groups; at
     // 100 TB this is a map-side-combined scan, no second pass.
+    // (x range note: time-disjoint derived histories make x ≈ 2.7e8 s
+    // at sf10 and 2.7e9 s at sf100; row-level x·x stays under 2^63 —
+    // 7.3e18 at sf100 — and the sums are DECIMAL(38,0) regardless.)
     "q198_ols_trend" -> NamedQuery(
       fn = (s, d) => {
         val ev = graft.Tables.events(s, d)
@@ -1660,7 +1679,13 @@ object EventQueries extends QueryModule {
           .withColumn("icp_q", expr("icp_n div icp_m"))
           .withColumn("intercept_micro",
             expr("icp_q * 10000 + ((icp_n - cast(icp_q as decimal(38,0)) * icp_m) * 10000) div icp_m"))
-          .withColumn("r2_micro", expr("(a9 * cov_c) div (var_yc * 1000)"))
+          .withColumn("a9h", expr("a9 div 1000000"))
+          .withColumn("a9l", expr("a9 - a9h * 1000000"))
+          .withColumn("dD", expr("var_yc * 1000"))
+          .withColumn("c1", expr("(cov_c * 1000000) div dD"))
+          .withColumn("r1", expr("cov_c * 1000000 - c1 * dD"))
+          .withColumn("r2_micro",
+            expr("a9h * c1 + (a9h * r1 + a9l * cov_c) div dD"))
           .withColumn("slope", col("slope_micro").cast("double") / 1e6)
           .withColumn("intercept", col("intercept_micro").cast("double") / 1e6)
           .withColumn("r2", col("r2_micro").cast("double") / 1e6)
@@ -1695,12 +1720,22 @@ object EventQueries extends QueryModule {
                  syc * var_x - cov_c * sx AS icp_n,
                  n * var_x AS icp_m
           FROM e),
+        fx AS (
+          SELECT event_type, n, slope_micro, icp_n, icp_m,
+                 a9 // 1000000 AS a9h,
+                 a9 - (a9 // 1000000) * 1000000 AS a9l,
+                 var_yc * 1000 AS dd,
+                 (cov_c * 1000000) // (var_yc * 1000) AS c1,
+                 cov_c * 1000000
+                   - ((cov_c * 1000000) // (var_yc * 1000)) * (var_yc * 1000) AS r1,
+                 cov_c
+          FROM f),
         g AS (
           SELECT event_type, n, slope_micro,
                  (icp_n // icp_m) * 10000
                    + ((icp_n - (icp_n // icp_m) * icp_m) * 10000) // icp_m AS intercept_micro,
-                 (a9 * cov_c) // (var_yc * 1000) AS r2_micro
-          FROM f)
+                 a9h * c1 + (a9h * r1 + a9l * cov_c) // dd AS r2_micro
+          FROM fx)
         SELECT event_type, n,
                CAST(slope_micro AS BIGINT) AS slope_micro,
                CAST(intercept_micro AS BIGINT) AS intercept_micro,
