@@ -1615,13 +1615,23 @@ object EventQueries extends QueryModule {
     // under DECIMAL(38)/HUGEINT range at any SF; each stage's
     // truncation contributes < 1 micro or a negligible relative error):
     //   slope_micro     = (10⁴·cov_c) div var_x          [cov_c in centi]
-    //   intercept_micro = (10⁴·icp_n) div icp_m, expanded EXACTLY via
-    //                     quotient-remainder (q·10⁴ + (r·10⁴) div m,
-    //                     q = n div m, r = n − q·m — trunc(a+b) = a +
-    //                     trunc(b) for integer a) because 10⁴·icp_n
-    //                     would overflow 38 digits while the remainder
-    //                     path never does;
-    //                     icp_n = syc·var_x − cov_c·sx, icp_m = n·var_x
+    //   intercept_micro = (10⁴·(syc·var_x − cov_c·sx)) div (n·var_x),
+    //                     NEVER materializing either product (at the
+    //                     round-12 time-disjoint sf10, syc·var_x alone
+    //                     reaches ~2.4e38 — past INT128/DECIMAL(38)).
+    //                     Both numerator terms are expanded EXACTLY by
+    //                     staged quotient-remainder against n then
+    //                     var_x (trunc(q + x/D) = q + trunc(x/D) for
+    //                     integer q):
+    //                       rc = 10⁴·cov_c − slope_micro·var_x
+    //                       q6,r6 = sx divmod n;  q4,r4 = slope_micro·sx divmod n
+    //                       q7,r7 = q6·rc divmod var_x
+    //                       qy,ry = 10⁴·syc divmod n
+    //                       intercept_micro = qy − q4 − q7 +
+    //                         ((ry−r4)·var_x − n·r7 − r6·rc) div (n·var_x)
+    //                     — algebraically identical to the one-shot
+    //                     division (same trunc result), every
+    //                     intermediate ≤ ~3·n·var_x
     //   r2_micro        = (a9·cov_c) div (10³·var_yc),
     //                     a9 = (10⁹·cov_c) div var_x
     //                     (a9's 10⁻⁹ quantization keeps the r2 error
@@ -1674,11 +1684,22 @@ object EventQueries extends QueryModule {
             expr("cast(n as decimal(38,0)) * syyc - cast(syc as decimal(38,0)) * syc"))
           .withColumn("slope_micro", expr("(cov_c * 10000) div var_x"))
           .withColumn("a9", expr("(cov_c * 1000000000) div var_x"))
-          .withColumn("icp_n", expr("cast(syc as decimal(38,0)) * var_x - cov_c * sx"))
+          .withColumn("rc",
+            expr("cov_c * 10000 - cast(slope_micro as decimal(38,0)) * var_x"))
+          .withColumn("q6", expr("sx div n"))
+          .withColumn("r6", expr("sx - q6 * n"))
+          .withColumn("q4", expr("(cast(slope_micro as decimal(38,0)) * sx) div n"))
+          .withColumn("r4",
+            expr("cast(slope_micro as decimal(38,0)) * sx - cast(q4 as decimal(38,0)) * n"))
+          .withColumn("q7", expr("(cast(q6 as decimal(38,0)) * rc) div var_x"))
+          .withColumn("r7",
+            expr("cast(q6 as decimal(38,0)) * rc - cast(q7 as decimal(38,0)) * var_x"))
+          .withColumn("qy", expr("(cast(syc as decimal(38,0)) * 10000) div n"))
+          .withColumn("ry",
+            expr("cast(syc as decimal(38,0)) * 10000 - cast(qy as decimal(38,0)) * n"))
           .withColumn("icp_m", expr("cast(n as decimal(38,0)) * var_x"))
-          .withColumn("icp_q", expr("icp_n div icp_m"))
           .withColumn("intercept_micro",
-            expr("icp_q * 10000 + ((icp_n - cast(icp_q as decimal(38,0)) * icp_m) * 10000) div icp_m"))
+            expr("qy - q4 - q7 + ((ry - r4) * var_x - cast(n as decimal(38,0)) * r7 - cast(r6 as decimal(38,0)) * rc) div icp_m"))
           .withColumn("a9h", expr("a9 div 1000000"))
           .withColumn("a9l", expr("a9 - a9h * 1000000"))
           .withColumn("dD", expr("var_yc * 1000"))
@@ -1714,26 +1735,35 @@ object EventQueries extends QueryModule {
                  n * syyc - syc * syc AS var_yc
           FROM m),
         f AS (
-          SELECT event_type, n, cov_c, var_yc,
+          SELECT event_type, n, sx, syc, cov_c, var_x, var_yc,
                  (cov_c * 10000) // var_x AS slope_micro,
-                 (cov_c * 1000000000) // var_x AS a9,
-                 syc * var_x - cov_c * sx AS icp_n,
-                 n * var_x AS icp_m
+                 (cov_c * 1000000000) // var_x AS a9
           FROM e),
+        fi AS (
+          SELECT *,
+                 cov_c * 10000 - slope_micro * var_x AS rc,
+                 sx // n AS q6,
+                 sx - (sx // n) * n AS r6,
+                 (slope_micro * sx) // n AS q4,
+                 slope_micro * sx - ((slope_micro * sx) // n) * n AS r4,
+                 (syc * 10000) // n AS qy,
+                 syc * 10000 - ((syc * 10000) // n) * n AS ry
+          FROM f),
         fx AS (
-          SELECT event_type, n, slope_micro, icp_n, icp_m,
+          SELECT *,
+                 (q6 * rc) // var_x AS q7,
+                 q6 * rc - ((q6 * rc) // var_x) * var_x AS r7,
                  a9 // 1000000 AS a9h,
                  a9 - (a9 // 1000000) * 1000000 AS a9l,
                  var_yc * 1000 AS dd,
                  (cov_c * 1000000) // (var_yc * 1000) AS c1,
                  cov_c * 1000000
-                   - ((cov_c * 1000000) // (var_yc * 1000)) * (var_yc * 1000) AS r1,
-                 cov_c
-          FROM f),
+                   - ((cov_c * 1000000) // (var_yc * 1000)) * (var_yc * 1000) AS r1
+          FROM fi),
         g AS (
           SELECT event_type, n, slope_micro,
-                 (icp_n // icp_m) * 10000
-                   + ((icp_n - (icp_n // icp_m) * icp_m) * 10000) // icp_m AS intercept_micro,
+                 qy - q4 - q7
+                   + ((ry - r4) * var_x - n * r7 - r6 * rc) // (n * var_x) AS intercept_micro,
                  a9h * c1 + (a9h * r1 + a9l * cov_c) // dd AS r2_micro
           FROM fx)
         SELECT event_type, n,
