@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Derived scale-up generator for the round-9 sf1 scale-proof:
@@ -101,9 +101,14 @@ object ScaleData {
     // at sf100 means ~1 h for lineitem alone (measured round 12: the
     // single-task orders write burned 15+ min before being killed).
     // Every consumer handles both shapes: Spark's parquet reader takes
-    // files and directories alike, and tools/check_oracle globs
+    // files and directories alike; tools/check_oracle globs
     // "<path>/*.parquet" when the path is a directory (DuckDB's
-    // read_parquet accepts globs, just not bare directory paths).
+    // read_parquet accepts globs, just not bare directory paths); and
+    // TempPaths.stageFile (the streaming queries' watched-dir staging)
+    // copies a directory's part files flat into the staged dir — a
+    // plain Files.copy would stage an EMPTY dir and the stream would
+    // read 0 rows (caught by the round-12 advisor before any sf100
+    // streaming run hit it).
     def pathSize(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(pathSize).sum else f.length()
 
@@ -162,16 +167,35 @@ object ScaleData {
     // Per-key behavior (as-of joins, per-user windows, watermarks) is
     // unaffected: user keys never cross replicas, and a uniform shift
     // within a replica preserves every intra-replica time relation.
-    // The shift is applied as an INTERVAL so the column keeps its
-    // source storage type (timestamp stays timestamp, NTZ stays NTZ).
-    val tsBounds = read("events")
-      .agg(min(unix_micros(col("ts").cast("timestamp"))),
-        max(unix_micros(col("ts").cast("timestamp")))).head()
+    // The shift preserves the column's source storage type, dispatching
+    // on the same three physical shapes Tables.tsAsTimestamp supports:
+    // timestamp/NTZ shift by an INTERVAL (NTZ stays NTZ); the LongType
+    // epoch-nanos shape shifts the raw long (a cast('timestamp') there
+    // would read the long as SECONDS — garbage stride — and
+    // ts + INTERVAL fails analysis on a long). Unknown types fail with
+    // the loaders' "teach me the new type" error rather than silently
+    // producing a wrong stride.
+    val eventsSrc = read("events")
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val tsUs = eventsSrc.schema("ts").dataType match {
+      case LongType                          => expr("ts div 1000") // epoch nanos
+      case TimestampType | TimestampNTZType  => unix_micros(col("ts").cast("timestamp"))
+      case other => throw new IllegalStateException(
+        s"events.ts is $other — testdata refreshed to a new physical type? " +
+          "Teach ScaleData's time-shift dispatch (and Tables.tsAsTimestamp) the new type.")
+    }
+    val tsBounds = eventsSrc.agg(min(tsUs), max(tsUs)).head()
+    require(!tsBounds.isNullAt(0),
+      "ScaleData: events is empty — no time span to derive the replica stride from")
     val strideUs = tsBounds.getLong(1) - tsBounds.getLong(0) + 86400000000L
+    def shiftTs(r: Int): Column = eventsSrc.schema("ts").dataType match {
+      case LongType => col("ts") + lit(r * strideUs * 1000L) // nanos
+      case _        => col("ts") + expr(s"INTERVAL '${r * strideUs}' MICROSECOND")
+    }
     replicate("events") { (df, r) =>
       df.withColumn("event_id", col("event_id") + lit(r * e))
         .withColumn("user_id", col("user_id") + lit(r * c))
-        .withColumn("ts", col("ts") + expr(s"INTERVAL '${r * strideUs}' MICROSECOND"))
+        .withColumn("ts", shiftTs(r))
     }
     replicate("documents") { (df, r) =>
       // The salt must be unique PER STAGE as well as per replica: a

@@ -1629,9 +1629,20 @@ object EventQueries extends QueryModule {
     //                       qy,ry = 10⁴·syc divmod n
     //                       intercept_micro = qy − q4 − q7 +
     //                         ((ry−r4)·var_x − n·r7 − r6·rc) div (n·var_x)
-    //                     — algebraically identical to the one-shot
-    //                     division (same trunc result), every
-    //                     intermediate ≤ ~3·n·var_x
+    //                     — PARITY-EXACT across engines (both run the
+    //                     identical expansion), every intermediate
+    //                     ≤ ~4·n·var_x. NOT always equal to the
+    //                     one-shot trunc: trunc(q + x/D) = q + trunc(x/D)
+    //                     requires the extracted quotient q and the
+    //                     residual x to agree in sign, and the staged
+    //                     residual here can oppose the quotient — so
+    //                     intercept_micro may deviate ±1 micro from the
+    //                     one-shot division (round-12 advisor,
+    //                     numerically confirmed on ~17% of random
+    //                     consistent datasets). The declared contract is
+    //                     therefore THIS expansion, micro-quantized with
+    //                     ≤1-micro staging slack; the 2e-6 spec
+    //                     tolerance and engine parity are unaffected
     //   r2_micro        = (a9·cov_c) div (10³·var_yc),
     //                     a9 = (10⁹·cov_c) div var_x
     //                     (a9's 10⁻⁹ quantization keeps the r2 error

@@ -909,12 +909,10 @@ object PipelineQueries extends QueryModule {
         val schema = Tables.load(s, d, "events").schema
         val stream = Tables.tsAsTimestamp(
           s.readStream.schema(schema).parquet(dir.toString))
-        val windowed = stream
-          .withWatermark("ts", "10 minutes")
-          .groupBy(window(col("ts"), "10 minutes", "2 minutes"))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-          .select(unix_micros(col("window.start")).as("window_start_us"),
+        // shared transform (EventWindows.globalSliding) — the spec pins
+        // its production Append mode's state eviction on the same plan
+        val windowed = graft.streaming.EventWindows.globalSliding(stream)
+          .select(unix_micros(col("window_start")).as("window_start_us"),
             col("n_events"), col("sum_value"))
         graft.streaming.GateRun.withStreamGateConfs(s) {
           val q = windowed.writeStream.outputMode(OutputMode.Complete)

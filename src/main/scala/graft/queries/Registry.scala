@@ -42,13 +42,26 @@ object TempPaths {
     f
   }
 
-  /** Stage the single file `src` into session dir `name` (overwriting);
-    * returns the dir path — e.g. a streaming file source's watched dir.
+  /** Stage `src` into session dir `name`; returns the dir path — e.g. a
+    * streaming file source's watched dir. `src` may be either shape a
+    * table ships in: a single parquet FILE (the driver's testdata
+    * layout — copied as `fileName`) or a parallel-written DIRECTORY of
+    * part files (ScaleData's ≳256 MB layout — its `*.parquet` parts are
+    * copied flat into the staged dir, where the file source lists them
+    * all; a bare Files.copy of a directory would stage an EMPTY dir and
+    * the stream would read 0 rows). The dir is cleared first so a
+    * re-stage mirrors the current input exactly in both shapes.
     */
   def stageFile(s: SparkSession, name: String, src: String, fileName: String): java.io.File = {
-    val d = dir(s, name)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(src), d.toPath.resolve(fileName),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val d = freshDir(s, name)
+    val from = new java.io.File(src)
+    if (from.isDirectory) {
+      val parts = from.listFiles().filter(_.getName.endsWith(".parquet"))
+      require(parts.nonEmpty, s"stageFile: directory $src has no *.parquet part files")
+      parts.foreach(p => java.nio.file.Files.copy(p.toPath, d.toPath.resolve(p.getName)))
+    } else {
+      java.nio.file.Files.copy(from.toPath, d.toPath.resolve(fileName))
+    }
     d
   }
 

@@ -672,4 +672,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!counted.contains("Join"),
       "count() no longer eliminates q84's join — re-evaluate Bench's forcing comment")
   }
+
+  test("bench forcing retains every declared join across the 15 count()-affected join-losers") {
+    // Round-12 generalized pin (round-12 verdict task 4): the plan audit
+    // found 15 queries whose JOINS were eliminated when Bench forced via
+    // a logical DataFrame.count() — the eliminated work was the queries'
+    // actual cost (q84's "0.34 s at sf10" was a column-pruned scan; the
+    // honest join is 16.6 s). Bench now forces queryExecution.toRdd,
+    // which executes the PHYSICAL plan of the returned frame — so the
+    // regression-proof invariant is: for each join-loser, the physical
+    // plan contains at least as many join operators as the optimized
+    // logical plan declares. (Physical planning never merges joins; for
+    // the checkpoint-backed queries both sides consistently reflect the
+    // post-checkpoint frame.) Counted from plan text because AQE's
+    // AdaptiveSparkPlanExec is a leaf node — tree collect can't see
+    // inside it, but toString renders the full inner plan.
+    val joinLosers = Seq(
+      "q122_pagerank_neardup", "q145_ann_recall", "q96_funnel",
+      "q214_field_control_capstone", "q65_semantic_dedup",
+      "q159_field_control_pruned", "q187_exact_substr_removal",
+      "q189_rank_correlation", "q84_range_join_binned",
+      "q124_asof_broadcast", "q177_oov_rate", "q191_chi_square",
+      "q201_js_divergence", "q208_cramers_v", "q87_gap_fill")
+    val physJoin =
+      ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|" +
+        "BroadcastNestedLoopJoin|CartesianProduct|AsOfJoin").r
+    joinLosers.foreach { name =>
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      val declared = qe.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.length
+      val executed = physJoin.findAllIn(qe.executedPlan.toString).length
+      assert(executed >= declared,
+        s"$name: benched physical plan has $executed join operators but the " +
+          s"optimized logical plan declares $declared — the forcing is " +
+          "dropping declared joins again")
+      assert(declared >= 1 || executed >= 1,
+        s"$name: no joins on either side — the join-loser list is stale for this query")
+    }
+  }
 }

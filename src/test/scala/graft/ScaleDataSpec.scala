@@ -24,6 +24,38 @@ class ScaleDataSpec extends AnyFunSuite {
   private def src(t: String): Long =
     spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").count()
 
+  test("stageFile stages BOTH table shapes: single file and parallel-written directory") {
+    // ScaleData writes ≳256 MB tables as DIRECTORIES named <t>.parquet;
+    // the 11 streaming queries stage events via TempPaths.stageFile, and
+    // a bare Files.copy of a directory stages an EMPTY dir (the stream
+    // would read 0 rows at sf100 — round-12 advisor). Pin: a directory
+    // source stages its part files flat; a re-stage replaces exactly
+    // (the old code threw DirectoryNotEmptyException); the single-file
+    // shape keeps working.
+    import graft.queries.TempPaths
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val srcRows = events.count()
+    // parallel-directory shape (what writeParallel produces)
+    val parDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stagefile_src_${spark.sparkContext.applicationId}/events.parquet")
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => TempPaths.delete(parDir.getParentFile)))
+    events.repartition(3).write.mode("overwrite").parquet(parDir.getAbsolutePath)
+    val staged = TempPaths.stageFile(spark, "stagefile_spec_dir",
+      parDir.getAbsolutePath, "events.parquet")
+    assert(spark.read.parquet(staged.getAbsolutePath).count() === srcRows,
+      "directory-shape staging must surface every part file's rows")
+    // re-stage: same row count, no exception, no accumulation
+    TempPaths.stageFile(spark, "stagefile_spec_dir", parDir.getAbsolutePath, "events.parquet")
+    assert(spark.read.parquet(staged.getAbsolutePath).count() === srcRows)
+    // single-file shape (the driver's testdata layout), staged twice
+    val single = TempPaths.stageFile(spark, "stagefile_spec_file",
+      "/root/testdata/sf0.001/events.parquet", "events.parquet")
+    TempPaths.stageFile(spark, "stagefile_spec_file",
+      "/root/testdata/sf0.001/events.parquet", "events.parquet")
+    assert(spark.read.parquet(single.getAbsolutePath).count() === srcRows)
+  }
+
   test("fact tables scale exactly 2x, dims stay fixed") {
     Seq("customer", "supplier", "part", "orders", "lineitem",
         "events", "documents", "embeddings").foreach { t =>

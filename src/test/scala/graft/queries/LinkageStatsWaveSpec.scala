@@ -61,7 +61,11 @@ class LinkageStatsWaveSpec extends AnyFunSuite {
     // columns: event_type, n, slope_micro, intercept_micro, r2_micro,
     // slope, intercept, r2 — the doubles are micro/1e6, so the
     // tolerance vs the infinite-precision recomputation is the 1-micro
-    // trunc quantization (plus a9's negligible 1e-9 stage for r2)
+    // trunc quantization PLUS up to 1 micro of staging slack: the
+    // intercept's quotient-remainder expansion is parity-exact across
+    // engines but can deviate ±1 micro from the one-shot trunc when an
+    // extracted quotient and its residual oppose in sign (round-12
+    // advisor; a9's 1e-9 r2 stage is negligible on top)
     val got = SparkEntry.queries("q198_ols_trend")(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
     rows.groupBy(_._1).foreach { case (et, rs) =>
