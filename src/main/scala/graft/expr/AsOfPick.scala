@@ -1,0 +1,144 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Binary-search pick for the broadcast as-of join
+  * (`plans/AsOfJoin.asofJoinBroadcast`): given a time-sorted array of
+  * quote structs (time field FIRST; physically a long — TimestampType
+  * micros or LongType) and a probe time `t`, returns the as-of matched
+  * struct, or NULL when no quote is on the required side of `t`.
+  *
+  * Replaces the `filter(__qarr, pred)` + `element_at(±1)` composition,
+  * which evaluates an interpreted lambda over EVERY array element for
+  * EVERY probe row — O(|probe| × |quotes|) element evals, with the
+  * ArrayFilter itself off the codegen path. The round-13 honest
+  * re-measure caught that cost the moment the bench's toRdd forcing
+  * actually executed the join (the prior count() forcing had eliminated
+  * it): time-disjoint scaledata grows the per-key quote array with the
+  * SF decade (~7.2k hourly quotes at sf1, ~72k at sf10), so the linear
+  * scan made q124 quadratic in the decade. Binary search is O(log n)
+  * per probe row and codegens to a tight loop over the unsafe array.
+  *
+  * Pick semantics (identical to the replaced composition):
+  *   backward (forward=false): LAST  element with time <= t (< if strict)
+  *   forward  (forward=true):  FIRST element with time >= t (> if strict)
+  * Ties in time resolve to the same element `sort_array` + `element_at`
+  * picked: the search is a pure upper/lower bound on the time field, and
+  * sort_array's struct comparison orders time ties by the remaining
+  * fields, so bound−1 (backward) / bound (forward) are exactly the last /
+  * first tied elements. Quote times must be non-null (the operator drops
+  * null-time quotes before collecting — a null cannot match either way,
+  * and nulls-first struct ordering would break the search invariant).
+  */
+case class AsOfPick(arr: Expression, t: Expression,
+                    forwardExpr: Expression, strictExpr: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(arr, t, forwardExpr, strictExpr)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = arr.foldable && t.foldable
+  override def prettyName: String = "asof_pick"
+
+  private def elemType: StructType =
+    arr.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  override def dataType: DataType = elemType
+  private def numFields: Int = elemType.fields.length
+
+  private def flag(e: Expression): Boolean =
+    e.eval(InternalRow.empty).asInstanceOf[Boolean]
+  private lazy val forward = flag(forwardExpr)
+  private lazy val strict = flag(strictExpr)
+  // upper bound (first index with time > t) when backward+inclusive or
+  // forward+strict; lower bound (first index with time >= t) otherwise
+  private lazy val useLE = forward == strict
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isTimeLike(dt: DataType): Boolean =
+      dt == LongType || dt.isInstanceOf[TimestampType] || dt.isInstanceOf[TimestampNTZType]
+    arr.dataType match {
+      case ArrayType(st: StructType, _) if st.fields.nonEmpty =>
+        if (!isTimeLike(st.fields.head.dataType))
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: array element's FIRST field must be the quote time " +
+              s"(LONG or TIMESTAMP), got ${st.fields.head.dataType.sql}")
+        else if (!isTimeLike(t.dataType))
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: probe time must be LONG or TIMESTAMP, got ${t.dataType.sql}")
+        else if (!(forwardExpr.foldable && forwardExpr.dataType == BooleanType &&
+            strictExpr.foldable && strictExpr.dataType == BooleanType))
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: forward/strict must be foldable BOOLEAN literals")
+        else TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: first argument must be ARRAY<STRUCT<...>>, got ${other.sql}")
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = arr.eval(input)
+    if (a == null) return null
+    val tv = t.eval(input)
+    if (tv == null) return null
+    val ad = a.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    val tl = tv.asInstanceOf[Long]
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val mt = ad.getStruct(mid, numFields).getLong(0)
+      if (if (useLE) mt <= tl else mt < tl) lo = mid + 1 else hi = mid
+    }
+    val idx = if (forward) lo else lo - 1
+    // like ElementAt, the returned struct is a view into the array data
+    if (idx < 0 || idx >= n) null else ad.getStruct(idx, numFields)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGen = arr.genCode(ctx)
+    val tGen = t.genCode(ctx)
+    val n = ctx.freshName("n")
+    val lo = ctx.freshName("lo")
+    val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid")
+    val mt = ctx.freshName("mt")
+    val idx = ctx.freshName("idx")
+    val cmp = if (useLE) "<=" else "<"
+    val idxExpr = if (forward) lo else s"$lo - 1"
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+        ${aGen.code}
+        ${tGen.code}
+        boolean ${ev.isNull} = true;
+        $javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+        if (!${aGen.isNull} && !${tGen.isNull}) {
+          final int $n = ${aGen.value}.numElements();
+          int $lo = 0;
+          int $hi = $n;
+          while ($lo < $hi) {
+            final int $mid = ($lo + $hi) >>> 1;
+            final long $mt = ${aGen.value}.getStruct($mid, $numFields).getLong(0);
+            if ($mt $cmp ${tGen.value}) { $lo = $mid + 1; } else { $hi = $mid; }
+          }
+          final int $idx = $idxExpr;
+          if ($idx >= 0 && $idx < $n) {
+            ${ev.isNull} = false;
+            ${ev.value} = ${aGen.value}.getStruct($idx, $numFields);
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AsOfPick =
+    copy(arr = newChildren(0), t = newChildren(1),
+      forwardExpr = newChildren(2), strictExpr = newChildren(3))
+}

@@ -77,6 +77,8 @@ object GraftFunctions {
     CountMin(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression()
   private[expr] def cmQueryBuilder(exprs: Seq[Expression]): Expression =
     CmQuery(exprs(0), Cast(exprs(1), StringType), exprs(2))
+  private[expr] def asofPickBuilder(exprs: Seq[Expression]): Expression =
+    AsOfPick(exprs(0), exprs(1), exprs(2), exprs(3))
   private[expr] def jaroWinklerBuilder(exprs: Seq[Expression]): Expression =
     JaroWinkler(Cast(exprs(0), StringType), Cast(exprs(1), StringType))
   private[expr] def jaroWinklerBytesBuilder(exprs: Seq[Expression]): Expression =
@@ -102,6 +104,8 @@ object GraftFunctions {
       "count_min", countMinBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cm_query", cmQueryBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "asof_pick", asofPickBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", jaroWinklerBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -144,6 +148,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("count_min"),
       new ExpressionInfo(classOf[CountMin].getName, "count_min"),
       (exprs: Seq[Expression]) => GraftFunctions.countMinBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("asof_pick"),
+      new ExpressionInfo(classOf[AsOfPick].getName, "asof_pick"),
+      (exprs: Seq[Expression]) => GraftFunctions.asofPickBuilder(exprs)))
     e.injectFunction((
       FunctionIdentifier("cm_query"),
       new ExpressionInfo(classOf[CmQuery].getName, "cm_query"),

@@ -603,7 +603,7 @@ object AsOfJoinOps {
                         forward: Boolean = false,
                         maxRightRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.Column
-    import org.apache.spark.sql.functions.{broadcast, col, collect_list, element_at, filter, size, sort_array, struct, unix_micros, when}
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list, expr, sort_array, struct, unix_micros, when}
     val lt = left.schema(leftTimeCol).dataType
     val rt = right.schema(rightTimeCol).dataType
     require(Seq(LongType, TimestampType).contains(lt) && rt == lt,
@@ -621,31 +621,32 @@ object AsOfJoinOps {
         "only sound for a dim-sized right side — use the keyed merge asofJoin " +
         "for a large right side, or raise maxRightRows if the frame is " +
         "provably dim-sized")
-    // time first so sort_array orders the quotes by it
+    // time first so sort_array orders the quotes by it; null-time quotes
+    // can never match (every direction's comparison excludes them) and
+    // would sort FIRST, breaking asof_pick's binary-search invariant —
+    // drop them before collecting
     val ordered = (rightTimeCol +: right.columns.filterNot(c =>
       keys.contains(c) || c == rightTimeCol)).toIndexedSeq
     val qarr = sort_array(collect_list(struct(ordered.map(col): _*))).as("__qarr")
+    val rightNonNull = right.filter(col(rightTimeCol).isNotNull)
     val qagg =
-      if (keys.nonEmpty) right.groupBy(keys.map(col): _*).agg(qarr)
-      else right.agg(qarr)
+      if (keys.nonEmpty) rightNonNull.groupBy(keys.map(col): _*).agg(qarr)
+      else rightNonNull.agg(qarr)
     val joined =
       if (keys.nonEmpty) left.join(broadcast(qagg), keys, "left")
       else left.crossJoin(broadcast(qagg))
     def us(c: Column): Column = if (lt == TimestampType) unix_micros(c) else c
-    val inDirection: Column => Column = { q =>
-      val qt = q.getField(rightTimeCol)
-      if (forward) { if (strict) qt > col(leftTimeCol) else qt >= col(leftTimeCol) }
-      else { if (strict) qt < col(leftTimeCol) else qt <= col(leftTimeCol) }
-    }
-    // the size guard keeps element_at off empty arrays: under
-    // spark.sql.ansi.enabled, element_at on an empty array throws
-    // INVALID_ARRAY_INDEX rather than yielding NULL, so an unmatched
-    // probe row would crash the query — CaseWhen evaluates its value
-    // branch only when the predicate holds, making the op ANSI-safe
-    // (this repo pins ANSI off, but the operator is general-purpose)
-    val qFiltered = filter(col("__qarr"), inDirection)
-    val m0 = when(size(qFiltered) > 0,
-      element_at(qFiltered, if (forward) 1 else -1))
+    // Per-probe match: binary search over the sorted quote array via the
+    // native asof_pick expression (expr/AsOfPick.scala) — O(log |quotes|)
+    // per row. The previous filter(__qarr, pred) + element_at(±1)
+    // composition evaluated an interpreted lambda over EVERY element per
+    // probe row; the round-13 honest (toRdd) re-measure exposed that as
+    // the whole cost of q124 once the join actually executed, and the
+    // cost grows with the time span (time-disjoint scaledata: ~7.2k
+    // hourly quotes per key at sf1). asof_pick indexes only in-bounds,
+    // so the composition is ANSI-safe by construction.
+    graft.expr.GraftFunctions.register(left.sparkSession)
+    val m0 = expr(s"asof_pick(__qarr, `$leftTimeCol`, $forward, $strict)")
     val matched = toleranceUs match {
       case Some(tol) =>
         val mt = m0.getField(rightTimeCol)

@@ -247,6 +247,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"events scan not pruned to (ts, user_id):\n$p")
   }
 
+  test("q124 broadcast as-of matches via the native asof_pick binary search (no per-element ArrayFilter)") {
+    // Round-13 honest re-measure: once the toRdd forcing actually
+    // executed q124's join, the filter(__qarr, λ) + element_at match was
+    // the whole cost — an INTERPRETED lambda over every quote element
+    // per probe row, O(|probe| × |quotes|) with |quotes| growing with
+    // the time span (7.2k hourly quotes at sf1). asof_pick binary-
+    // searches the sorted array in codegen. A reappearing ArrayFilter
+    // here is a quadratic regression at scale.
+    val p = plan("q124_asof_broadcast")
+    assert(p.contains("asof_pick"), s"asof_pick not in q124's plan:\n${p.take(2000)}")
+    assert(!p.contains("ArrayFilter") && !p.contains("filter(__qarr"),
+      "q124's match path fell back to a per-element array filter")
+  }
+
   test("q157 salted as-of shuffles on (user, salt): the hot-key spread is in the plan") {
     val p = plan("q157_asof_salted")
     assert(p.contains("AsOfJoin"))
