@@ -25,7 +25,7 @@ object Audit {
   //  - q34/q37/q39: declared all-pairs correctness baselines (ScaleGuards)
   //  - q14/q65/q72/q40/q45: broadcast-grid / centroid fan-out crossJoins
   //    (the broadcast IS the scale plan)
-  //  - q87: broadcast time-spine fan-out (gap fill); q110: broadcast
+  //  - q110: broadcast
   //    O(#sources) quota/total frames; q116: cross of three 1-row
   //    count aggregates; q133/q136/q137: 1-row scalar attach (totals /
   //    FK-violation count crossed onto the result — F5-class bounded)
@@ -36,7 +36,9 @@ object Audit {
     "q34_ngram_jaccard", "q37_cosine_topk", "q39_neardup_pairs",
     "q14_field_control", "q65_semantic_dedup", "q72_kmeans_step",
     "q40_ivf_ann", "q45_label_centroids", "q50_dedup_pipeline",
-    "q70_unigram_logprob", "q110_budget_mixture", "q87_gap_fill",
+    "q70_unigram_logprob", "q110_budget_mixture",
+    // (q87's global time-spine crossJoin was replaced round 13 by a
+    // per-user keyed sequence generator — no cross shape left to allow)
     "q116_triangle_census", "q133_dq_audit", "q136_bigram_pmi",
     "q137_group_kfold", "q140_curriculum_cut",
     "q144_pq_adc_topk", "q145_ann_recall", "q146_kl_drift",

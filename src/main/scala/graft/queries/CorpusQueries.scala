@@ -1342,7 +1342,11 @@ object CorpusQueries extends QueryModule {
         // candidate universe: documents that HAVE an embedding
         val cands = Tables.documents(s, d)
           .join(vecs.select(col("vec_id").as("doc_id")), Seq("doc_id"))
-        val probes = vecs.filter(col("vec_id") % 100 === 0)
+        // BOUNDED probe set (200 md5-lowest vec_ids, FIXED in N — the
+        // "bounded id-sample" this family's docs cite): the previous
+        // 1%-of-corpus sample made the dense leg |corpus|²/100; see
+        // q189's round-13 note for the measured quadratic
+        val probes = vecs.orderBy(md5(col("vec_id").cast("string"))).limit(200)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
         // dense leg: cosine rank per probe
         val dense = vecs.crossJoin(broadcast(probes))
@@ -1413,7 +1417,7 @@ object CorpusQueries extends QueryModule {
                                        CAST(embedding AS DOUBLE[]))) AS nrm
           FROM embeddings),
         probes AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
-                   FROM v WHERE vec_id % 100 = 0),
+                   FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 200),
         dense AS (
           SELECT probe_id, vec_id AS doc_id,
                  row_number() OVER (PARTITION BY probe_id ORDER BY

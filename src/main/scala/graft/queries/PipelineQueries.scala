@@ -376,21 +376,27 @@ object PipelineQueries extends QueryModule {
     // its nearest centroid (broadcast, q40's quantizer), then ONLY
     // within a cell mark vectors whose cosine to a lower-id cell member
     // is ≥ 0.95 as drops. The candidate scan is cell-bucketed — the
-    // 100 TB path — never a global all-pairs.
+    // 100 TB path — never a global all-pairs. Centroid count is
+    // DATA-SCALED (nlist = max(8, ⌈√N⌉), the round-9 IVF sizing rule):
+    // the round-13 honest re-measure caught this query still on a
+    // CONSTANT 8 cells — in-cell pairs grow as N²/8, measured 553.7 s
+    // at sf10 (decade-2 exp 1.97, quadratic) where SCALING.md's round-2
+    // note had already promised k ≈ √n. With √N cells the in-cell
+    // candidate volume is ~N^1.5, same as q40/q156.
     "q65_semantic_dedup" -> NamedQuery(
       fn = (s, d) => {
         import graft.expr.GraftFunctions
         GraftFunctions.register(s)
         val v = Tables.embeddings(s, d)
           .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
-        val cents = v.orderBy("vec_id").limit(8)
+        val nlist = math.max(8L,
+          math.ceil(math.sqrt(v.count().toDouble)).toLong).toInt
+        val cents = v.orderBy("vec_id").limit(nlist)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"), col("nrm").as("cent_nrm"))
-        val assigned = graft.ops.RelationalOps.topKPerGroup(
-          Seq("vec_id"), Seq(col("cent_cos").desc, col("cent_id").asc), 1)(
-          v.crossJoin(broadcast(cents))
-            .withColumn("cent_cos",
-              round(expr("vec_dot(embedding, cent_emb)") / (col("nrm") * col("cent_nrm")), 6)))
-          .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
+        // narrow-product assignment (SimilarityQueries.nearestCells):
+        // the full-width window sort spilled ~160 GB at sf10 and killed
+        // the run — see that helper's round-13 note
+        val assigned = SimilarityQueries.nearestCells(v, cents)
         val a = assigned.select(col("cell"), col("vec_id").as("v1"), col("embedding").as("emb1"), col("nrm").as("n1"))
         val b = assigned.select(col("cell"), col("vec_id").as("v2"), col("embedding").as("emb2"), col("nrm").as("n2"))
         val drops = a.join(b, Seq("cell")).filter(col("v1") < col("v2"))
@@ -409,7 +415,8 @@ object PipelineQueries extends QueryModule {
           FROM embeddings),
         cents AS (
           SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
-          FROM v ORDER BY vec_id LIMIT 8),
+          FROM v ORDER BY vec_id
+          LIMIT greatest(8, CAST(ceil(sqrt((SELECT COUNT(*) FROM v))) AS BIGINT))),
         assigned AS (
           SELECT vec_id, cell, emb, nrm
           FROM (SELECT v.vec_id, c.cent_id AS cell, v.emb, v.nrm,
