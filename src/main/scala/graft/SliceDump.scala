@@ -26,6 +26,10 @@ import org.apache.spark.sql.SparkSession
   */
 object SliceDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: tools/run_main.sh graft.SliceDump <sfDir> <outDir>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()

@@ -45,8 +45,14 @@ case class AsOfPick(arr: Expression, t: Expression,
   override def foldable: Boolean = arr.foldable && t.foldable
   override def prettyName: String = "asof_pick"
 
-  private def elemType: StructType =
-    arr.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  // dataType can be requested during analysis BEFORE checkInputDataTypes
+  // runs (round-13 ADVICE): fall back to a placeholder on a non-conforming
+  // first argument so the clean TypeCheckFailure is the error users see,
+  // not a ClassCastException out of this cast.
+  private def elemType: StructType = arr.dataType match {
+    case ArrayType(st: StructType, _) => st
+    case _ => StructType(Nil)
+  }
   override def dataType: DataType = elemType
   private def numFields: Int = elemType.fields.length
 
@@ -67,9 +73,15 @@ case class AsOfPick(arr: Expression, t: Expression,
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName: array element's FIRST field must be the quote time " +
               s"(LONG or TIMESTAMP), got ${st.fields.head.dataType.sql}")
-        else if (!isTimeLike(t.dataType))
+        // the probe must be the SAME type as the quote time, not merely
+        // long-backed (round-13 ADVICE): a raw LONG probed against
+        // TIMESTAMP micros compares different clocks and is silently
+        // wrong — the operator always passes matching sides
+        else if (t.dataType != st.fields.head.dataType)
           TypeCheckResult.TypeCheckFailure(
-            s"$prettyName: probe time must be LONG or TIMESTAMP, got ${t.dataType.sql}")
+            s"$prettyName: probe time type ${t.dataType.sql} must match the " +
+              s"quote time type ${st.fields.head.dataType.sql} exactly " +
+              "(micros vs raw longs would compare different clocks)")
         else if (!(forwardExpr.foldable && forwardExpr.dataType == BooleanType &&
             strictExpr.foldable && strictExpr.dataType == BooleanType))
           TypeCheckResult.TypeCheckFailure(
@@ -93,12 +105,19 @@ case class AsOfPick(arr: Expression, t: Expression,
     var hi = n
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      val mt = ad.getStruct(mid, numFields).getLong(0)
+      // null elements / null time fields break the sorted-array invariant
+      // the search needs (the operator drops them before collecting);
+      // a direct SQL caller handing one in gets NULL, not an NPE
+      // (round-13 ADVICE — the ElementAt posture)
+      if (ad.isNullAt(mid)) return null
+      val ms = ad.getStruct(mid, numFields)
+      if (ms.isNullAt(0)) return null
+      val mt = ms.getLong(0)
       if (if (useLE) mt <= tl else mt < tl) lo = mid + 1 else hi = mid
     }
     val idx = if (forward) lo else lo - 1
     // like ElementAt, the returned struct is a view into the array data
-    if (idx < 0 || idx >= n) null else ad.getStruct(idx, numFields)
+    if (idx < 0 || idx >= n || ad.isNullAt(idx)) null else ad.getStruct(idx, numFields)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -109,6 +128,8 @@ case class AsOfPick(arr: Expression, t: Expression,
     val hi = ctx.freshName("hi")
     val mid = ctx.freshName("mid")
     val mt = ctx.freshName("mt")
+    val ms = ctx.freshName("ms")
+    val bad = ctx.freshName("bad")
     val idx = ctx.freshName("idx")
     val cmp = if (useLE) "<=" else "<"
     val idxExpr = if (forward) lo else s"$lo - 1"
@@ -123,13 +144,18 @@ case class AsOfPick(arr: Expression, t: Expression,
           final int $n = ${aGen.value}.numElements();
           int $lo = 0;
           int $hi = $n;
+          boolean $bad = false;
           while ($lo < $hi) {
             final int $mid = ($lo + $hi) >>> 1;
-            final long $mt = ${aGen.value}.getStruct($mid, $numFields).getLong(0);
+            if (${aGen.value}.isNullAt($mid)) { $bad = true; break; }
+            final org.apache.spark.sql.catalyst.InternalRow $ms =
+              ${aGen.value}.getStruct($mid, $numFields);
+            if ($ms.isNullAt(0)) { $bad = true; break; }
+            final long $mt = $ms.getLong(0);
             if ($mt $cmp ${tGen.value}) { $lo = $mid + 1; } else { $hi = $mid; }
           }
           final int $idx = $idxExpr;
-          if ($idx >= 0 && $idx < $n) {
+          if (!$bad && $idx >= 0 && $idx < $n && !${aGen.value}.isNullAt($idx)) {
             ${ev.isNull} = false;
             ${ev.value} = ${aGen.value}.getStruct($idx, $numFields);
           }

@@ -1325,14 +1325,25 @@ object CorpusQueries extends QueryModule {
     // against the candidate corpus — q152's scoring recipe) and a DENSE
     // ranking (embedding cosine — q37/q40's recipe, vec_id keys
     // doc_id's embedding) are fused as rrf = Σ 1/(60 + rank), top-5
-    // per probe. Every piece is keyed or bounded: probes are a bounded
-    // id-sampled set (broadcast — the q144/q145 audit pattern), the
-    // lexical leg joins probe tokens to candidate postings ON THE
-    // TOKEN, the dense leg is probe×corpus with the probe side
-    // broadcast, rank windows partition by probe. Parity: ln/idf and
-    // cosine round to 6 (Registry recipe), ranks are ints, rrf is the
-    // same IEEE division tree on both engines, tie-breaks pinned to
-    // the candidate id.
+    // per probe. Each leg is CUT AT RANK 100 (round 14 — the standard
+    // RRF-over-top-k contract; Cormack et al. fuse bounded runs): an
+    // uncut dense leg ranks the WHOLE corpus per probe, which made the
+    // fusion input N×200 rows and q171 the slowest query in the catalog
+    // (134.8 s at sf10, decade-2 exp 1.21, with an sf0.1 > sf1
+    // inversion from the full-vocab tf checkpoint). Every piece is now
+    // keyed AND bounded: probes are a fixed 200-id sample (broadcast —
+    // the q144/q145 audit pattern); the dense leg's corpus pass
+    // partial-aggregates into 100-slot top_k_pairs buffers (shuffle =
+    // 200×100 rows, never a corpus-wide rank); the lexical leg
+    // restricts the (doc, tok) aggregate to PROBE tokens before
+    // grouping (df per token is unchanged by the restriction — every
+    // doc containing the token survives it), so the old full-vocab
+    // tf/dfq frames and their localCheckpoint are gone; doc lengths
+    // come from size(split(…)) — identical to the exploded count —
+    // without a second tokenize pass. Parity: ln/idf and cosine round
+    // to 6 (Registry recipe), ranks are ints, rrf is the same exact
+    // integer rational on both engines, tie-breaks pinned to the
+    // candidate id.
     "q171_rrf_fusion" -> NamedQuery(
       fn = (s, d) => {
         val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
@@ -1342,34 +1353,44 @@ object CorpusQueries extends QueryModule {
         // candidate universe: documents that HAVE an embedding
         val cands = Tables.documents(s, d)
           .join(vecs.select(col("vec_id").as("doc_id")), Seq("doc_id"))
-        // BOUNDED probe set (200 md5-lowest vec_ids, FIXED in N — the
-        // "bounded id-sample" this family's docs cite): the previous
-        // 1%-of-corpus sample made the dense leg |corpus|²/100; see
-        // q189's round-13 note for the measured quadratic
         val probes = vecs.orderBy(md5(col("vec_id").cast("string"))).limit(200)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
-        // dense leg: cosine rank per probe
+        // dense leg: per-probe top-100 by rounded cosine — the narrow
+        // (probe_id, cos, vec_id) projection keeps embeddings out of
+        // the aggregation's shuffle, and top_k_pairs' k-slot partial
+        // buffers replace the corpus-wide row_number sort
         val dense = vecs.crossJoin(broadcast(probes))
-          .withColumn("cos", round(
-            expr("vec_dot(embedding, p_emb)") / (col("nrm") * col("p_nrm")), 6))
-          .withColumn("r_dense", row_number().over(
-            Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)))
-          .select(col("probe_id"), col("vec_id").as("doc_id"), col("r_dense"))
-        // lexical leg: probe doc's distinct tokens as the query, BM25
-        // (k1=1.2, b=0.75) against candidate postings — keyed on tok
-        val toks = cands.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-        // (doc, tok) term frequencies are the ONE aggregate every leg
-        // derives from — checkpointed so the tokenize join runs once:
-        // len = Σ tf per doc, ptoks = the probe docs' (already
-        // distinct) tf rows, dfq = tf rows per tok. Before the cut the
-        // explode pipeline recomputed 3×.
-        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-          .localCheckpoint(false)
-        val len = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
-        val stats = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot_len"))
+          .select(col("probe_id"),
+            round(expr("vec_dot(embedding, p_emb)") / (col("nrm") * col("p_nrm")), 6).as("cos"),
+            col("vec_id"))
+          .groupBy("probe_id")
+          .agg(expr("top_k_pairs(cos, vec_id, 100)").as("topk"))
+          .select(col("probe_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+          .select(col("probe_id"), col("p.payload").as("doc_id"),
+            (col("pos") + 1).cast("int").as("r_dense"))
+        // lexical leg: probe docs' distinct tokens as the queries (200
+        // bounded texts — the only rows tokenized twice)
+        val ptoks = cands
+          .join(broadcast(probes.select(col("probe_id").as("doc_id"))), Seq("doc_id"))
+          .select(col("doc_id").as("probe_id"),
+            explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .distinct()
+        val ptokSet = ptoks.select("tok").distinct()
+        // (doc, tok) term frequencies RESTRICTED to probe tokens before
+        // the group-by: the broadcast semi-filter runs inside the
+        // tokenize stage, so only probe-token occurrences reach the
+        // shuffle — df for those tokens is exact (see header note)
+        val tf = cands
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .join(broadcast(ptokSet), Seq("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val ptoks = tf.join(probes.select(col("probe_id").as("doc_id")), Seq("doc_id"))
-          .select(col("doc_id").as("probe_id"), col("tok"))
+        // doc lengths without a second explode: one row per candidate,
+        // size(split) ≡ the exploded token count (null texts tokenize
+        // to no rows, so they are excluded on both engines)
+        val len = cands.filter(col("text").isNotNull)
+          .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("len"))
+        val stats = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot_len"))
         val terms = tf
           .join(broadcast(ptoks), Seq("tok"))
           .join(broadcast(dfq), Seq("tok"))
@@ -1383,9 +1404,11 @@ object CorpusQueries extends QueryModule {
           .withColumn("term", round(col("idf") * col("tfc"), 6))
         val lex = terms.groupBy("probe_id", "doc_id")
           .agg(sum(col("term").cast(dec6)).cast("double").as("bm25"))
-          .withColumn("r_lex", row_number().over(
-            Window.partitionBy("probe_id").orderBy(col("bm25").desc, col("doc_id").asc)))
-          .select("probe_id", "doc_id", "r_lex")
+          .groupBy("probe_id")
+          .agg(expr("top_k_pairs(bm25, doc_id, 100)").as("topk"))
+          .select(col("probe_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+          .select(col("probe_id"), col("p.payload").as("doc_id"),
+            (col("pos") + 1).cast("int").as("r_lex"))
         // fuse: a doc absent from one leg contributes 0 from it
         // rrf as ONE exact rational per row ((b1+b2)/(b1*b2), or 1/b for a
         // single leg), rounded half-away in integer math (PARITY rule 4
@@ -1419,11 +1442,13 @@ object CorpusQueries extends QueryModule {
         probes AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
                    FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 200),
         dense AS (
-          SELECT probe_id, vec_id AS doc_id,
-                 row_number() OVER (PARTITION BY probe_id ORDER BY
-                   round(list_dot_product(emb, p_emb) / (nrm * p_nrm), 6) DESC,
-                   vec_id ASC) AS r_dense
-          FROM v CROSS JOIN probes),
+          SELECT probe_id, doc_id, r_dense FROM (
+            SELECT probe_id, vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY
+                     round(list_dot_product(emb, p_emb) / (nrm * p_nrm), 6) DESC,
+                     vec_id ASC) AS r_dense
+            FROM v CROSS JOIN probes)
+          WHERE r_dense <= 100),
         cands AS (
           SELECT d.doc_id, d.text FROM documents d JOIN v ON v.vec_id = d.doc_id),
         toks AS (
@@ -1448,11 +1473,13 @@ object CorpusQueries extends QueryModule {
           JOIN len l USING (doc_id)
           CROSS JOIN stats s),
         lex AS (
-          SELECT probe_id, doc_id,
-                 row_number() OVER (PARTITION BY probe_id ORDER BY
-                   CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) DESC, doc_id ASC) AS r_lex
-          FROM (SELECT probe_id, doc_id, term FROM terms)
-          GROUP BY probe_id, doc_id),
+          SELECT probe_id, doc_id, r_lex FROM (
+            SELECT probe_id, doc_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY
+                     CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) DESC, doc_id ASC) AS r_lex
+            FROM (SELECT probe_id, doc_id, term FROM terms)
+            GROUP BY probe_id, doc_id)
+          WHERE r_lex <= 100),
         fused AS (
           SELECT COALESCE(d.probe_id, x.probe_id) AS probe_id,
                  COALESCE(d.doc_id, x.doc_id) AS doc_id,
@@ -1473,7 +1500,7 @@ object CorpusQueries extends QueryModule {
               FROM fused)
         WHERE rnk <= 5
         ORDER BY probe_id, rnk"""),
-      doc = "hybrid retrieval: RRF fusion of BM25 (lexical) and cosine (dense) rankings, top-5 per probe (RAG retrieval stack)"),
+      doc = "hybrid retrieval: RRF fusion of BM25 (lexical) and cosine (dense) top-100 runs, top-5 per probe (RAG retrieval stack)"),
 
     // --------------------------------------------------------------- q177
     // Tokenizer-coverage / OOV-rate audit (north-star): per-doc fraction

@@ -389,8 +389,10 @@ object PipelineQueries extends QueryModule {
         GraftFunctions.register(s)
         val v = Tables.embeddings(s, d)
           .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
-        val nlist = math.max(8L,
-          math.ceil(math.sqrt(v.count().toDouble)).toLong).toInt
+        // the ONE sizing rule, shared with the whole IVF family (round-13
+        // ADVICE: the inline copy invited drift from the oracles'
+        // greatest(8, ceil(sqrt(count))))
+        val nlist = SimilarityQueries.ivfNlist(v)
         val cents = v.orderBy("vec_id").limit(nlist)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"), col("nrm").as("cent_nrm"))
         // narrow-product assignment (SimilarityQueries.nearestCells):

@@ -38,7 +38,7 @@ object SimilarityQueries extends QueryModule {
     * One bounded 1-row driver pull (F5-class), mirrored in the oracle
     * as a LIMIT subexpression.
     */
-  private def ivfNlist(v: DataFrame): Int = {
+  private[queries] def ivfNlist(v: DataFrame): Int = {
     val n = v.count()
     math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
   }
@@ -297,8 +297,15 @@ object SimilarityQueries extends QueryModule {
         // search within cell
         val a = assigned.select(col("cell"), col("vec_id").as("v1"), col("embedding").as("emb1"), col("nrm").as("n1"))
         val b = assigned.select(col("cell"), col("vec_id").as("v2"), col("embedding").as("emb2"), col("nrm").as("n2"))
+        // NARROW the pair stream before the per-group rank (round-14, the
+        // nearestCells round-13 fix applied to the search side): the rank's
+        // shuffle+sort otherwise carries BOTH embeddings per candidate pair
+        // (~600 B/row × N·√N rows); projected to (v1, v2, cos) it moves
+        // 24 B/row — the dots are computed in the join's codegen stage and
+        // never rematerialized
         val pairs = a.join(b, Seq("cell")).filter(col("v1") =!= col("v2"))
           .withColumn("cos", round(expr("vec_dot(emb1, emb2)") / (col("n1") * col("n2")), 6))
+          .select("v1", "v2", "cos")
         val nn = RelationalOps.topKPerGroup(Seq("v1"), Seq(col("cos").desc, col("v2").asc), 1)(pairs)
           .select(col("v1").as("vec_id"), col("v2").as("nn_id"), col("cos").as("nn_cos"))
         assigned.select("vec_id", "cell")
@@ -887,10 +894,14 @@ object SimilarityQueries extends QueryModule {
         val probes = nearestCells(v, cents, 2)
           .select(col("vec_id").as("v1"), col("cell"),
             col("embedding").as("emb1"), col("nrm").as("n1"))
+        // narrow (v1, vec_id, cos) before the rank — q40's round-14 note:
+        // the multiprobe candidate stream is 2N·√N rows, the widest in the
+        // family; ranking it full-width was the measured 544.7 s at sf10
         val pairs = probes.join(assigned, Seq("cell"))
           .filter(col("v1") =!= col("vec_id"))
           .withColumn("cos", round(
             expr("vec_dot(emb1, embedding)") / (col("n1") * col("nrm")), 6))
+          .select(col("v1"), col("vec_id"), col("cos"))
         val nn = RelationalOps.topKPerGroup(
           Seq("v1"), Seq(col("cos").desc, col("vec_id").asc), 1)(pairs)
           .select(col("v1").as("vec_id"), col("vec_id").as("nn_id"), col("cos").as("nn_cos"))

@@ -62,6 +62,41 @@ class AsOfPickSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("probe type must match the quote time type exactly (raw long vs timestamp micros)") {
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT asof_pick(
+          |  array(struct(TIMESTAMP '2024-01-01 00:00:00' AS t, 1 AS v)),
+          |  5L, false, false)""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("must match the quote time type"),
+      s"unexpected analysis error: ${e.getMessage.take(300)}")
+  }
+
+  test("non-array first argument fails analysis cleanly, not with a ClassCastException") {
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT asof_pick(42, 5L, false, false)").collect()
+    }
+    assert(e.getMessage.contains("ARRAY<STRUCT"),
+      s"unexpected analysis error: ${e.getMessage.take(300)}")
+  }
+
+  test("null struct elements / null time fields touched by the search yield NULL, not an NPE") {
+    GraftFunctions.register(spark)
+    // probe 5 sends the search to index 0 in both arrays: a null element
+    // (a) and a null time field (b) — each returns NULL (ElementAt posture)
+    val r = spark.sql(
+      """SELECT
+        |  asof_pick(array(CAST(NULL AS STRUCT<t: BIGINT, v: STRING>),
+        |                  struct(10L AS t, 'a' AS v)), 5L, false, false) AS a,
+        |  asof_pick(array(struct(CAST(NULL AS BIGINT) AS t, 'x' AS v),
+        |                  struct(10L AS t, 'a' AS v)), 5L, false, false) AS b
+        |""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("timestamp probe/quote times work (physical-long micros path)") {
     GraftFunctions.register(spark)
     val r = spark.sql(

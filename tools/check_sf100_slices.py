@@ -122,9 +122,13 @@ def main(sf_dir: str, dump_dir: str) -> int:
       FROM v ORDER BY vec_id
       LIMIT greatest(8, CAST(ceil(sqrt((SELECT count(*) FROM v))) AS BIGINT))""")
 
-    # (a) sampled assignment: recompute cell/emb/nrm for the 1/256 sample
+    # (a) sampled assignment: recompute cell/emb/nrm for the 1/256 sample.
+    # nrm compares ROUNDED to 6 (round-13 ADVICE): Spark's FloatVecDot and
+    # DuckDB's list_dot_product may accumulate in different orders; the
+    # sampled oracle tests the ASSIGNMENT, not FP summation order (the
+    # assignment itself already ranks on round(cos, 6)).
     recomputed = """
-      SELECT vec_id, cell, emb, nrm
+      SELECT vec_id, cell, emb, round(nrm, 6) AS nrm
       FROM (SELECT s.vec_id, c.cent_id AS cell, s.emb, s.nrm,
                    row_number() OVER (PARTITION BY s.vec_id
                      ORDER BY round(list_dot_product(s.emb, c.cent_emb)
@@ -135,7 +139,7 @@ def main(sf_dir: str, dump_dir: str) -> int:
             CROSS JOIN cents c)
       WHERE rn = 1"""
     sample_art = (f"SELECT vec_id, cell, CAST(embedding AS DOUBLE[]) AS emb, "
-                  f"nrm FROM ({dump('q209_assign_sample')})")
+                  f"round(nrm, 6) AS nrm FROM ({dump('q209_assign_sample')})")
     ok &= frames_equal(con, recomputed, sample_art, "q209 sampled assignment")
 
     # (b) occupancy: q209's engine output re-aggregated from the full dump
@@ -187,4 +191,7 @@ def main(sf_dir: str, dump_dir: str) -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print("usage: check_sf100_slices.py <sfDir> <dumpDir>", file=sys.stderr)
+        sys.exit(2)
     sys.exit(main(sys.argv[1], sys.argv[2]))
