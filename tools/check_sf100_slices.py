@@ -49,7 +49,17 @@ import time
 
 import duckdb
 
-SCOPE_PRED = "substr(md5(lang || '#' || source), 1, 1) = '0'"
+# Scope-sample bucket: md5 first hex char of the (lang, source) scope.
+# 'd' — NOT '0' — because the testdata generator assigns source by
+# doc_id % 20, so q73's "new docs" (doc_id % 10 = 9) exist ONLY in
+# src9/src19 scopes; bucket '0' contains none of them and made the q73
+# slice check vacuously 0 = 0 rows (caught at the round-14 sf1
+# validation run — exactly what the validate-at-sf1-first step is for).
+# Bucket 'd' holds zh/src19 + de/src9 (new docs present) plus 6 other
+# scopes, ~5.8% of documents; doc_id % 20 and lang are replica-invariant
+# under ScaleData (shift bases are multiples of 20), so the bucket
+# membership is identical at every SF. main() asserts non-vacuity.
+SCOPE_PRED = "substr(md5(lang || '#' || source), 1, 1) = 'd'"
 
 
 def table_path(sf_dir: str, t: str) -> str:
@@ -105,6 +115,11 @@ def main(sf_dir: str, dump_dir: str) -> int:
     engine_slice = (
         f"SELECT s.doc_id, s.verdict, s.match_id FROM ({dump('q73_incremental_dedup')}) s "
         f"JOIN documents d ON s.doc_id = d.doc_id WHERE {SCOPE_PRED}")
+    n_slice = con.execute(
+        f"SELECT count(*) FROM ({engine_slice})").fetchone()[0]
+    assert n_slice > 0, (
+        "q73 engine slice is EMPTY — the scope sample covers no new docs, "
+        "so the check would be vacuous (see SCOPE_PRED note)")
     ok &= frames_equal(con, sliced, engine_slice, "q73 scope-slice")
     print(f"  q73 slice oracle wall: {time.time() - t0:.1f}s")
 
