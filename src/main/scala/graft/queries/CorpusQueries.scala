@@ -1391,9 +1391,21 @@ object CorpusQueries extends QueryModule {
         val len = cands.filter(col("text").isNotNull)
           .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("len"))
         val stats = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot_len"))
+        // maxDocFreq pruning (the Lucene CommonTermsQuery posture): query
+        // terms in more than 1/10 of the docs are dropped BEFORE the
+        // postings×probes fan-out. Without it, a stopword-class token
+        // (df ≈ N) fans out |docs-with-token| × |probes-sharing-it| rows —
+        // measured 7.2M terms rows at sf0.1 (and the sf0.1 > sf1
+        // inversion: the scaledata's per-replica token salt split the
+        // probe set across 10 disjoint token spaces, hiding at sf1 what
+        // the unsalted base corpus pays in full). Integer-exact
+        // (df * 10 <= n_docs) so both engines cut identically.
+        val dfqRare = dfq.crossJoin(broadcast(stats.select("n_docs")))
+          .filter(col("df") * lit(10) <= col("n_docs"))
+          .select("tok", "df")
         val terms = tf
+          .join(broadcast(dfqRare), Seq("tok"))
           .join(broadcast(ptoks), Seq("tok"))
-          .join(broadcast(dfq), Seq("tok"))
           .join(len, Seq("doc_id"))
           .crossJoin(broadcast(stats))
           .withColumn("avglen", col("tot_len").cast("double") / col("n_docs"))
@@ -1471,7 +1483,8 @@ object CorpusQueries extends QueryModule {
           JOIN ptoks q USING (tok)
           JOIN dfq f USING (tok)
           JOIN len l USING (doc_id)
-          CROSS JOIN stats s),
+          CROSS JOIN stats s
+          WHERE f.df * 10 <= s.n_docs),
         lex AS (
           SELECT probe_id, doc_id, r_lex FROM (
             SELECT probe_id, doc_id,

@@ -397,8 +397,11 @@ object PipelineQueries extends QueryModule {
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"), col("nrm").as("cent_nrm"))
         // narrow-product assignment (SimilarityQueries.nearestCells):
         // the full-width window sort spilled ~160 GB at sf10 and killed
-        // the run — see that helper's round-13 note
-        val assigned = SimilarityQueries.nearestCells(v, cents)
+        // the run — see that helper's round-13 note. Checkpointed
+        // (q176's pattern): both sides of the in-cell join and the
+        // final cell aggregate consume it, and the N×√N centroid
+        // scoring must not re-run per branch
+        val assigned = SimilarityQueries.nearestCells(v, cents).localCheckpoint(false)
         val a = assigned.select(col("cell"), col("vec_id").as("v1"), col("embedding").as("emb1"), col("nrm").as("n1"))
         val b = assigned.select(col("cell"), col("vec_id").as("v2"), col("embedding").as("emb2"), col("nrm").as("n2"))
         val drops = a.join(b, Seq("cell")).filter(col("v1") < col("v2"))

@@ -55,16 +55,27 @@ object SimilarityQueries extends QueryModule {
     * the WindowGroupLimit partial truncation cuts it to k rows per
     * vector map-side. The reattach join is keyed on vec_id — linear.
     */
-  private[queries] def nearestCells(v: DataFrame, cents: DataFrame, k: Int = 1): DataFrame = {
+  private[graft] def nearestCells(v: DataFrame, cents: DataFrame, k: Int = 1): DataFrame =
+    nearestCellsRanked(v, cents, k).drop("rn")
+
+  /** nearestCells with the rank kept (`rn` = 1..k): lets a consumer that
+    * needs BOTH the k=1 assignment and a k=2 probe set (q156) derive
+    * them from ONE ranked product instead of running the N×√N
+    * centroid-scoring twice — at sf10 one assignment pass is ~145 s, the
+    * single most expensive stage in the IVF family (round-14 profile).
+    */
+  private[queries] def nearestCellsRanked(v: DataFrame, cents: DataFrame, k: Int): DataFrame = {
     val slim = v.crossJoin(broadcast(cents))
       .withColumn("cent_cos",
         round(expr("vec_dot(embedding, cent_emb)") / (col("nrm") * col("cent_nrm")), 6))
       .select(col("vec_id"), col("cent_id"), col("cent_cos"))
-    val cells = RelationalOps.topKPerGroup(
-      Seq("vec_id"), Seq(col("cent_cos").desc, col("cent_id").asc), k)(slim)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+    val cells = slim
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("rn"))
     v.join(cells, Seq("vec_id"))
-      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+      .select(col("vec_id"), col("cell"), col("rn"), col("embedding"), col("nrm"))
   }
 
   /** The q209/q210 shared artifact (round-10 verdict task 3, the
@@ -292,8 +303,13 @@ object SimilarityQueries extends QueryModule {
         val v = vecs(s, d)
         val cents = v.orderBy("vec_id").limit(ivfNlist(v))
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"), col("nrm").as("cent_nrm"))
-        // assign: nearest centroid by rounded cosine, ties to lowest cent_id
-        val assigned = nearestCells(v, cents)
+        // assign: nearest centroid by rounded cosine, ties to lowest
+        // cent_id. CHECKPOINTED (q176's pattern, applied round 14): the
+        // assignment is consumed by BOTH sides of the in-cell join and
+        // the final vec list — without the cut the N×√N centroid scoring
+        // (the family's most expensive stage, ~145 s at sf10) re-runs
+        // per branch, 3× the whole query's necessary work
+        val assigned = nearestCells(v, cents).localCheckpoint(false)
         // search within cell
         val a = assigned.select(col("cell"), col("vec_id").as("v1"), col("embedding").as("emb1"), col("nrm").as("n1"))
         val b = assigned.select(col("cell"), col("vec_id").as("v2"), col("embedding").as("emb2"), col("nrm").as("n2"))
@@ -888,10 +904,17 @@ object SimilarityQueries extends QueryModule {
         val cents = v.orderBy("vec_id").limit(ivfNlist(v))
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
             col("nrm").as("cent_nrm"))
+        // ONE ranked k=2 centroid product, checkpointed, serves BOTH
+        // sides (round 14): the db side is the rn=1 assignment, the
+        // query side keeps rn ≤ 2 — previously two separate
+        // nearestCells runs scored the N×√N product twice (and the
+        // final vec list re-derived it a third time), ~145 s per pass
+        // at sf10
+        val ranked = nearestCellsRanked(v, cents, 2).localCheckpoint(false)
         // db side: each vector lives in its ONE nearest cell
-        val assigned = nearestCells(v, cents)
+        val assigned = ranked.filter(col("rn") === 1).drop("rn")
         // query side: probe the TWO nearest cells
-        val probes = nearestCells(v, cents, 2)
+        val probes = ranked.drop("rn")
           .select(col("vec_id").as("v1"), col("cell"),
             col("embedding").as("emb1"), col("nrm").as("n1"))
         // narrow (v1, vec_id, cos) before the rank — q40's round-14 note:

@@ -76,11 +76,26 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q65 assigns centroids via broadcast and searches only within cells") {
     val p = plan("q65_semantic_dedup")
-    // centroid fan-out is broadcast (both the assign crossJoin and the
-    // in-cell join build sides); no cartesian product anywhere
-    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"))
+    // the in-cell search: no cartesian product anywhere, dots via the
+    // native vec_dot. The centroid assignment itself sits behind the
+    // round-14 lazy localCheckpoint (it feeds three branches and must
+    // not re-run per branch), so its broadcast shape is pinned on the
+    // shared helper's own plan below, not the outer plan text.
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("vec_dot"))
+    graft.expr.GraftFunctions.register(spark)
+    val v = graft.Tables.embeddings(spark, sf)
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        org.apache.spark.sql.functions.expr("vec_dot(embedding, embedding)")))
+    val cents = v.orderBy("vec_id").limit(8)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("cent_id"),
+        org.apache.spark.sql.functions.col("embedding").as("cent_emb"),
+        org.apache.spark.sql.functions.col("nrm").as("cent_nrm"))
+    val ap = graft.queries.SimilarityQueries.nearestCells(v, cents)
+      .queryExecution.executedPlan.toString
+    assert(ap.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      s"assignment fan-out not broadcast:\n${ap.take(1500)}")
+    assert(!ap.contains("CartesianProduct"))
   }
 
   // q66/q70 build inside CacheScope.withPersisted, which checkpoints the
