@@ -43,12 +43,15 @@ object Audit {
     "q137_group_kfold", "q140_curriculum_cut",
     "q144_pq_adc_topk", "q145_ann_recall", "q146_kl_drift",
     "q152_bm25_topk",
-    // q156: probe×centroid scoring is a deliberate broadcast product
-    // (centroid table is constant-size); q159: the 120×53 grid fan-out
-    // broadcasts the GRID, tracking side never shuffles (plan-pinned in
+    // q156: the 200-probe × broadcast-centroid scoring is a deliberate
+    // bounded product (the q210 pattern); q218 (the guarded full-corpus
+    // form q156 was before round 15): N × broadcast-centroid scoring
+    // behind the ScaleGuard; q159: the 120×53 grid fan-out broadcasts
+    // the GRID, tracking side never shuffles (plan-pinned in
     // PlanAuditSpec — the Mahalanobis filter cuts the product below
     // the aggregate)
-    "q156_ivf_multiprobe", "q159_field_control_pruned",
+    "q156_ivf_multiprobe", "q218_multiprobe_full_recall",
+    "q159_field_control_pruned",
     // q158: 1-row global-mean scalar attach onto the per-user label
     // frame (same F5-class bounded pattern as q133/q136/q146/q152);
     // q168: the guarantee scoreboard crosses four 1-row aggregates

@@ -169,14 +169,6 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
-    // The streaming CORRECTNESS gates snapshot their result through a
-    // memory sink in Complete mode (production mode is Append — q217's
-    // eviction is spec-pinned); at sf100 the q217 snapshot's serialized
-    // task results exceed the 1g default and the gate dies in the
-    // harness, not the plan. local[32] is a single JVM — the collect is
-    // an in-process copy, so the conservative cluster default buys
-    // nothing here.
-    "spark.driver.maxResultSize" -> "8g",
     // deployment-grade extension loading: native functions, the binned
     // range-join rewrite, the as-of strategy, and the as-of codegen
     // shield rule (the AQE prep rule is ONLY injectable here — there is

@@ -11,6 +11,17 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Correctness-gate-only override (round-14 ADVICE: keep it OUT of
+      // the shared sessionConfigs so Bench/tests/library sessions retain
+      // the driver-collect guardrail): the streaming gates snapshot
+      // their result through a memory sink in Complete mode (production
+      // mode is Append — q217's eviction is spec-pinned), and at sf100
+      // the q217 snapshot's serialized task results exceed the 1g
+      // default, dying in the harness, not the plan. Verify runs one
+      // query at a time in a single local JVM, so the collect is an
+      // in-process copy and the conservative cluster default buys
+      // nothing here.
+      .config("spark.driver.maxResultSize", "8g")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -35,6 +35,12 @@ import org.apache.spark.sql.types._
   * first tied elements. Quote times must be non-null (the operator drops
   * null-time quotes before collecting — a null cannot match either way,
   * and nulls-first struct ordering would break the search invariant).
+  * Direct SQL callers violating that precondition get NULL only when the
+  * binary search PROBES the offending element (the eval guard) — a null
+  * element/time off the O(log n) probe path yields an arbitrary pick,
+  * like any other precondition-violating misordered array; guaranteeing
+  * NULL for any null anywhere would need the O(n) scan this expression
+  * exists to avoid.
   */
 case class AsOfPick(arr: Expression, t: Expression,
                     forwardExpr: Expression, strictExpr: Expression)
@@ -108,7 +114,14 @@ case class AsOfPick(arr: Expression, t: Expression,
       // null elements / null time fields break the sorted-array invariant
       // the search needs (the operator drops them before collecting);
       // a direct SQL caller handing one in gets NULL, not an NPE
-      // (round-13 ADVICE — the ElementAt posture)
+      // (round-13 ADVICE — the ElementAt posture). PATH-DEPENDENT by
+      // design: the guard fires only when the binary search PROBES the
+      // null — a null off the probe path already violated the sorted
+      // precondition, and the pick is then whatever the search's O(log n)
+      // probes saw, exactly like a misordered (non-null) array. The
+      // guarantee is "no NPE, NULL when the violation is observed",
+      // not "NULL for any null anywhere" — that would cost the O(n) scan
+      // the expression exists to avoid (round-14 ADVICE).
       if (ad.isNullAt(mid)) return null
       val ms = ad.getStruct(mid, numFields)
       if (ms.isNullAt(0)) return null

@@ -41,9 +41,23 @@ case class TopKPairs(
 
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] = ArrayBuffer.empty
 
-  /** true if a ranks strictly better than b: higher score, then smaller payload. */
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** true if a ranks strictly better than b: higher score, then smaller
+    * payload. Score order is Spark's SORT order for doubles, not IEEE
+    * `>`: NaN is LARGEST (so `score DESC` ranks a NaN cosine first, all
+    * NaNs tying through to the payload) and -0.0 ties 0.0. IEEE `>`/`==`
+    * are false for NaN, which would silently DROP NaN scores here while
+    * both the row_number window and the DuckDB oracle rank them first —
+    * a zero-norm embedding would diverge engine vs oracle (round-14
+    * ADVICE). Double.compare gives the NaN-largest total order but
+    * splits -0.0 < 0.0, so signed zero is folded first.
+    */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val cmp = java.lang.Double.compare(sortKey(a._1), sortKey(b._1))
+    cmp > 0 || (cmp == 0 && a._2 < b._2)
+  }
+
+  /** Fold -0.0 into 0.0 (Spark normalizes signed zero in sort keys). */
+  private def sortKey(d: Double): Double = if (d == 0.0) 0.0 else d
 
   /** insert keeping buffer sorted best-first, capped at k. */
   private def insert(buf: ArrayBuffer[(Double, Long)], e: (Double, Long)): Unit = {

@@ -38,7 +38,7 @@ object SimilarityQueries extends QueryModule {
     * One bounded 1-row driver pull (F5-class), mirrored in the oracle
     * as a LIMIT subexpression.
     */
-  private[queries] def ivfNlist(v: DataFrame): Int = {
+  private[graft] def ivfNlist(v: DataFrame): Int = {
     val n = v.count()
     math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
   }
@@ -65,7 +65,24 @@ object SimilarityQueries extends QueryModule {
     * single most expensive stage in the IVF family (round-14 profile).
     */
   private[queries] def nearestCellsRanked(v: DataFrame, cents: DataFrame, k: Int): DataFrame = {
-    val slim = v.crossJoin(broadcast(cents))
+    // Size the vector side by the FAN-OUT PRODUCT, not by input bytes
+    // (round-15 live catch at sf100): the scan gives ~128 MB partitions
+    // of ~300 B embedding rows (~400k rows/task), but each row fans out
+    // × nlist centroids before the WindowGroupLimit's per-task partial
+    // sort — at sf100 that is 400k × 2237 ≈ 900M product rows ≈ 18 GB
+    // PER TASK, with every task sorting (and spilling) concurrently:
+    // the measured run was writing ~300 GB of sort spill to a 252 GB
+    // disk when killed. A 1000-executor cluster hits the same wall —
+    // per-task product volume is the invariant to bound, so repartition
+    // the vector side to keep it ≲ 32M narrow rows (~1 GB, sortable
+    // in-memory per task). Costs one round-robin shuffle of the RAW
+    // vectors (N × ~300 B — at sf100, 1.5 GB, noise next to the product)
+    // and two count jobs (metadata-fast on parquet-backed frames);
+    // skipped entirely when the product is small.
+    val productRows = v.count() * cents.count()
+    val targetParts = math.max(1L, productRows / 32000000L).toInt
+    val vp = if (targetParts > v.rdd.getNumPartitions) v.repartition(targetParts) else v
+    val slim = vp.crossJoin(broadcast(cents))
       .withColumn("cent_cos",
         round(expr("vec_dot(embedding, cent_emb)") / (col("nrm") * col("cent_nrm")), 6))
       .select(col("vec_id"), col("cent_id"), col("cent_cos"))
@@ -889,18 +906,132 @@ object SimilarityQueries extends QueryModule {
 
     // --------------------------------------------------------------- q156
     // Multi-probe IVF (nprobe=2) — the accuracy knob q145's recall
-    // audit exists to justify: each query probes its TWO nearest cells
-    // instead of one, recovering the neighbors that fall just across a
-    // cell boundary (the dominant IVF failure mode; the
-    // SimilarityRecallSpec harness measures the same knob on
-    // KMeans-trained cells). Same shapes as q40 — centroids broadcast,
-    // search joins keyed by cell — with the probe side carrying rn ≤ 2
-    // assignments, so the candidate set (and cost) is exactly 2× q40's,
-    // never all-pairs. Deterministic: rounded cosines, cent_id and
-    // vec_id tie-breaks.
+    // audit exists to justify — RE-SCOPED round 15 to the SERVING
+    // posture (round-14 verdict task 3): the previous full-corpus form
+    // (every vector probes its 2 nearest cells, Θ(2N√N) candidates)
+    // was the one family gate you could not run at 100× — it now lives
+    // as the GUARDED recall oracle q218. Here, a FIXED bounded probe
+    // set (the 200 md5-lowest vec_ids — the q147/q171/q189 posture,
+    // scale-independent) is served against q209's prebuilt
+    // cell-partitioned index, and for each probe the nprobe=1 answer
+    // (own cell only) is reported NEXT TO the nprobe=2 answer — the
+    // boundary-recovery measurement this query exists for, now
+    // Θ(Q·nprobe·√N) rows read (partition-pruned scan + broadcast
+    // probes) instead of a full-corpus self-join. Deterministic:
+    // rounded cosines, cent_id and vec_id tie-breaks.
     "q156_ivf_multiprobe" -> NamedQuery(
       fn = (s, d) => {
+        val (path, nlist) = ivfArtifact(s, d)
         val v = vecs(s, d)
+        val cents = v.orderBy("vec_id").limit(nlist)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+            col("nrm").as("cent_nrm"))
+        val qs = v.orderBy(md5(col("vec_id").cast("string"))).limit(200)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
+        // probe → 2 nearest cells, rank KEPT (rank 1 = the probe's own
+        // assignment cell, same ranking the artifact was built with)
+        val qa = qs.crossJoin(broadcast(cents))
+          .withColumn("cent_cos",
+            round(expr("vec_dot(qemb, cent_emb)") / (col("qnrm") * col("cent_nrm")), 6))
+          .withColumn("probe_rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cent_cos").desc, col("cent_id").asc)))
+          .filter(col("probe_rank") <= 2)
+          .select(col("qid"), col("cent_id").as("cell"), col("probe_rank"),
+            col("qemb"), col("qnrm"))
+        // bounded ≤ 2×200-row driver pull (F5-class) → plan literals →
+        // the index scan is PARTITION-PRUNED to the probed cells
+        val probedCells = qa.select("cell").distinct().collect().map(_.getLong(0))
+        val index = s.read.parquet(path)
+          .filter(col("cell").isin(probedCells.map(Long.box): _*))
+          .withColumn("cell", col("cell").cast("long"))
+        val pairs = index.join(broadcast(qa), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            round(expr("vec_dot(embedding, qemb)") / (col("nrm") * col("qnrm")), 6))
+          .select(col("qid"), col("probe_rank"), col("vec_id"), col("cos"))
+        def top1(df: DataFrame, nn: String, cs: String) =
+          df.groupBy("qid").agg(expr("top_k_pairs(cos, vec_id, 1)").as("t"))
+            .select(col("qid"), expr("inline(t)"))
+            .select(col("qid"), col("payload").as(nn), col("score").as(cs))
+        val nn1 = top1(pairs.filter(col("probe_rank") === 1), "nn1", "cos1")
+        val nn2 = top1(pairs, "nn2", "cos2")
+        qs.select("qid")
+          .join(nn1, Seq("qid"), "left")
+          .join(nn2, Seq("qid"), "left")
+          .withColumn("gained",
+            when(col("nn1").isNull && col("nn2").isNotNull, 1)
+              .when(col("cos2") > col("cos1"), 1).otherwise(0))
+          .orderBy("qid")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+          FROM v ORDER BY vec_id
+          LIMIT greatest(8, CAST(ceil(sqrt((SELECT COUNT(*) FROM v))) AS BIGINT))),
+        assigned AS (
+          SELECT vec_id, cell, emb, nrm FROM (
+            SELECT v.vec_id, c.cent_id AS cell, v.emb, v.nrm,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     round(list_dot_product(v.emb, c.cent_emb) / (v.nrm * c.cent_nrm), 6) DESC,
+                     c.cent_id ASC) AS rn
+            FROM v CROSS JOIN cents c)
+          WHERE rn = 1),
+        qs AS (
+          SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm
+          FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 200),
+        qa AS (
+          SELECT qid, cell, probe_rank, qemb, qnrm FROM (
+            SELECT q.qid, c.cent_id AS cell, q.qemb, q.qnrm,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     round(list_dot_product(q.qemb, c.cent_emb) / (q.qnrm * c.cent_nrm), 6) DESC,
+                     c.cent_id ASC) AS probe_rank
+            FROM qs q CROSS JOIN cents c)
+          WHERE probe_rank <= 2),
+        pairs AS (
+          SELECT q.qid, q.probe_rank, a.vec_id,
+                 round(list_dot_product(a.emb, q.qemb) / (a.nrm * q.qnrm), 6) AS cos
+          FROM assigned a JOIN qa q ON a.cell = q.cell AND a.vec_id <> q.qid),
+        nn1 AS (
+          SELECT qid, vec_id AS nn1, cos AS cos1 FROM (
+            SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+            FROM pairs WHERE probe_rank = 1)
+          WHERE rn = 1),
+        nn2 AS (
+          SELECT qid, vec_id AS nn2, cos AS cos2 FROM (
+            SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+            FROM pairs)
+          WHERE rn = 1)
+        SELECT q.qid, nn1.nn1, nn1.cos1, nn2.nn2, nn2.cos2,
+               CAST(CASE WHEN nn1.nn1 IS NULL AND nn2.nn2 IS NOT NULL THEN 1
+                         WHEN nn2.cos2 > nn1.cos1 THEN 1 ELSE 0 END AS INT) AS gained
+        FROM qs q
+        LEFT JOIN nn1 ON q.qid = nn1.qid
+        LEFT JOIN nn2 ON q.qid = nn2.qid
+        ORDER BY q.qid"""),
+      doc = "multi-probe IVF serving audit: 200 md5-bounded probes against the q209 index, nprobe=1 vs nprobe=2 NN side by side (boundary-recovery gain); full-corpus form demoted to guarded q218"),
+
+    // --------------------------------------------------------------- q218
+    // The FULL-CORPUS multiprobe self-join q156 was until round 15 —
+    // kept as the GUARDED recall oracle for the bounded serving path
+    // (the q34/q37/q39 posture): every vector probes its 2 nearest
+    // cells, Θ(2N√N) candidate pairs, which at 100 TB is the query you
+    // never run (round-14 verdict). ScaleGuards fails it fast past 50k
+    // vectors, naming q156/q210 as the production successors; raise
+    // spark.graft.allPairs.maxRows for a deliberate oracle run.
+    // Shapes unchanged from the round-14 engineering: ONE checkpointed
+    // ranked centroid product serves both sides, narrow pair stream.
+    "q218_multiprobe_full_recall" -> NamedQuery(
+      fn = (s, d) => {
+        val v = graft.ops.ScaleGuards.requireAllPairsSafe(vecs(s, d),
+          "q218_multiprobe_full_recall (full-corpus IVF multiprobe, Θ(N^1.5))",
+          successor = "q156_ivf_multiprobe (bounded probes through the q209 artifact) / q210_ivf_bounded_serving")
         val cents = v.orderBy("vec_id").limit(ivfNlist(v))
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
             col("nrm").as("cent_nrm"))
@@ -966,7 +1097,7 @@ object SimilarityQueries extends QueryModule {
         SELECT v.vec_id, nn.nn_id, nn.nn_cos
         FROM v LEFT JOIN nn ON v.vec_id = nn.vec_id
         ORDER BY v.vec_id"""),
-      doc = "multi-probe IVF (nprobe=2): the boundary-recovery knob, candidate set exactly 2x q40's"),
+      doc = "GUARDED full-corpus multiprobe recall oracle (fails fast >50k vectors) — the pre-round-15 q156; production successors: q156 bounded gain audit, q210 bounded serving"),
 
     // --------------------------------------------------------------- q176
     // SemDedup (Abbas et al. 2023): semantic dedup over embeddings —

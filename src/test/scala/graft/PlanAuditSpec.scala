@@ -84,10 +84,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("vec_dot"))
     graft.expr.GraftFunctions.register(spark)
+    // Pin the CHECKPOINTED CHILD plan itself (round-14 ADVICE: a fixed
+    // 8-centroid stand-in would let q65 regress to a non-broadcast
+    // assignment unnoticed): rebuild the assignment EXACTLY as q65 does
+    // — same loader, same data-scaled nlist via the shared ivfNlist,
+    // same nearestCells helper — and assert broadcast on the plan that
+    // localCheckpoint will execute inside q65.
     val v = graft.Tables.embeddings(spark, sf)
       .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
         org.apache.spark.sql.functions.expr("vec_dot(embedding, embedding)")))
-    val cents = v.orderBy("vec_id").limit(8)
+    val nlist = graft.queries.SimilarityQueries.ivfNlist(v)
+    assert(nlist > 8, s"sf0.01 nlist should be data-scaled past the floor, got $nlist")
+    val cents = v.orderBy("vec_id").limit(nlist)
       .select(org.apache.spark.sql.functions.col("vec_id").as("cent_id"),
         org.apache.spark.sql.functions.col("embedding").as("cent_emb"),
         org.apache.spark.sql.functions.col("nrm").as("cent_nrm"))

@@ -30,6 +30,29 @@ class TopKPairsSpec extends AnyFunSuite {
     assert(g1 === Seq((7.0, 99L), (5.0, 10L), (5.0, 11L)))
   }
 
+  test("top_k_pairs ranks NaN first and folds -0.0, matching the window sort (round-14 ADVICE)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // g=1: a NaN score (zero-norm-embedding cosine) must rank ABOVE 9.0
+    //   and NaN ties resolve by payload — row_number's double sort order.
+    // g=2: -0.0 and 0.0 are the SAME score; the tie goes to the payload.
+    val df = Seq(
+      (1, Double.NaN, 30L), (1, Double.NaN, 10L), (1, 9.0, 1L), (1, 2.0, 2L),
+      (2, -0.0, 7L), (2, 0.0, 3L), (2, -1.0, 4L)
+    ).toDF("g", "score", "payload")
+    val viaAgg = df.groupBy("g").agg(expr("top_k_pairs(score, payload, 2)").as("t"))
+      .select(col("g"), expr("inline(t)")).select("g", "payload", "score")
+    val viaWindow = RelationalOps.topKPerGroup(
+      Seq("g"), Seq(col("score").desc, col("payload").asc), 2)(df)
+      .select("g", "payload", "score")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+    val g1 = viaAgg.filter(col("g") === 1).collect()
+      .map(r => (r.getLong(1), r.getDouble(2).isNaN)).sortBy(_._1).toSeq
+    assert(g1 === Seq((10L, true), (30L, true))) // both NaNs kept, 9.0 cut
+    val g2 = viaAgg.filter(col("g") === 2).collect().map(_.getLong(1)).sorted.toSeq
+    assert(g2 === Seq(3L, 7L)) // the zero tie keeps BOTH payloads, -1.0 cut
+  }
+
   test("top_k_pairs survives partial/merge across many partitions") {
     import spark.implicits._
     GraftFunctions.register(spark)
