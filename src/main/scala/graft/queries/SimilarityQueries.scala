@@ -79,8 +79,19 @@ object SimilarityQueries extends QueryModule {
     // vectors (N × ~300 B — at sf100, 1.5 GB, noise next to the product)
     // and two count jobs (metadata-fast on parquet-backed frames);
     // skipped entirely when the product is small.
+    // Two bounds, both measured (sf10/sf100 A/B, round 15): an UPPER
+    // bound — ≲ 32M product rows per task, so the partial sort fits in
+    // memory — and a LOWER bound — don't leave cores idle under a big
+    // product: the scan's native 13 partitions left 19 of 32 cores idle
+    // at sf10 AND kept the fan-out glued to the scan projection (nrm
+    // inlined per PAIR, no compact exchange rows), measured 132.4 s vs
+    // 11.8 s with the exchange. Don't repartition a small product
+    // (< ~2M rows/core) — the exchange would cost more than it buys.
     val productRows = v.count() * cents.count()
-    val targetParts = math.max(1L, productRows / 32000000L).toInt
+    val cores = v.sparkSession.sparkContext.defaultParallelism
+    val forSort = math.max(1L, productRows / 32000000L)
+    val forCores = math.min(cores.toLong, productRows / 2000000L)
+    val targetParts = math.max(forSort, forCores).toInt
     val vp = if (targetParts > v.rdd.getNumPartitions) v.repartition(targetParts) else v
     val slim = vp.crossJoin(broadcast(cents))
       .withColumn("cent_cos",
@@ -118,7 +129,14 @@ object SimilarityQueries extends QueryModule {
       val cents = v.orderBy("vec_id").limit(nlist)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
           col("nrm").as("cent_nrm"))
-      nearestCells(v, cents)
+      // co-locate each cell's rows on one task before the dynamic-
+      // partition write: without this every write task holds rows of
+      // EVERY cell (the join-back is keyed by vec_id), so the writer
+      // emits tasks × nlist small files and sorts per task; keyed by
+      // cell it's one file per cell and the per-task sort is a few
+      // cells' rows (round-15 q209 profile — the write was half the
+      // build after the assignment fix)
+      nearestCells(v, cents).repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(table.getAbsolutePath)
       marker.createNewFile(): Unit
     }
