@@ -40,13 +40,25 @@ object SliceDump {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    // `df` is BY-NAME (round-15 verdict task 4): evaluating the queries
+    // entry for q209 eagerly (re)builds the IVF artifact, so a strict
+    // argument paid the build BEFORE the dump timer started and the
+    // recorded sf100 build number came from a different instrument than
+    // the dump numbers. Plan-wall (query-fn evaluation, which for q209
+    // includes the artifact build) and dump-wall (the coalesced write)
+    // are now timed and reported separately.
+    def dump(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      System.err.println(f"[slicedump] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val planned = df
+      val t1 = System.nanoTime()
+      planned.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      val t2 = System.nanoTime()
+      System.err.println(f"[slicedump] $name ok: plan+build ${(t1 - t0) / 1e9}%.1f s, " +
+        f"dump ${(t2 - t1) / 1e9}%.1f s, total ${(t2 - t0) / 1e9}%.1f s")
     }
-    // q209 first: its rebuild=true (re)builds the artifact this session;
-    // everything after reuses it via the dataset-keyed marker
+    // q209 first: its rebuild=true (re)builds the artifact this session
+    // (that build lands in this dump's plan+build wall); everything
+    // after reuses it via the dataset-keyed marker
     dump("q209_ivf_index_build",
       SparkEntry.queries("q209_ivf_index_build")(spark, sfDir))
     graft.queries.SimilarityQueries.sliceDumps(spark, sfDir)

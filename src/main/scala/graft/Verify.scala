@@ -43,8 +43,13 @@ object Verify {
           .parquet(s"$outDir/$name")
         done += 1
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s ($done/${selected.size})")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } catch {
+        // a ScaleGuard trip is a by-design fail-fast, not a failure —
+        // keep the two distinguishable in sweep logs (round-15 task 3)
+        case g: graft.ops.ScaleGuards.ScaleGuardTrip =>
+          System.err.println(s"[verify] $name skipped by guard; successor: ${g.successor}")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop per-query persisted intermediates (see Bench)
       spark.sharedState.cacheManager.clearCache()

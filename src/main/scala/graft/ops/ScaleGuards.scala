@@ -16,6 +16,17 @@ import org.apache.spark.sql.DataFrame
   */
 object ScaleGuards {
 
+  /** A guard REFUSAL, as its own type so tooling can tell a by-design
+    * fail-fast from a real breakage (round-15 verdict task 3: sf10+
+    * sweeps recorded q34/q37/q39/q218 guard trips in the same error
+    * bucket as genuine failures). Bench catches this and reports the
+    * query as skipped-by-guard with the named successor, not as an
+    * error. Extends IllegalArgumentException so any caller that handled
+    * the old require() failure mode keeps working.
+    */
+  final class ScaleGuardTrip(val what: String, val successor: String, msg: String)
+    extends IllegalArgumentException(msg)
+
   /** Rows above which an all-pairs baseline refuses to run. 50k rows is
     * already ~1.25B pairs — far past any sane baseline/oracle run, and
     * early enough that the failure costs seconds, not cluster-days.
@@ -37,10 +48,11 @@ object ScaleGuards {
       s"spark.graft.allPairs.maxRows=$bound out of range [0, ${Int.MaxValue - 1}] " +
         "(limit() takes an Int; a larger bound would overflow the probe)")
     val n = df.limit((bound + 1).toInt).count()
-    require(n <= bound,
-      s"$what is an O(n²) all-pairs correctness baseline; input exceeds " +
-        s"$bound rows (≥$n). Use its gated production successor — $successor — " +
-        "or raise spark.graft.allPairs.maxRows for a deliberate oracle run.")
+    if (n > bound)
+      throw new ScaleGuardTrip(what, successor,
+        s"$what is an O(n²) all-pairs correctness baseline; input exceeds " +
+          s"$bound rows (≥$n). Use its gated production successor — $successor — " +
+          "or raise spark.graft.allPairs.maxRows for a deliberate oracle run.")
     df
   }
 }

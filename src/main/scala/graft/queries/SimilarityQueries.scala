@@ -38,10 +38,16 @@ object SimilarityQueries extends QueryModule {
     * One bounded 1-row driver pull (F5-class), mirrored in the oracle
     * as a LIMIT subexpression.
     */
-  private[graft] def ivfNlist(v: DataFrame): Int = {
-    val n = v.count()
+  private[graft] def ivfNlist(v: DataFrame): Int = ivfNlistFor(v.count())
+
+  /** nlist from an already-known row count — lets a caller that has
+    * counted once (ivfArtifact's stats job) avoid a second count job
+    * (round-15 ADVICE: ivfArtifact counted v for nlist, then
+    * nearestCellsRanked counted it again for the fan-out bound —
+    * three scans per artifact build).
+    */
+  private[graft] def ivfNlistFor(n: Long): Int =
     math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
-  }
 
   /** Nearest-cell assignment for the IVF family (k nearest centroids
     * per vector, ties to the lowest cent_id — the family's pinned
@@ -55,8 +61,10 @@ object SimilarityQueries extends QueryModule {
     * the WindowGroupLimit partial truncation cuts it to k rows per
     * vector map-side. The reattach join is keyed on vec_id — linear.
     */
-  private[graft] def nearestCells(v: DataFrame, cents: DataFrame, k: Int = 1): DataFrame =
-    nearestCellsRanked(v, cents, k).drop("rn")
+  private[graft] def nearestCells(v: DataFrame, cents: DataFrame, k: Int = 1,
+                                  vRows: Option[Long] = None,
+                                  centRows: Option[Long] = None): DataFrame =
+    nearestCellsRanked(v, cents, k, vRows, centRows).drop("rn")
 
   /** nearestCells with the rank kept (`rn` = 1..k): lets a consumer that
     * needs BOTH the k=1 assignment and a k=2 probe set (q156) derive
@@ -64,7 +72,9 @@ object SimilarityQueries extends QueryModule {
     * centroid-scoring twice — at sf10 one assignment pass is ~145 s, the
     * single most expensive stage in the IVF family (round-14 profile).
     */
-  private[queries] def nearestCellsRanked(v: DataFrame, cents: DataFrame, k: Int): DataFrame = {
+  private[queries] def nearestCellsRanked(v: DataFrame, cents: DataFrame, k: Int,
+                                          vRows: Option[Long] = None,
+                                          centRows: Option[Long] = None): DataFrame = {
     // Size the vector side by the FAN-OUT PRODUCT, not by input bytes
     // (round-15 live catch at sf100): the scan gives ~128 MB partitions
     // of ~300 B embedding rows (~400k rows/task), but each row fans out
@@ -77,7 +87,10 @@ object SimilarityQueries extends QueryModule {
     // the vector side to keep it ≲ 32M narrow rows (~1 GB, sortable
     // in-memory per task). Costs one round-robin shuffle of the RAW
     // vectors (N × ~300 B — at sf100, 1.5 GB, noise next to the product)
-    // and two count jobs (metadata-fast on parquet-backed frames);
+    // and up to two count jobs (metadata-fast on parquet-backed frames;
+    // callers that already counted — ivfArtifact's stats job — pass the
+    // known counts via vRows/centRows so a derived, non-parquet-backed
+    // frame is never recomputed just to be sized);
     // skipped entirely when the product is small.
     // Two bounds, both measured (sf10/sf100 A/B, round 15): an UPPER
     // bound — ≲ 32M product rows per task, so the partial sort fits in
@@ -87,7 +100,7 @@ object SimilarityQueries extends QueryModule {
     // inlined per PAIR, no compact exchange rows), measured 132.4 s vs
     // 11.8 s with the exchange. Don't repartition a small product
     // (< ~2M rows/core) — the exchange would cost more than it buys.
-    val productRows = v.count() * cents.count()
+    val productRows = vRows.getOrElse(v.count()) * centRows.getOrElse(cents.count())
     val cores = v.sparkSession.sparkContext.defaultParallelism
     val forSort = math.max(1L, productRows / 32000000L)
     val forCores = math.min(cores.toLong, productRows / 2000000L)
@@ -119,11 +132,22 @@ object SimilarityQueries extends QueryModule {
   private def ivfArtifact(s: SparkSession, d: String, rebuild: Boolean = false): (String, Int) = {
     val dir = TempPaths.dir(s, "q209_ivf_index")
     val table = new java.io.File(dir, "index")
-    val dsKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val marker = new java.io.File(dir, s"_built_$dsKey")
     val v = vecs(s, d)
-    val nlist = ivfNlist(v)
+    // ONE stats job feeds the nlist sizing, the assignment fan-out bound
+    // AND the marker's content fingerprint (round-15 ADVICE ×2: the
+    // build previously ran three separate count jobs, and the _built_
+    // marker was keyed by dataset PATH only — a regenerated dataset at
+    // the same path would silently serve stale cells and fail the hash
+    // gate confusingly. Row count + max vec_id is a cheap content
+    // fingerprint: ScaleData regeneration changes N, and any reseeding
+    // that preserves N still changes the id frontier).
+    val stats = v.agg(count(lit(1)), max(col("vec_id"))).head()
+    val n = stats.getLong(0)
+    val maxId = if (stats.isNullAt(1)) "empty" else stats.get(1).toString
+    val dsKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d#$n#$maxId".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val marker = new java.io.File(dir, s"_built_$dsKey")
+    val nlist = ivfNlistFor(n)
     if (rebuild || !marker.exists()) {
       Option(dir.listFiles()).foreach(_.filter(_.getName.startsWith("_built_")).foreach(_.delete()))
       val cents = v.orderBy("vec_id").limit(nlist)
@@ -136,7 +160,8 @@ object SimilarityQueries extends QueryModule {
       // cell it's one file per cell and the per-task sort is a few
       // cells' rows (round-15 q209 profile — the write was half the
       // build after the assignment fix)
-      nearestCells(v, cents).repartition(col("cell"))
+      nearestCells(v, cents, vRows = Some(n), centRows = Some(math.min(nlist.toLong, n)))
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(table.getAbsolutePath)
       marker.createNewFile(): Unit
     }
@@ -161,16 +186,27 @@ object SimilarityQueries extends QueryModule {
         col("nrm").as("cent_nrm"))
     val qs = v.orderBy(md5(col("vec_id").cast("string"))).limit(nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    // localCheckpoint so the Q×nlist probe-scoring product is evaluated
+    // ONCE and shared between the driver pull below and the serving join
+    // every consumer builds on qa (round-15 ADVICE: the frame was
+    // executed twice, three times in q156 — the q218 checkpointed-
+    // ranked-product pattern)
     val qa = RelationalOps.topKPerGroup(
       Seq("qid"), Seq(col("cent_cos").desc, col("cent_id").asc), nprobe)(
       qs.crossJoin(broadcast(cents))
         .withColumn("cent_cos",
           round(expr("vec_dot(qemb, cent_emb)") / (col("qnrm") * col("cent_nrm")), 6)))
       .select(col("qid"), col("cent_id").as("cell"), col("qemb"), col("qnrm"))
+      .localCheckpoint(false)
     val probedCells = qa.select("cell").distinct().collect().map(_.getLong(0))
+    // cast the inferred partition column BEFORE the isin filter so the
+    // pruned-scan predicate does not depend on partition-column type
+    // inference defaults (round-15 ADVICE); the cast is a deterministic
+    // expression over the partition attribute, so partition pruning
+    // still applies (PlanAuditSpec pins the pruned file count)
     val index = s.read.parquet(path)
-      .filter(col("cell").isin(probedCells.map(Long.box): _*))
       .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isin(probedCells.map(Long.box): _*))
     (qa, probedCells, index)
   }
 
@@ -944,10 +980,16 @@ object SimilarityQueries extends QueryModule {
         val cents = v.orderBy("vec_id").limit(nlist)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
             col("nrm").as("cent_nrm"))
+        // qs is read twice (probe scoring + the final left-join spine):
+        // checkpoint the 200-row limit so the N·log-N md5 sort runs once
         val qs = v.orderBy(md5(col("vec_id").cast("string"))).limit(200)
           .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
+          .localCheckpoint(false)
         // probe → 2 nearest cells, rank KEPT (rank 1 = the probe's own
-        // assignment cell, same ranking the artifact was built with)
+        // assignment cell, same ranking the artifact was built with);
+        // checkpointed so the 200×nlist scoring product is evaluated
+        // ONCE and shared by the driver pull, nn1 and nn2 (round-15
+        // ADVICE — the q218 checkpointed-ranked-product pattern)
         val qa = qs.crossJoin(broadcast(cents))
           .withColumn("cent_cos",
             round(expr("vec_dot(qemb, cent_emb)") / (col("qnrm") * col("cent_nrm")), 6))
@@ -956,12 +998,15 @@ object SimilarityQueries extends QueryModule {
           .filter(col("probe_rank") <= 2)
           .select(col("qid"), col("cent_id").as("cell"), col("probe_rank"),
             col("qemb"), col("qnrm"))
+          .localCheckpoint(false)
         // bounded ≤ 2×200-row driver pull (F5-class) → plan literals →
-        // the index scan is PARTITION-PRUNED to the probed cells
+        // the index scan is PARTITION-PRUNED to the probed cells; cell
+        // cast BEFORE the isin so the pruning predicate doesn't depend
+        // on partition-column type inference (round-15 ADVICE)
         val probedCells = qa.select("cell").distinct().collect().map(_.getLong(0))
         val index = s.read.parquet(path)
-          .filter(col("cell").isin(probedCells.map(Long.box): _*))
           .withColumn("cell", col("cell").cast("long"))
+          .filter(col("cell").isin(probedCells.map(Long.box): _*))
         val pairs = index.join(broadcast(qa), Seq("cell"))
           .filter(col("vec_id") =!= col("qid"))
           .withColumn("cos",

@@ -187,6 +187,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("(lang#") && p.contains("= en)"))
   }
 
+  test("q210 serving scan partition-prunes on the probed cells through the explicit cast") {
+    // the cell filter casts the inferred partition column to long BEFORE
+    // the isin (round-16: the pruning predicate must not depend on
+    // partition-column type inference defaults) — pin that the cast
+    // predicate still reaches PartitionFilters, i.e. the scan is pruned
+    // to the probed cells rather than reading every cell directory
+    val p = plan("q210_ivf_bounded_serving")
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(p)
+      .find(_.contains("cell"))
+    assert(pf.isDefined, s"no PartitionFilters on the cell column:\n$p")
+    assert(pf.get.contains("IN") || pf.get.contains("isin"),
+      s"cell PartitionFilters carries no IN-set predicate: ${pf.get}")
+  }
+
   test("q89 bucketed SMJ has zero join-side Exchange (only the post-join agg shuffles)") {
     val p = plan("q89_bucketed_join")
     assert(p.contains("SortMergeJoin"))
