@@ -87,13 +87,30 @@ object DedupOps {
     * that holds at 100 TB. Semantics identical to the two-step path
     * (DedupRecallSpec pins the equivalence).
     */
-  def bandHashes(toks: DataFrame, k: Int, rowsPerBand: Int, scopeCols: Seq[String]): DataFrame = {
-    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+  def bandHashes(toks: DataFrame, k: Int, rowsPerBand: Int, scopeCols: Seq[String]): DataFrame =
+    bandHashesFromWide(minhashSignaturesWide(toks, k, scopeCols), k, rowsPerBand, scopeCols)
+
+  /** All k signature mins as columns of ONE keyed aggregate —
+    * (scope…, doc_id, mh0..mh{k-1}). The map-side-combining wide form
+    * behind [[bandHashes]], exposed so a query that needs BOTH the band
+    * hashes and the per-seed signatures (q148's estimator audit)
+    * computes the aggregate once instead of paying [[minhashSignatures]]'
+    * k× row fan-out a second time. `mh{i}` here is bit-identical to the
+    * long form's `mh` at `seed = i` (same expression, same groups).
+    */
+  def minhashSignaturesWide(toks: DataFrame, k: Int, scopeCols: Seq[String]): DataFrame = {
     require(k <= 8, s"k=$k: seeds past 7 overflow h1 + seed*h2 beyond 2^63")
     val mins = (0 until k).map(seed =>
       min((col("__h1") + lit(seed.toLong) * col("__h2")) % MersennePrime61).as(s"mh$seed"))
-    val sig = withTokenHashes(toks)
+    withTokenHashes(toks)
       .groupBy((scopeCols :+ "doc_id").map(col): _*).agg(mins.head, mins.tail: _*)
+  }
+
+  /** [[bandHashes]]' band derivation over an already-computed wide
+    * signature frame (see [[minhashSignaturesWide]]).
+    */
+  def bandHashesFromWide(sig: DataFrame, k: Int, rowsPerBand: Int, scopeCols: Seq[String]): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val cs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
@@ -149,12 +166,27 @@ object DedupOps {
     require(p > 0 && q > 0 && p <= q, s"threshold p/q must be in (0,1]: $p/$q")
     import org.apache.spark.sql.expressions.Window
     val keys = scopeCols :+ "tok"
-    val df = toks.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
-    toks.join(df, keys)
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .join(sizes, Seq("doc_id"))
+    // df and n as WINDOW counts instead of groupBy-aggregates joined
+    // back: the former shape shuffled the token table once for the df
+    // aggregate, twice more through the sort-merge df join, once for
+    // the rank window and once more for the sizes join — five exchanges
+    // of (scope, tok)-width rows. The window form is two exchanges
+    // total: one keyed (scope…, tok) for df, one keyed doc_id that the
+    // rank and size windows SHARE (same partition key; Catalyst stacks
+    // them over a single Exchange — guide §2.4 "window functions
+    // partitioned by the same key need no second shuffle"). Counts per
+    // key/doc are the same values the aggregates produced. The null-key
+    // filter reproduces the inner df-join's semantics exactly (a join
+    // with an aggregate of the SAME table keeps every non-null-keyed
+    // row and drops null keys; window counts alone would keep them).
+    val notNullKeys = keys.map(col(_).isNotNull).reduce(_ && _)
+    val wDf = Window.partitionBy(keys.map(col): _*)
+    val wDoc = Window.partitionBy("doc_id")
+    toks.filter(notNullKeys)
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("pos",
+        row_number().over(wDoc.orderBy(col("df"), col("tok"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(wDoc))
       .filter(expr(s"pos <= n - (($p * n + ${q - 1}) div $q) + 1"))
   }
 
@@ -332,13 +364,24 @@ object DedupOps {
     // lazy-checkpointed so lineage stays flat (materialized by the next
     // convergence-count action downstream)
     def propagate(labels: DataFrame): DataFrame = {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster", "n_cluster"), Seq("dst"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("n_cluster")).as("min_neighbor"))
-      labels.select("doc_id", "cluster").join(neighborMin, Seq("doc_id"), "left")
-        .withColumn("new_cluster", least(col("cluster"), coalesce(col("min_neighbor"), col("cluster"))))
-        .select(col("doc_id"), col("new_cluster").as("cluster"), col("cluster").as("old_cluster"))
+      // ONE keyed aggregate per round instead of join + agg + re-join:
+      // self rows carry the previous label (as both candidate and
+      // old-label witness), neighbor rows carry the label flowing along
+      // each edge; min over the union is min(own, neighbors') and
+      // min(old) recovers the previous label (exactly one self row per
+      // doc, neighbor rows vote null). Same fixpoint, same per-round
+      // labels, one fewer shuffle per round (guide §2.4) — and no left
+      // join whose null branch existed only to re-merge what the union
+      // row already carries.
+      val self = labels.select(col("doc_id"), col("cluster").as("cand"),
+        col("cluster").as("old"))
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster")), Seq("dst"))
+        .select(col("src").as("doc_id"), col("cluster").as("cand"),
+          lit(null).cast("long").as("old"))
+      self.unionByName(nbr)
+        .groupBy("doc_id")
+        .agg(min(col("cand")).as("cluster"), min(col("old")).as("old_cluster"))
         .localCheckpoint(false)
     }
     var labels = pairedDocs.select(col("doc_id"), col("doc_id").as("cluster"))

@@ -1108,6 +1108,12 @@ object EventQueries extends QueryModule {
             pmod(expr(s"ts_us div ${HourUs}L"), lit(1024L)).as("yb"),
             col("value"))
           .withColumn("tile", expr(s"($zTerms) div 4096"))
+          // yb exists only to interleave into the tile key — once tile
+          // is materialized it is dead weight: dropping it here shrinks
+          // the clustering shuffle AND the written files by a third
+          // (guide §2.3 project-before-the-exchange; §6 write only what
+          // readers use). The read side never touches yb.
+          .select("xb", "value", "tile")
           // cluster by the layout key before writing: one file per tile
           // instead of (tiles x shuffle-partitions) fragments — the
           // write-side pattern any clustered layout needs at scale
