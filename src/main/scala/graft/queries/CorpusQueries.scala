@@ -1057,9 +1057,17 @@ object CorpusQueries extends QueryModule {
             posexplode(expr(
               "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))")))
           .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("i"), col("col").as("gram"))
-        val repeated = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
-          .filter(col("occ") > 1).select("gram")
-        val hits = grams.join(repeated, Seq("gram")).select("doc_id", "n_toks", "i")
+        // repeated-gram flag as a WINDOW count instead of a groupBy
+        // re-joined onto its own input: the join form tokenized and
+        // exploded the corpus TWICE (no exchange reuse across the
+        // renamed branches) and shuffled grams three times (agg + both
+        // join sides); the window form explodes once and shuffles once,
+        // keyed on the gram (guide §2.4). Same occ per row — grams are
+        // never null (concat_ws over split tokens), so the inner join
+        // dropped nothing the filter keeps.
+        val hits = grams
+          .withColumn("occ", count(lit(1)).over(Window.partitionBy("gram")))
+          .filter(col("occ") > 1).select("doc_id", "n_toks", "i")
         val runs = hits.withColumn("grp",
             col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i")))
           .groupBy(col("doc_id"), col("n_toks"), col("grp"))

@@ -334,15 +334,29 @@ object DedupQueries extends QueryModule {
         val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
         val toks = graft.ops.DedupOps.tokenSet(Tables.documents(s, d), "text", scope)
         graft.ops.CacheScope.withPersisted(toks) {
-          val bands = graft.ops.DedupOps.bandHashes(toks, 8, 2, scope)
+          // ONE wide signature aggregate feeds bands AND the estimator
+          // compare (lazy-checkpointed so its three consumers share one
+          // evaluation): the former shape re-ran the signature
+          // aggregation through minhashSignatures' 8× seed fan-out —
+          // an extra k·|docs|-row shuffle plus two (doc, seed)-keyed
+          // joins — to recompute the very mins bandHashes already held
+          // as columns (guide §2.4 remove shuffles outright). n_eq over
+          // the wide rows is the same Σ_seed [mh1 = mh2], bit-exact.
+          val sigW = graft.ops.DedupOps.minhashSignaturesWide(toks, 8, scope)
+            .localCheckpoint(false)
+          val bands = graft.ops.DedupOps.bandHashesFromWide(sigW, 8, 2, scope)
           val cand = graft.ops.DedupOps.candidatePairs(bands, scope)
-          val sig = graft.ops.DedupOps.minhashSignatures(toks, 8, scope)
+          val s1 = sigW.select(col("doc_id").as("d1") +:
+            (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+          val s2 = sigW.select(col("doc_id").as("d2") +:
+            (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
           val est = cand
-            .join(sig.select(col("doc_id").as("d1"), col("seed"), col("mh").as("mh1")), Seq("d1"))
-            .join(sig.select(col("doc_id").as("d2"), col("seed"), col("mh").as("mh2")),
-              Seq("d2", "seed"))
-            .groupBy("d1", "d2")
-            .agg(sum(when(col("mh1") === col("mh2"), 1L).otherwise(0L)).as("n_eq"))
+            .join(s1, Seq("d1"))
+            .join(s2, Seq("d2"))
+            .withColumn("n_eq",
+              (0 until 8).map(i =>
+                when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
+            .select(col("d1"), col("d2"), col("n_eq"))
             .withColumn("est_j", col("n_eq").cast("double") / 8.0)
           val exact = graft.ops.DedupOps.jaccardExploded(toks, cand)
             .select(col("d1"), col("d2"), col("jacc"))

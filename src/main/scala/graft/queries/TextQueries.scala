@@ -227,6 +227,14 @@ object TextQueries extends QueryModule {
         val fps = shingles
           .withColumn("fp", min(col("h")).over(w))
           .select("doc_id", "fp").distinct()
+          // 4 consumers (sizes, the stop-fp counts, both self-join
+          // sides) and Catalyst reuses no exchange across the renamed
+          // branches: without the cut the tokenize+hash+window+distinct
+          // pipeline runs once PER consumer (4 parquet scans + 4 window
+          // sorts in the before-plan). Lazy checkpoint: materialized by
+          // the query's own terminal action, reclaimed by ContextCleaner
+          // (the duplicateClusters lifetime rule).
+          .localCheckpoint(false)
         val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
         // stop-fingerprint cap: shared-by-many = boilerplate, excluded
         val rare = fps.groupBy("fp").agg(count(lit(1)).as("ndocs"))
