@@ -9,8 +9,13 @@ import org.apache.spark.sql.SparkSession
   *
   *  - `parts` state partitions: the count is captured from
   *    shuffle.partitions at query START and every partition pays a
-  *    per-batch state-store commit — 8 is plenty at gate state sizes,
-  *    32 only multiplies commit overhead (measured round 2);
+  *    per-batch state-store commit — 4 is plenty at gate state sizes
+  *    (measured round 16 across all 12 gate queries at sf0.1: 8→4 cut
+  *    the set 30.7 s → 24.5 s, every query improved; 2 starts to lose
+  *    parallelism on the join-heavy gates). 32 only multiplies commit
+  *    overhead (measured round 2). Production unbounded streams size
+  *    state partitions to their key cardinality and pass `parts`
+  *    explicitly — the default is the bounded-replay harness value;
   *  - no-data micro-batches DISABLED for the body's lifetime: every
   *    gate query emits inside data batches (sentinel flushes — q74/
   *    q123, match-time emission — q78/q81/q153, or Complete mode —
@@ -27,7 +32,7 @@ import org.apache.spark.sql.SparkSession
   */
 object GateRun {
 
-  def withStreamGateConfs[T](s: SparkSession, parts: Int = 8,
+  def withStreamGateConfs[T](s: SparkSession, parts: Int = 4,
                              extra: Map[String, String] = Map.empty)(body: => T): T = {
     val prevExtra = extra.keys.map(k => k -> s.conf.getOption(k)).toMap
     extra.foreach { case (k, v) => s.conf.set(k, v) }
