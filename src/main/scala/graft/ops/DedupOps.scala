@@ -392,7 +392,9 @@ object DedupOps {
       // per-round fixed cost (job launch + full scan), and min-label
       // propagation is monotone, so "the second round changed nothing"
       // alone certifies the fixpoint — no changes are missed by not
-      // counting the first round.
+      // counting the first round. (A three-round cadence was A/B'd in
+      // round 16 and measured SLOWER — the extra per-action round costs
+      // more than the saved count job.)
       val step2 = propagate(propagate(labels))
       round += 2
       val changed = step2.filter(col("cluster") =!= col("old_cluster")).count()
