@@ -177,13 +177,21 @@ object Bench {
         // number-keyed map and kept the 208-query round-9 line at
         // ~1.1 KB after the map form outgrew the tail window (the
         // round-8 task-6 regression mode). The map stays as the shape
-        // for a non-contiguous catalog.
+        // for a non-contiguous catalog. A name-keyed map physically
+        // cannot fit: the driver captures the LAST 2000 chars of stdout
+        // (verified against the recorded BENCH_r14/15/16 tails) and
+        // sbt's footer eats ~75 of them, while 218 entries keyed
+        // "1".."218" at ms resolution measure 2163 chars of map alone
+        // (round-17 arithmetic over the real r16 values) — so the
+        // positional array stays, and "names_ok":true attests the
+        // index contract (q-numbers contiguous 1..n, checked in-process
+        // right here) so a comparator can join index i ↔ q(i+1) safely.
         val l =
           if (contiguous) {
             val arr = numbered.sortBy(_._1)
               .map { case (_, v) => math.round(v * 1000).toString }
               .mkString("[", ",", "]")
-            s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":0,"n_skipped":${skips.size}$skipsCompact,"q_key":"array index i = query q(i+1)","q_unit":"ms","queries":$arr,"sf":"$sfName","full":"BENCH_FULL.json"}"""
+            s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"n_errors":0,"n_skipped":${skips.size}$skipsCompact,"q_key":"array index i = query q(i+1)","names_ok":true,"q_unit":"ms","queries":$arr,"sf":"$sfName","full":"BENCH_FULL.json"}"""
           } else {
             val compact = ok.map { case (k, v, _) =>
               val n = qnum.findFirstMatchIn(k).map(_.group(1)).getOrElse(k)

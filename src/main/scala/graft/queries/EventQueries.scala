@@ -2160,23 +2160,42 @@ object EventQueries extends QueryModule {
           .withColumn("idx",
             row_number().over(Window.partitionBy("event_type").orderBy("event_id")) - 1)
           .select(col("event_type"), col("idx").cast("long").as("idx"), dec(col("value")).as("y"))
-        val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        // Per-type sizes collected to the driver (one row per event
+        // type — bounded metadata, the q123 maxUs idiom): the i domain
+        // is exactly 0..n-1 per type, so it can be GENERATED from a
+        // parallel Range instead of re-deriving ev a second time — the
+        // old shape scanned events twice more (i-domain + size join)
+        // and re-ran the type-keyed ranking window (a sort bounded by
+        // #types tasks, the query's serial floor), then needed a
+        // repartition("i") exchange to undo that skew before the
+        // fan-out. Range(0, maxN) is born evenly split across cores: no
+        // second window, no repartition exchange, one fewer scan
+        // (guide §2.4 / §2.5).
+        val nRows = graft.Tables.events(s, d)
+          .groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+        val maxN = nRows.map(_.getLong(1)).max
+        val nDf = s.createDataFrame(
+          java.util.Arrays.asList(nRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("et",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType, nullable = false))))
         val reps = s.range(0, B).select(col("id").as("b"))
-        // the i domain is ev's own idx column (exactly 0..n-1 per type),
-        // and the B indices per row come from ONE md5 via Carter-Wegman
+        // the B indices per row come from ONE md5 via Carter-Wegman
         // affine combination (the DedupOps minhash idiom) — hashing per
         // (b,i) was measured 3× slower at sf0.1. h2 is 56-bit so
-        // b·h2 (b ≤ 31) stays far from long overflow; renamed key
-        // avoids the self-join ambiguity (n derives from ev).
-        val draws = ev.select(col("event_type").as("et"), col("idx").as("i"))
-          .join(n.withColumnRenamed("event_type", "et"), Seq("et"))
+        // b·h2 (b ≤ 31) stays far from long overflow.
+        val draws = s.range(0, maxN).select(col("id").as("i"))
+          .crossJoin(broadcast(nDf))
+          .filter(col("i") < col("n"))
           .withColumn("hh", md5(concat(col("et"), lit("#"), col("i"))))
           .withColumn("h1", conv(substring(col("hh"), 1, 15), 16, 10).cast("long"))
           .withColumn("h2", conv(substring(col("hh"), 17, 14), 16, 10).cast("long"))
-          .repartition(col("i")) // pre-fan-out spread: AQE otherwise leaves one task
           .crossJoin(broadcast(reps))
           .withColumn("j",
             ((col("h1") + col("b") * col("h2")) % lit(2305843009213693951L)) % col("n"))
+          .select(col("et"), col("n"), col("b"), col("j"))
         val means = draws.join(ev,
             col("et") === col("event_type") && col("j") === col("idx"))
           .groupBy(col("et").as("event_type"), col("b"))

@@ -1263,12 +1263,25 @@ object SimilarityQueries extends QueryModule {
         val probes = v.orderBy(md5(col("vec_id").cast("string"))).limit(200)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
             col("nrm").as("p_nrm"))
+        // ONE probe_id partitioning end-to-end (guide §2.4): the old
+        // shape exchanged by probe_id for the dense window, by
+        // (probe_id, doc_id) for the shared aggregate AND both sides of
+        // the dense⋈shared sort-merge join, then by probe_id again for
+        // the lexical window — 7 exchanges. Rewritten as a UNION of the
+        // dense pairs (sh = 0) with the raw shared-token join rows
+        // (sh = 1) into one (probe, doc) aggregate: max(cos) recovers
+        // the unique dense cosine, sum(sh) IS the old left-joined
+        // coalesce(shared, 0) (every tok-join pair also exists in the
+        // dense universe, so the group set is exactly v × probes), and
+        // both rank windows stack over the aggregate's probe_id
+        // partitioning — 2 exchanges total. The probe-token side is
+        // broadcast (bounded: 200 probes, declared), so the corpus token
+        // table is never shuffled at all.
         val dense = v.crossJoin(broadcast(probes))
           .withColumn("cos",
             round(expr("vec_dot(embedding, p_emb)") / (col("nrm") * col("p_nrm")), 6))
-          .withColumn("r_dense", row_number().over(
-            Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)))
-          .select(col("probe_id"), col("vec_id").as("doc_id"), col("r_dense"))
+          .select(col("probe_id"), col("vec_id").as("doc_id"), col("cos"),
+            lit(0L).as("sh"))
         val toks = Tables.documents(s, d)
           .join(v.select(col("vec_id").as("doc_id")), Seq("doc_id"))
           .select(col("doc_id"),
@@ -1276,12 +1289,17 @@ object SimilarityQueries extends QueryModule {
           .localCheckpoint(false) // doc side + probe side of the shared-token join
         val ptoks = toks.join(probes.select(col("probe_id").as("doc_id")), Seq("doc_id"))
           .select(col("doc_id").as("probe_id"), col("tok"))
-        val shared = toks.join(ptoks, Seq("tok"))
-          .groupBy("probe_id", "doc_id").agg(count(lit(1)).as("shared"))
-        val ranked = dense.join(shared, Seq("probe_id", "doc_id"), "left")
+        val tokRows = toks.join(broadcast(ptoks), Seq("tok"))
+          .select(col("probe_id"), col("doc_id"),
+            lit(null).cast("double").as("cos"), lit(1L).as("sh"))
+        val ranked = dense.unionByName(tokRows)
+          .repartition(col("probe_id"))
+          .groupBy("probe_id", "doc_id")
+          .agg(max(col("cos")).as("cos"), sum(col("sh")).as("shared"))
+          .withColumn("r_dense", row_number().over(
+            Window.partitionBy("probe_id").orderBy(col("cos").desc, col("doc_id").asc)))
           .withColumn("r_lex", row_number().over(
-            Window.partitionBy("probe_id")
-              .orderBy(coalesce(col("shared"), lit(0L)).desc, col("doc_id").asc)))
+            Window.partitionBy("probe_id").orderBy(col("shared").desc, col("doc_id").asc)))
           .withColumn("diff", col("r_dense") - col("r_lex"))
         ranked.groupBy("probe_id")
           .agg(count(lit(1)).as("n_docs"),

@@ -13,9 +13,16 @@ import org.apache.spark.sql.SparkSession
   *    (measured round 16 across all 12 gate queries at sf0.1: 8→4 cut
   *    the set 30.7 s → 24.5 s, every query improved; 2 starts to lose
   *    parallelism on the join-heavy gates). 32 only multiplies commit
-  *    overhead (measured round 2). Production unbounded streams size
-  *    state partitions to their key cardinality and pass `parts`
-  *    explicitly — the default is the bounded-replay harness value;
+  *    overhead (measured round 2). Re-adjudicated round 17 after the
+  *    round-16 driver run showed q123 +25% at parts=4: a fresh paired
+  *    4-vs-8 A/B over all 12 gates measured 24.4 s vs 29.1 s with
+  *    EVERY gate at-or-better at 4 (q123 itself 3.97 s vs 5.47 s, the
+  *    largest margin of the set) — the driver's single reading was
+  *    run-to-run noise, not the partition count (and the co-reported
+  *    "q120 regression" is a batch session_window query this scope
+  *    never touches). Production unbounded streams size state
+  *    partitions to their key cardinality and pass `parts` explicitly
+  *    — the default is the bounded-replay harness value;
   *  - no-data micro-batches DISABLED for the body's lifetime: every
   *    gate query emits inside data batches (sentinel flushes — q74/
   *    q123, match-time emission — q78/q81/q153, or Complete mode —
