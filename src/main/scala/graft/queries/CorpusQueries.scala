@@ -508,6 +508,13 @@ object CorpusQueries extends QueryModule {
           .select(col("source"), explode(expr(
             "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))"))
             .as("gram"))
+          // distinct keyed by gram ALONE (subset partitioning satisfies
+          // the (source, gram) aggregate), so the persisted gram set is
+          // cached in exactly the partitioning the self-join needs —
+          // the join then reads both sides from cache with ZERO
+          // exchange instead of re-shuffling the whole gram table
+          // twice (guide §2.4). Per-gram fan-in is bounded by #sources.
+          .repartition(col("gram"))
           .distinct()
         graft.ops.CacheScope.withPersisted(grams) {
           val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))

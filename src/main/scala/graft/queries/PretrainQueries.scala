@@ -42,6 +42,15 @@ object PretrainQueries extends QueryModule {
             explode(expr(
               "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))"))
               .as("gram"))
+          // distinct keyed by doc_id ALONE (subset partitioning
+          // satisfies the (doc_id, gram) aggregate), so the persisted
+          // gram set is cached in the partitioning every downstream
+          // doc-keyed aggregate needs: the countDistinct's partial
+          // (doc_id, gram) distinct AND its final doc_id aggregate both
+          // ride the cache's partitioning with zero further exchange of
+          // the corpus gram table (guide §2.4; the q93 cache-keying
+          // pattern). Per-doc fan-in is bounded by document length.
+          .repartition(col("doc_id"))
           .distinct()
         graft.ops.CacheScope.withPersisted(grams) {
           val evalGrams = grams.filter(col("doc_id") % 97 === 0)
@@ -387,6 +396,12 @@ object PretrainQueries extends QueryModule {
             explode(expr(
               "transform(sequence(1, size(arr) - 4), i -> concat_ws(' ', slice(arr, i, 5)))"))
               .as("gram"))
+          // distinct keyed by doc_id ALONE (q66/q93 cache-keying
+          // pattern): totals' groupBy(doc_id), shared's broadcast-join
+          // + groupBy(doc_id), and the totals⋈shared join all ride the
+          // cache's doc_id partitioning — zero further exchange of the
+          // corpus gram table (guide §2.4).
+          .repartition(col("doc_id"))
           .distinct()
         graft.ops.CacheScope.withPersisted(grams) {
           val evalGrams = grams.filter(col("doc_id") % 97 === 0)
