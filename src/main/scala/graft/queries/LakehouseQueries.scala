@@ -53,7 +53,8 @@ object LakehouseQueries extends QueryModule {
             .groupBy("user_id").agg(max(col("st")).as("st"))
         // foreachBatch has no watermark — nothing emits from a no-data
         // batch, so the GateRun scope is pure overhead removal
-        graft.streaming.GateRun.withStreamGateConfs(s) {
+        graft.streaming.GateRun.withStreamGateConfs(s,
+            parts = graft.streaming.GateRun.scaledParts(new java.io.File(slices))) {
           val q = s.readStream.schema(raw.schema)
             .option("maxFilesPerTrigger", 1).parquet(slices)
             .writeStream.foreachBatch { (batch: DataFrame, id: Long) =>

@@ -105,7 +105,8 @@ object PipelineQueries extends QueryModule {
             col("event_type"), col("n_events"), col("sum_value"))
         // Complete mode: the final data batch already holds the full
         // answer — GateRun drops the trailing no-data batch too.
-        graft.streaming.GateRun.withStreamGateConfs(s) {
+        graft.streaming.GateRun.withStreamGateConfs(s,
+            parts = graft.streaming.GateRun.scaledParts(dir.toFile)) {
           val q = windowed.writeStream.outputMode(OutputMode.Complete)
             .format("memory").queryName("q60_stream_hourly").start()
           try q.processAllAvailable() finally q.stop()
@@ -478,7 +479,8 @@ object PipelineQueries extends QueryModule {
         // Sentinel events close every session inside the data batch —
         // the GateRun scope (8 state partitions, no-data batches off)
         // never touches emission here.
-        graft.streaming.GateRun.withStreamGateConfs(s) {
+        graft.streaming.GateRun.withStreamGateConfs(s,
+            parts = graft.streaming.GateRun.scaledParts(dir.toFile)) {
           val q = EventWindows.sessionize(stream).toDF()
             .writeStream.outputMode(OutputMode.Append)
             .format("memory").queryName("q74_stream_sessions").start()
@@ -562,7 +564,8 @@ object PipelineQueries extends QueryModule {
         val joined = EventWindows.clickToPurchase(stream)
         // inner-join rows emit as matches arrive (watermark = cleanup
         // only), so the GateRun scope is emission-safe
-        graft.streaming.GateRun.withStreamGateConfs(s) {
+        graft.streaming.GateRun.withStreamGateConfs(s,
+            parts = graft.streaming.GateRun.scaledParts(dir.toFile)) {
           val q = joined.writeStream.outputMode(OutputMode.Append)
             .format("memory").queryName("q78_stream_attribution").start()
           try q.processAllAvailable() finally q.stop()
@@ -601,7 +604,8 @@ object PipelineQueries extends QueryModule {
           .agg(count(lit(1)).as("n_events"))
           .select(unix_micros(col("window.start")).as("window_start_us"),
             col("user_id"), col("n_events"))
-        graft.streaming.GateRun.withStreamGateConfs(s) {
+        graft.streaming.GateRun.withStreamGateConfs(s,
+            parts = graft.streaming.GateRun.scaledParts(dir.toFile)) {
           val q = windowed.writeStream.outputMode(OutputMode.Complete)
             .format("memory").queryName("q80_stream_sliding").start()
           try q.processAllAvailable() finally q.stop()
@@ -637,7 +641,8 @@ object PipelineQueries extends QueryModule {
         val deduped = EventWindows
           .dedupStream(stream, keyCols = Seq("user_id", "event_type"))
           .select(col("fp"), unix_micros(col("ts")).as("ts_us"))
-        graft.streaming.GateRun.withStreamGateConfs(s) {
+        graft.streaming.GateRun.withStreamGateConfs(s,
+            parts = graft.streaming.GateRun.scaledParts(dir.toFile)) {
           val q = deduped.writeStream.outputMode(OutputMode.Append)
             .format("memory").queryName("q81_stream_dedup").start()
           try q.processAllAvailable() finally q.stop()
@@ -674,7 +679,8 @@ object PipelineQueries extends QueryModule {
           .agg(
             count(lit(1)).as("n_events"),
             sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-        graft.streaming.GateRun.withStreamGateConfs(s) {
+        graft.streaming.GateRun.withStreamGateConfs(s,
+            parts = graft.streaming.GateRun.scaledParts(dir.toFile)) {
           val q = joined.writeStream.outputMode(OutputMode.Complete)
             .format("memory").queryName("q109_stream_static_join").start()
           try q.processAllAvailable() finally q.stop()
@@ -748,7 +754,8 @@ object PipelineQueries extends QueryModule {
         val joined = EventWindows.clickToPurchaseOuter(stream)
         // flush protocol is sentinel-driven by design ("no reliance on a
         // no-data micro-batch") — GateRun makes that literal
-        graft.streaming.GateRun.withStreamGateConfs(s) {
+        graft.streaming.GateRun.withStreamGateConfs(s,
+            parts = graft.streaming.GateRun.scaledParts(dir.toFile)) {
           val q = joined.writeStream.outputMode(OutputMode.Append)
             .format("memory").queryName("q123_stream_outer_join").start()
           try {
@@ -797,7 +804,8 @@ object PipelineQueries extends QueryModule {
           .withWatermark("ts", "10 minutes")
           .dropDuplicatesWithinWatermark("user_id", "event_type")
           .select("user_id", "event_type")
-        graft.streaming.GateRun.withStreamGateConfs(s) {
+        graft.streaming.GateRun.withStreamGateConfs(s,
+            parts = graft.streaming.GateRun.scaledParts(dir.toFile)) {
           val q = deduped.writeStream.outputMode(OutputMode.Append)
             .format("memory").queryName("q153_stream_dedup_wm").start()
           try q.processAllAvailable() finally q.stop()
@@ -833,7 +841,8 @@ object PipelineQueries extends QueryModule {
           s.readStream.schema(schema).parquet(dir.toString))
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
           .as[EventWindows.Event]
-        graft.streaming.GateRun.withStreamGateConfs(s, extra = Map(
+        graft.streaming.GateRun.withStreamGateConfs(s,
+            parts = graft.streaming.GateRun.scaledParts(dir.toFile), extra = Map(
           "spark.sql.streaming.stateStore.providerClass" ->
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
           val q = EventWindows.runningTotals(stream).toDF()
@@ -882,7 +891,8 @@ object PipelineQueries extends QueryModule {
             explode(col("hh")).as("e"))
           .select(col("window_start_us"), col("e.item").as("item"),
             col("e.est").as("est"), col("e.err").as("err"))
-        graft.streaming.GateRun.withStreamGateConfs(s) {
+        graft.streaming.GateRun.withStreamGateConfs(s,
+            parts = graft.streaming.GateRun.scaledParts(dir.toFile)) {
           val q = windowed.writeStream.outputMode(OutputMode.Complete)
             .format("memory").queryName("q186_stream_heavy_hitters").start()
           try q.processAllAvailable() finally q.stop()
@@ -926,7 +936,8 @@ object PipelineQueries extends QueryModule {
         val windowed = graft.streaming.EventWindows.globalSliding(stream)
           .select(unix_micros(col("window_start")).as("window_start_us"),
             col("n_events"), col("sum_value"))
-        graft.streaming.GateRun.withStreamGateConfs(s) {
+        graft.streaming.GateRun.withStreamGateConfs(s,
+            parts = graft.streaming.GateRun.scaledParts(dir.toFile)) {
           val q = windowed.writeStream.outputMode(OutputMode.Complete)
             .format("memory").queryName("q217_stream_global_sliding").start()
           try q.processAllAvailable() finally q.stop()

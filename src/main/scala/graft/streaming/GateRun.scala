@@ -39,6 +39,45 @@ import org.apache.spark.sql.SparkSession
   */
 object GateRun {
 
+  /** Scale-adaptive state-partition count for the bounded-replay gates
+    * (round-17; the guide's "derive partitioning from input size, not a
+    * constant tuned for one mode"): one state partition per 16 MB of
+    * staged replay input, floor 4, cap 32.
+    *
+    *  - floor 4 = the sf0.1-measured optimum (two full paired A/Bs,
+    *    rounds 16 and 17: every gate at-or-better at 4 vs 8 — gate
+    *    state is tiny there and each partition pays a per-batch
+    *    state-store commit). At sf0.1 (2 MB staged) the formula yields
+    *    exactly 4, so the driver-bench surface is unchanged and the
+    *    sf0.1 A/B evidence carries over bit-for-bit (12/12 gate
+    *    hash-match re-verified after this change);
+    *  - growth with input is a CLUSTER-correctness bound, not a local
+    *    speedup claim: the single-batch replay holds the whole
+    *    corpus's state (q81's dedup keys, q80's Complete windows), and
+    *    state partitions are the unit that spreads that state across
+    *    executors — a constant 4 pins per-executor state to
+    *    state/4 at any scale. The round-17 sf10 revalidation measured
+    *    the failure concretely (q81 at 4 parts OOMs the default 8 GB
+    *    local heap; with SPARK_DRIVER_MEM=48g it completes) but could
+    *    NOT rank 4 vs 8 vs 9 parts on wall time — four sf10 readings
+    *    spanned 68-129 s with no consistent ordering (box noise
+    *    dominates sf10 streaming walls on shared hardware). In local
+    *    mode all partitions share one heap, so the OOM fix is the heap,
+    *    not the partition count; on a cluster the partition count IS
+    *    the per-executor bound, which is why it must scale;
+    *  - cap 32: past one partition per core the commits dominate again
+    *    (measured round 2).
+    *
+    * Production unbounded streams still size state partitions to key
+    * cardinality explicitly.
+    */
+  def scaledParts(staged: java.io.File, floor: Int = 4, cap: Int = 32): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
+      else f.length()
+    math.max(floor, math.min(cap, (bytes(staged) >> 24).toInt))
+  }
+
   def withStreamGateConfs[T](s: SparkSession, parts: Int = 4,
                              extra: Map[String, String] = Map.empty)(body: => T): T = {
     val prevExtra = extra.keys.map(k => k -> s.conf.getOption(k)).toMap
